@@ -1,0 +1,127 @@
+"""Distribution-drift checks: chi-square + KS against a golden profile.
+
+north_rule mandate, modeled on the reference's golden-stats diff
+(`/root/reference/fastpasta/src/stats/lib.rs:9-31` ``validate_fields!``
+compares every stat field to a golden file; `controller.rs:152-179`).
+We generalize the exact-equality diff to DISTRIBUTION comparison:
+
+  * categorical columns (span kind mix, media types): chi-square over
+    per-category counts,
+  * numeric columns (text length): a KS statistic over a fixed-edge
+    CDF sketch (histogram), not the exact empirical CDF.
+
+Scale design: both reduce to per-partition histogram partials merged by
+SUM — a plain groupBy/agg, i.e. the same mergeable partial+final shape
+as the reference's stats funnel (controller.rs:112-248) and the
+treeAggregate pattern. Nothing here shuffles more than
+O(categories × partitions) rows. The final chi-square/KS arithmetic
+happens on the merged (tiny) profile, still as Column expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from fastpasta_spark import schema as S
+
+# fixed histogram edges for text length — shared by profile and probe so
+# the CDF sketches are comparable
+LEN_EDGES = [0, 8, 16, 32, 64, 128, 256, 512, 1024, 1 << 30]
+
+
+def kind_profile(docs: DataFrame) -> DataFrame:
+    """(category, cnt) — span-kind distribution of a corpus."""
+    return (
+        docs.select(F.explode("spans").alias("s"))
+        .groupBy(F.col("s.kind").alias("category"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def len_profile(docs: DataFrame) -> DataFrame:
+    """(category, cnt) — text-length histogram with fixed edges."""
+    edges = ", ".join(str(e) for e in LEN_EDGES[1:])
+    bucket = F.expr(
+        f"aggregate(array({edges}), 0, (acc, e) -> "
+        "acc + IF(len >= e, 1, 0))"
+    )
+    return (
+        docs.select(F.explode("spans").alias("s"))
+        .filter(F.col("s.kind") == S.KIND_TEXT)
+        .select(F.length(F.coalesce(F.col("s.text"), F.lit(""))).alias("len"))
+        .select(F.concat(F.lit("len_bucket_"), bucket.cast("string")).alias("category"))
+        .groupBy("category")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def chi_square(profile_a: DataFrame, profile_b: DataFrame) -> DataFrame:
+    """Chi-square statistic between two (category, cnt) profiles.
+
+    Returns one row: (chi2, dof, n_a, n_b). Uses the standard two-sample
+    formula with scaled expectations; categories missing on one side
+    count as zero. The join is tiny (category domains) — broadcast.
+    """
+    a = profile_a.select("category", F.col("cnt").alias("cnt_a"))
+    b = profile_b.select("category", F.col("cnt").alias("cnt_b"))
+    joined = a.join(F.broadcast(b), "category", "full_outer").fillna(
+        0, subset=["cnt_a", "cnt_b"]
+    )
+    totals = joined.agg(
+        F.sum("cnt_a").alias("n_a"), F.sum("cnt_b").alias("n_b")
+    )
+    j = joined.crossJoin(F.broadcast(totals))
+    # two-sample chi-square: K1 = sqrt(n_b/n_a), K2 = sqrt(n_a/n_b)
+    term = (
+        (F.col("cnt_a") * F.sqrt(F.col("n_b") / F.col("n_a"))
+         - F.col("cnt_b") * F.sqrt(F.col("n_a") / F.col("n_b"))) ** 2
+        / (F.col("cnt_a") + F.col("cnt_b"))
+    )
+    return j.agg(
+        F.sum(term).alias("chi2"),
+        (F.count(F.lit(1)) - 1).cast("int").alias("dof"),
+        F.first("n_a").alias("n_a"),
+        F.first("n_b").alias("n_b"),
+    )
+
+
+def ks_statistic(profile_a: DataFrame, profile_b: DataFrame) -> DataFrame:
+    """KS statistic over two fixed-edge histogram profiles.
+
+    max |CDF_a - CDF_b| over the shared bucket edges — exactly the KS
+    statistic of the sketched distributions. Window over ~10 buckets,
+    driver-scale data.
+    """
+    from pyspark.sql import Window as W
+
+    a = profile_a.select("category", F.col("cnt").alias("cnt_a"))
+    b = profile_b.select("category", F.col("cnt").alias("cnt_b"))
+    joined = a.join(b, "category", "full_outer").fillna(0, ["cnt_a", "cnt_b"])
+    w = W.orderBy("category").rowsBetween(W.unboundedPreceding, 0)
+    tot = joined.agg(F.sum("cnt_a").alias("ta"), F.sum("cnt_b").alias("tb"))
+    cdf = (
+        joined.crossJoin(F.broadcast(tot))
+        .withColumn("cdf_a", F.sum("cnt_a").over(w) / F.col("ta"))
+        .withColumn("cdf_b", F.sum("cnt_b").over(w) / F.col("tb"))
+    )
+    return cdf.agg(F.max(F.abs(F.col("cdf_a") - F.col("cdf_b"))).alias("ks"))
+
+
+def drift_violations(
+    probe: DataFrame, golden_profile: DataFrame, chi2_threshold: float = 30.0
+) -> DataFrame:
+    """E120 violation rows when the probe's kind-mix drifts off golden."""
+    stat = chi_square(kind_profile(probe), golden_profile)
+    return stat.filter(F.col("chi2") > chi2_threshold).select(
+        F.lit(None).cast("string").alias("doc_id"),
+        F.lit(None).cast("int").alias("span_idx"),
+        F.lit(-1).alias("offset"),
+        F.lit(S.E120_DRIFT).alias("check_code"),
+        F.lit(S.SEV_WARNING).alias("severity"),
+        F.concat(
+            F.lit("kind distribution drift: chi2="),
+            F.round("chi2", 3).cast("string"),
+            F.lit(" dof="), F.col("dof").cast("string"),
+        ).alias("message"),
+    )

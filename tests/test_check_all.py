@@ -1,0 +1,106 @@
+"""End-to-end check_all: engine violations must match the pure-Python
+oracle row-for-row (the reference's golden-file integration tests,
+`fastpasta/tests/fastpasta_1_hbf_bad_its_payload.rs:15-50`, assert exact
+error positions/codes/counts — we assert full row equality)."""
+
+import pytest
+
+from fastpasta_spark import schema as S
+from fastpasta_spark.functions.fsm import stateless_doc_checks, validate_spans
+from fastpasta_spark.plans.check_all import check_all
+from fastpasta_spark.sources.synth import CorpusConfig, corpus_df, media_df
+
+CFG = CorpusConfig(n_docs=400, corrupt_per_mille=250, dup_per_mille=40)
+
+
+@pytest.fixture(scope="module")
+def result(spark):
+    docs = corpus_df(spark, CFG)
+    media = media_df(spark, CFG)
+    return docs, media, check_all(docs, media)
+
+
+def _python_oracle(docs_rows, media_ids):
+    """Independent full-check oracle over collected rows."""
+    viol = []
+    seen: dict[str, int] = {}
+    for r in docs_rows:
+        tuples = [(s.kind, s.text, s.media_ref, s.offset) for s in (r.spans or [])]
+        for si, off, code, sev, msg in stateless_doc_checks(r.doc_id, tuples or None):
+            viol.append((r.doc_id, si, off, code, sev, msg))
+        for si, off, code, sev, msg in validate_spans(tuples):
+            viol.append((r.doc_id, si, off, code, sev, msg))
+        for si, (kind, text, ref, off) in enumerate(tuples):
+            if kind == S.KIND_MEDIA and ref and ref not in media_ids:
+                viol.append((r.doc_id, si, off, S.E110_DANGLING_REF, S.SEV_ERROR,
+                             f"media_ref not found in media table: {ref}"))
+        seen[r.doc_id] = seen.get(r.doc_id, 0) + 1
+    for doc_id, n in seen.items():
+        if n > 1:
+            viol.append((doc_id, None, -1, S.E100_DUPLICATE_KEY, S.SEV_ERROR,
+                         f"duplicate doc_id seen {n} times"))
+    return viol
+
+
+def _key(v):
+    return (v[0] or "", -2 if v[1] is None else v[1], v[2], v[3], v[5])
+
+
+def test_violations_match_python_oracle(result):
+    docs, media, res = result
+    got = [
+        (r.doc_id, r.span_idx, r.offset, r.check_code, r.severity, r.message)
+        for r in res.violations.collect()
+    ]
+    expected = _python_oracle(docs.collect(), {m.media_id for m in media.collect()})
+    assert sorted(got, key=_key) == sorted(expected, key=_key)
+    assert len(got) > 20
+
+
+def test_metrics_consistent(result):
+    docs, _, res = result
+    m = {r.name: r.value for r in res.metrics.collect()}
+    n_rows = docs.count()
+    assert m["docs_seen"] == n_rows
+    assert m["doc_id_distinct_exact"] == CFG.n_docs
+    assert abs(m["doc_id_distinct_hll"] - CFG.n_docs) / CFG.n_docs < 0.05
+    assert m["total_errors"] == sum(
+        v for k, v in m.items() if k.startswith("error_count_")
+    )
+    kind_total = sum(v for k, v in m.items() if k.startswith("kind_count_"))
+    assert kind_total == m["spans_seen"]
+
+
+def test_verdicts_partition_docs(result):
+    docs, _, res = result
+    verdicts = {r.doc_id: r.verdict for r in res.passed.collect()}
+    assert len(verdicts) == CFG.n_docs  # every distinct doc gets a verdict
+    failing = {
+        r.doc_id
+        for r in res.violations.collect()
+        if r.doc_id is not None and r.severity != "WARNING"
+    }
+    assert failing == {d for d, v in verdicts.items() if v == "FAIL"}
+
+
+def test_clean_corpus_no_errors(spark):
+    cfg = CorpusConfig(n_docs=120)
+    res = check_all(corpus_df(spark, cfg), media_df(spark, cfg))
+    assert res.violations.count() == 0
+    assert res.passed.filter("verdict = 'FAIL'").count() == 0
+
+
+def test_work_dir_materialization(spark, tmp_path):
+    cfg = CorpusConfig(n_docs=100, corrupt_per_mille=200)
+    docs, media = corpus_df(spark, cfg), media_df(spark, cfg)
+    res_mem = check_all(docs, media)
+    res_disk = check_all(docs, media, work_dir=str(tmp_path / "work"))
+    a = sorted(map(tuple, res_mem.violations.collect()))
+    b = sorted(map(tuple, res_disk.violations.collect()))
+    assert a == b
+
+
+def test_max_errors_cap(spark):
+    cfg = CorpusConfig(n_docs=200, corrupt_per_mille=400)
+    res = check_all(corpus_df(spark, cfg), media_df(spark, cfg), max_errors=5)
+    assert res.violations.count() == 5

@@ -1,0 +1,45 @@
+"""Golden-stats round-trip + field-wise diff (the reference's
+--output-stats / --input-stats-file regression flow,
+`/root/reference/fastpasta/src/controller.rs:152-179`)."""
+
+from fastpasta_spark import schema as S
+from fastpasta_spark.plans.check_all import check_all
+from fastpasta_spark.plans.report import (
+    format_report,
+    golden_diff,
+    metrics_to_dict,
+    read_stats,
+    write_stats,
+)
+from fastpasta_spark.sources.synth import CorpusConfig, corpus_df, media_df
+
+
+def test_golden_stats_roundtrip(spark, tmp_path):
+    cfg = CorpusConfig(n_docs=200, corrupt_per_mille=100)
+    res = check_all(corpus_df(spark, cfg), media_df(spark, cfg))
+    path = str(tmp_path / "stats.json")
+    write_stats(res.metrics, path)
+    golden = read_stats(spark, path)
+    # re-run against the golden file: zero mismatches
+    assert golden_diff(res.metrics, golden).count() == 0
+
+
+def test_golden_diff_detects_mismatch(spark, tmp_path):
+    cfg_a = CorpusConfig(n_docs=200, corrupt_per_mille=100)
+    cfg_b = CorpusConfig(n_docs=210, corrupt_per_mille=100)
+    res_a = check_all(corpus_df(spark, cfg_a), media_df(spark, cfg_a))
+    res_b = check_all(corpus_df(spark, cfg_b), media_df(spark, cfg_b))
+    path = str(tmp_path / "stats.json")
+    write_stats(res_a.metrics, path)
+    diff = golden_diff(res_b.metrics, read_stats(spark, path))
+    rows = diff.collect()
+    assert len(rows) > 0
+    assert all(r.check_code == S.E130_GOLDEN_MISMATCH for r in rows)
+    assert any("docs_seen" in r.message for r in rows)
+
+
+def test_format_report(spark):
+    cfg = CorpusConfig(n_docs=100, corrupt_per_mille=100)
+    res = check_all(corpus_df(spark, cfg), media_df(spark, cfg))
+    text = format_report(metrics_to_dict(res.metrics))
+    assert "docs_seen" in text and "total_errors" in text
