@@ -1,0 +1,55 @@
+"""Portable deterministic hashing shared by dedup/similarity operators.
+
+Engines disagree on built-in hash functions (Spark xxhash64 vs DuckDB's
+murmur-based hash), so every hash the ORACLE must reproduce is derived
+from md5 hex — identical everywhere:
+
+    Spark : cast(conv(substr(md5(x), 1, 15), 16, 10) as bigint)
+    DuckDB: ('0x' || substr(md5(x), 1, 15))::bigint
+
+15 hex chars = 60 bits, always positive, no overflow. Seeded variants
+prepend "<seed>:" to the input. Python twin provided for test oracles.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+# tokenizer shared by Spark SQL / DuckDB SQL / Python: lowercase, split on
+# non-alphanumeric runs. Spark and DuckDB regexes agree on this class.
+TOKEN_SPLIT_RE = "[^a-z0-9]+"
+
+
+def spark_md5_hash(expr: str, seed: int | None = None) -> str:
+    inp = expr if seed is None else f"concat('{seed}:', {expr})"
+    return f"cast(conv(substr(md5({inp}), 1, 15), 16, 10) as bigint)"
+
+
+def duckdb_md5_hash(expr: str, seed: int | None = None) -> str:
+    inp = expr if seed is None else f"('{seed}:' || {expr})"
+    return f"('0x' || substr(md5({inp}), 1, 15))::bigint"
+
+
+def py_md5_hash(value: str, seed: int | None = None) -> int:
+    inp = value if seed is None else f"{seed}:{value}"
+    return int(hashlib.md5(inp.encode()).hexdigest()[:15], 16)
+
+
+def spark_tokens(col: str = "text") -> str:
+    """SQL expr: distinct-preserving token array of lowercased text."""
+    return (
+        f"filter(split(lower({col}), '{TOKEN_SPLIT_RE}'), t -> t <> '')"
+    )
+
+
+def duckdb_tokens(col: str = "text") -> str:
+    return (
+        f"list_filter(regexp_split_to_array(lower({col}), '{TOKEN_SPLIT_RE}'), "
+        "t -> t <> '')"
+    )
+
+
+def py_tokens(text: str) -> list[str]:
+    import re
+
+    return [t for t in re.split(TOKEN_SPLIT_RE, (text or "").lower()) if t]

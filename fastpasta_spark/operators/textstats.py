@@ -1,0 +1,110 @@
+"""Text analysis for training-data curation: language-ID, quality
+scoring, token counting, document fingerprinting.
+
+All pure Column expressions (codegen, no UDFs) with DuckDB-oracle
+twins in __spark_entry__.py. The per-column profiling mirrors the
+reference's stats side (null rates / min-max / histograms,
+`/root/reference/fastpasta/src/stats/`): these operators extend it to
+content-aware profiling a data pipeline needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from fastpasta_spark.functions.hashing import spark_tokens
+
+# tiny per-language stopword lists for the n-gram/stopword heuristic —
+# deliberately small so the oracle SQL stays readable
+STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "zu", "mit", "von", "nicht"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "de", "que", "pour"],
+    "es": ["el", "la", "los", "y", "es", "un", "una", "de", "que", "por"],
+}
+
+
+def token_count(df: DataFrame, text_col: str = "text",
+                out_col: str = "n_tokens") -> DataFrame:
+    """Whitespace-ish token count (the BPE-ish regex split)."""
+    return df.withColumn(out_col, F.expr(f"size({spark_tokens(text_col)})"))
+
+
+def stopword_ratio_expr(text_col: str, lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    toks = spark_tokens(text_col)
+    return (
+        f"CAST(size(filter({toks}, t -> t IN ({words}))) AS DOUBLE) / "
+        f"greatest(size({toks}), 1)"
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text",
+                out_col: str = "lang_pred") -> DataFrame:
+    """Stopword-ratio language ID: argmax over per-language ratios,
+    'unk' when every ratio is 0. Deterministic tie-break by language
+    order (en, de, fr, es)."""
+    langs = list(STOPWORDS)
+    ratios = [stopword_ratio_expr(text_col, lg) for lg in langs]
+    best = "greatest(" + ", ".join(ratios) + ")"
+    pick = "CASE "
+    for lg, r in zip(langs, ratios):
+        pick += f"WHEN {r} = {best} AND {best} > 0 THEN '{lg}' "
+    pick += "ELSE 'unk' END"
+    return df.withColumn(out_col, F.expr(pick))
+
+
+def quality_score(df: DataFrame, text_col: str = "text",
+                  out_col: str = "quality") -> DataFrame:
+    """Heuristic quality in [0,1]: length band + mean word length band +
+    alpha ratio + English stopword presence. Same formula in the oracle.
+    Null text scores 0 (treated as empty)."""
+    text_col = f"coalesce({text_col}, '')"
+    toks = spark_tokens(text_col)
+    n_chars = f"length({text_col})"
+    n_toks = f"greatest(size({toks}), 1)"
+    mean_wl = f"CAST({n_chars} AS DOUBLE) / {n_toks}"
+    alpha_ratio = (
+        f"CAST(length(regexp_replace(lower({text_col}), '[^a-z]', '')) AS DOUBLE)"
+        f" / greatest({n_chars}, 1)"
+    )
+    sw = stopword_ratio_expr(text_col, "en")
+    score = (
+        f"round((IF({n_chars} BETWEEN 50 AND 5000, 0.25, 0.0) + "
+        f"IF({mean_wl} BETWEEN 3.0 AND 12.0, 0.25, 0.0) + "
+        f"0.25 * least({alpha_ratio} * 1.25, 1.0) + "
+        f"0.25 * least({sw} * 5.0, 1.0)), 6)"
+    )
+    return df.withColumn(out_col, F.expr(score))
+
+
+def fingerprint(df: DataFrame, text_col: str = "text",
+                out_col: str = "fingerprint") -> DataFrame:
+    """Content fingerprint: rolling polynomial hash over the normalized
+    token stream (order-sensitive, whitespace/punct-insensitive) —
+    the dedup-key analogue of a rolling document hash.
+
+    Modulus 2^31-1 (Mersenne): acc*1000003 (<2^51) + 48-bit token hash
+    stays below 2^63, so the arithmetic is overflow-free under ANSI
+    BIGINT in both Spark and DuckDB."""
+    toks = spark_tokens(text_col)
+    expr = (
+        f"aggregate({toks}, 7L, (acc, t) -> "
+        f"pmod(acc * 1000003 + cast(conv(substr(md5(t), 1, 12), 16, 10) as bigint), "
+        "2147483647))"
+    )
+    return df.withColumn(out_col, F.expr(expr))
+
+
+def profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-corpus text profile (one row): counts, null rate, length
+    stats — the doc-table face of the reference's stats report."""
+    return df.agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum(F.col(text_col).isNull().cast("long")).alias("null_texts"),
+        F.min(F.length(text_col)).alias("min_len"),
+        F.max(F.length(text_col)).alias("max_len"),
+        F.round(F.avg(F.length(text_col)), 4).alias("avg_len"),
+        F.sum(F.expr(f"size({spark_tokens(text_col)})")).alias("total_tokens"),
+    )

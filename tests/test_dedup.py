@@ -1,0 +1,98 @@
+"""Dedup operators vs pure-Python oracles on the real testdata tables."""
+
+import itertools
+
+import pytest
+from pyspark.sql import functions as F
+
+from fastpasta_spark.functions.hashing import py_md5_hash, py_tokens
+from fastpasta_spark.operators import dedup
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def documents(spark):
+    return (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .withColumn("doc_id", F.col("doc_id").cast("string"))
+        .cache()
+    )
+
+
+def _py_shingles(text, n=3):
+    toks = py_tokens(text)
+    if len(toks) < n:
+        return {" ".join(toks)}
+    return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+
+def test_exact_duplicates(spark, documents):
+    # inject known duplicates
+    dup = documents.limit(3).withColumn(
+        "doc_id", F.concat(F.col("doc_id"), F.lit(100000))
+    )
+    df = documents.unionByName(dup)
+    got = dedup.exact_duplicates(df).collect()
+    assert len(got) == 3
+    assert all(r.dup_count == 2 for r in got)
+
+
+def test_minhash_matches_python(spark, documents):
+    rows = documents.limit(20).collect()
+    sig_df = dedup.minhash_signature(
+        dedup.with_shingles(documents.limit(20)), k=8
+    ).select("doc_id", "minhash").collect()
+    got = {r.doc_id: r.minhash for r in sig_df}
+    for r in rows:
+        sh = _py_shingles(r.text)
+        expected = [min(py_md5_hash(s, seed=j) for s in sh) for j in range(8)]
+        assert got[r.doc_id] == expected, r.doc_id
+
+
+def test_jaccard_pairs_match_python(spark, documents):
+    df = documents.limit(60)
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.jaccard_pairs(df, threshold=0.05).collect()
+    }
+    rows = df.collect()
+    sh = {r.doc_id: _py_shingles(r.text) for r in rows}
+    expected = {}
+    for a, b in itertools.combinations(sorted(sh), 2):
+        inter = len(sh[a] & sh[b])
+        if inter:
+            j = inter / (len(sh[a]) + len(sh[b]) - inter)
+            if round(j, 6) >= 0.05:
+                expected[(a, b)] = round(j, 6)
+    assert got.keys() == expected.keys()
+    for k in got:
+        assert abs(got[k] - expected[k]) < 1e-6
+
+
+def test_lsh_finds_near_duplicates(spark, documents):
+    # a doc paired with a lightly perturbed copy must surface as candidate
+    base = documents.limit(10)
+    perturbed = base.withColumn(
+        "doc_id", F.concat(F.col("doc_id"), F.lit("_copy"))
+    ).withColumn("text", F.concat(F.col("text"), F.lit(" extra token")))
+    df = base.unionByName(perturbed)
+    pairs = dedup.minhash_near_duplicates(df, threshold=0.5).collect()
+    found = {(r.doc_a, r.doc_b) for r in pairs}
+    for r in base.collect():
+        assert (r.doc_id, f"{r.doc_id}_copy") in found
+
+
+def test_simhash_deterministic_and_near(spark, documents):
+    df = documents.limit(10)
+    near = df.withColumn("doc_id", F.concat("doc_id", F.lit("_c"))) \
+             .withColumn("text", F.concat("text", F.lit(" zz")))
+    both = df.unionByName(near)
+    dups = dedup.simhash_duplicates(both, max_hamming=6).collect()
+    found = {(r.doc_a, r.doc_b) for r in dups}
+    hits = sum((r.doc_id, f"{r.doc_id}_c") in found for r in df.collect())
+    assert hits >= 8  # simhash is approximate; near-identical docs collide
+    # determinism
+    h1 = dedup.simhash(df).select("doc_id", "simhash").collect()
+    h2 = dedup.simhash(df.repartition(5)).select("doc_id", "simhash").collect()
+    assert sorted(map(tuple, h1)) == sorted(map(tuple, h2))

@@ -1,0 +1,57 @@
+"""Multimodal plumbing: blob schema, Arrow decode stage, frame sampling."""
+
+import pytest
+
+from fastpasta_spark.operators import multimodal as mm
+
+
+@pytest.fixture(scope="module")
+def blobs(spark):
+    return mm.synth_blobs(spark, n=48, blob_bytes=128).cache()
+
+
+def test_blob_schema(blobs):
+    got = [(f.name, f.dataType) for f in blobs.schema.fields]
+    want = [(f.name, f.dataType) for f in mm.BLOB_SCHEMA.fields]
+    assert got == want  # nullability may differ from literal generation
+    rows = blobs.collect()
+    assert len(rows) == 48
+    assert all(bytes(r.data)[:4] == b"FPSK" for r in rows)
+
+
+def test_extract_features(blobs):
+    feats = mm.extract_features(blobs, feat_dim=8).collect()
+    assert len(feats) == 48
+    for r in feats:
+        assert r.n_bytes == 128 + 8
+        assert len(r.features) == 8
+    # deterministic across partitionings
+    again = mm.extract_features(blobs.repartition(7), feat_dim=8).collect()
+    assert sorted((r.media_id, r.checksum) for r in feats) == sorted(
+        (r.media_id, r.checksum) for r in again
+    )
+
+
+def test_fake_decode_header(blobs):
+    r = blobs.filter("media_id = 'm5'").collect()[0]
+    w, h = mm._fake_decode(bytes(r.data))
+    assert (w, h) == (r.meta.width, r.meta.height)
+
+
+def test_frame_sample(blobs):
+    frames = mm.frame_sample(blobs, every=32, frame_bytes=16)
+    rows = frames.collect()
+    assert len(rows) > 0
+    # only audio/video sampled; (128+8)//32 = 4 frames per blob
+    per_media = {}
+    for r in rows:
+        per_media.setdefault(r.media_id, []).append(r.frame_idx)
+        assert len(bytes(r.frame)) == 16
+    assert all(sorted(v) == list(range(4)) for v in per_media.values())
+
+
+def test_blob_stats(blobs):
+    s = {r.mtype: r for r in mm.blob_stats(blobs).collect()}
+    assert set(s) == {"image", "audio", "video"}
+    assert all(r.total_bytes > 0 for r in s.values())
+    assert s["image"].null_sample_rate == s["image"].n  # images: no sample rate

@@ -1,0 +1,65 @@
+"""Text-analysis operators vs python oracles on real documents."""
+
+import pytest
+
+from fastpasta_spark.functions.hashing import py_md5_hash, py_tokens
+from fastpasta_spark.operators import textstats
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def documents(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+def test_token_count(documents):
+    got = {r.doc_id: r.n_tokens for r in textstats.token_count(documents).collect()}
+    for r in documents.collect():
+        assert got[r.doc_id] == len(py_tokens(r.text)), r.doc_id
+
+
+def test_fingerprint_matches_python(documents):
+    got = {r.doc_id: r.fingerprint
+           for r in textstats.fingerprint(documents.limit(30)).collect()}
+    M = 2147483647
+    for r in documents.limit(30).collect():
+        acc = 7
+        for t in py_tokens(r.text):
+            acc = (acc * 1000003 + int(
+                __import__("hashlib").md5(t.encode()).hexdigest()[:12], 16)) % M
+        assert got[r.doc_id] == acc, r.doc_id
+
+
+def test_language_id_on_real_language_samples(spark):
+    # the testdata's lang column is decorative (same vocab for every
+    # label), so use constructed sentences per language instead
+    samples = [
+        ("en", "the cat sat on the mat and it is a good day for the walk"),
+        ("de", "der hund ist ein tier und die katze ist nicht mit der maus"),
+        ("fr", "le chien est un animal et la maison est pour les enfants"),
+        ("es", "el perro es un animal y la casa es por los gatos una vida"),
+        ("unk", "xyzzy qwerty asdf zxcv plugh foobar"),
+    ]
+    df = spark.createDataFrame(samples, "lang string, text string")
+    got = {r.lang: r.lang_pred for r in textstats.language_id(df).collect()}
+    assert got == {lang: lang for lang, _ in samples}
+
+
+def test_language_id_applies_to_corpus(documents):
+    rows = textstats.language_id(documents).select("lang_pred").collect()
+    # synthetic corpus is English token soup: en or unk, never crashes
+    assert {r.lang_pred for r in rows} <= {"en", "unk"}
+
+
+def test_quality_score_range(documents):
+    rows = textstats.quality_score(documents).select("quality").collect()
+    assert all(0.0 <= r.quality <= 1.0 for r in rows)
+    assert len({r.quality for r in rows}) > 3  # not constant
+
+
+def test_profile(documents):
+    p = textstats.profile(documents).collect()[0]
+    assert p.docs == documents.count()
+    assert p.null_texts == 0
+    assert p.min_len > 0 and p.max_len >= p.min_len
