@@ -1,10 +1,16 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)      — flagship: derive interleaved docs from sf0.001
+                    documents.parquet, run the fused check_all
+                    validation pass, return the violation table.
+queries()         — one callable per implemented operator family
+                    (SURVEY.md §2 + north_rule extensions).
+oracle_sql()      — DuckDB-equivalent SQL per query (omitted only for
+                    genuinely non-SQL ops: the FSM pass, LSH pair
+                    generation — those get rows-only checks).
+
+Column names and value rounding are aligned on both sides; every hash
+the oracle must reproduce derives from md5 (functions/hashing.py).
 """
 
 from __future__ import annotations
@@ -12,27 +18,718 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fastpasta_spark.functions.hashing import (
+    duckdb_md5_hash,
+    duckdb_tokens,
+    spark_md5_hash,
+    spark_tokens,
+)
+
+LANGS = ("en", "de", "fr", "es", "zh")
+
+
+def _ship(spark: SparkSession) -> None:
+    """Best-effort: make the package importable on executor workers."""
+    try:
+        from fastpasta_spark.session import _ship_package
+
+        _ship_package(spark)
+    except Exception:
+        pass
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full validation (`check all` analogue) over interleaved
+    docs derived from sf0.001 documents; returns the violation table."""
+    _ship(spark)
+    from fastpasta_spark.plans.check_all import check_all
+    from fastpasta_spark.sources.from_documents import docs_from_documents
+    from fastpasta_spark.sources.synth import CorpusConfig, media_df
+
+    documents = _read(spark, "/root/testdata/sf0.001", "documents")
+    docs = docs_from_documents(documents)
+    media = media_df(spark, CorpusConfig(n_media=64))
+    res = check_all(docs, media)
+    return res.violations
+
+
+# ---------------------------------------------------------------------------
+# query registry — each entry: (spark_fn, duckdb_sql | None)
+# ---------------------------------------------------------------------------
+
+
+# crafted bad rows appended on BOTH sides (VALUES) so the battery
+# demonstrably fires on the otherwise-clean testdata — the analogue of
+# the reference's 1_hbf_bad_* fixture files
+_BAD_DOCS = [
+    (990001, "", "en", "srcX", 0),          # empty text        -> E71
+    (990002, "ok text here", "xx", "srcX", 12),  # bad lang     -> E13
+    (990003, "mismatch", "en", "srcX", 999),     # n_chars wrong -> E10
+]
+
+
+def _q_doc_sanity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateless sanity battery over the documents table (C1 family)."""
+    d = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long"), "text", "lang", "source",
+        F.col("n_chars").cast("long"))
+    bad = spark.createDataFrame(
+        _BAD_DOCS, "doc_id long, text string, lang string, source string, n_chars long")
+    d = d.unionByName(bad)
+    langs = ", ".join(f"'{lg}'" for lg in LANGS)
+    viols = F.expr(
+        "filter(array("
+        "IF(text IS NULL OR text = '', 'E71', NULL), "
+        f"IF(lang IS NULL OR NOT lang IN ({langs}), 'E13', NULL), "
+        "IF(n_chars <> length(coalesce(text, '')), 'E10', NULL)"
+        "), v -> v IS NOT NULL)"
+    )
+    return d.select("doc_id", F.explode(viols).alias("check_code"))
+
+
+_BAD_DOCS_SQL = ", ".join(
+    f"({i}, '{t}', '{lg}', '{s}', {n})" for i, t, lg, s, n in _BAD_DOCS
+)
+
+_SQL_DOC_SANITY = f"""
+WITH docs2 AS (
+  SELECT doc_id, text, lang, source, n_chars FROM documents
+  UNION ALL
+  SELECT * FROM (VALUES {_BAD_DOCS_SQL}) v(doc_id, text, lang, source, n_chars)
+)
+SELECT doc_id, check_code FROM (
+  SELECT doc_id, 'E71' AS check_code FROM docs2 WHERE text IS NULL OR text = ''
+  UNION ALL
+  SELECT doc_id, 'E13' FROM docs2 WHERE lang IS NULL OR lang NOT IN {tuple(LANGS)}
+  UNION ALL
+  SELECT doc_id, 'E10' FROM docs2 WHERE n_chars <> length(coalesce(text, ''))
+) t
+"""
+
+
+def _q_running_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered running check per key (R1-R3 analogue): events whose value
+    decreased vs the previous event of the same user (order = event_id)."""
+    from pyspark.sql import Window as W
+
+    e = _read(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("event_id")
+    return (
+        e.withColumn("prev_value", F.lag("value").over(w))
+        .filter(F.col("value") < F.col("prev_value"))
+        .select(F.col("user_id").cast("long").alias("user_id"),
+                F.col("event_id").cast("long").alias("event_id"))
+    )
+
+
+_SQL_RUNNING_CHECK = """
+SELECT user_id, event_id FROM (
+  SELECT user_id, event_id, value,
+         lag(value) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_value
+  FROM events
+) t WHERE value < prev_value
+"""
+
+
+def _q_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential anti-join (north_rule): events.user_id that do not
+    resolve in customer.c_custkey — dimension broadcast. Two dangling
+    ids appended so the anti-join provably fires."""
+    e = _read(spark, sf_dir, "events").select(
+        F.col("user_id").cast("long").alias("user_id"))
+    extra = spark.createDataFrame([(99000001,), (99000002,)], "user_id long")
+    e = e.unionByName(extra).distinct()
+    c = _read(spark, sf_dir, "customer").select("c_custkey")
+    return (
+        e.join(F.broadcast(c), e["user_id"] == c["c_custkey"], "left_anti")
+        .select("user_id")
+    )
+
+
+_SQL_REFERENTIAL = """
+WITH ev AS (
+  SELECT user_id FROM events
+  UNION ALL SELECT * FROM (VALUES (99000001), (99000002)) v(user_id)
+)
+SELECT DISTINCT user_id FROM ev e
+WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)
+"""
+
+
+def _q_metrics_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column stats profile (G1/G8 analogue) of documents."""
+    from fastpasta_spark.operators.textstats import profile
+
+    return profile(_read(spark, sf_dir, "documents")).select(
+        F.col("docs").cast("long").alias("docs"),
+        F.col("null_texts").cast("long").alias("null_texts"),
+        F.col("min_len").cast("long").alias("min_len"),
+        F.col("max_len").cast("long").alias("max_len"),
+        F.col("avg_len").cast("double").alias("avg_len"),
+        F.col("total_tokens").cast("long").alias("total_tokens"),
+    )
+
+
+_SQL_METRICS_PROFILE = f"""
+SELECT count(*) AS docs,
+       sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS null_texts,
+       min(length(text)) AS min_len,
+       max(length(text)) AS max_len,
+       round(avg(length(text)), 4) AS avg_len,
+       sum(len({duckdb_tokens('text')})) AS total_tokens
+FROM documents
+"""
+
+
+def _q_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift (two-sample chi-square) of lang mix:
+    source 'src0' vs the rest of the corpus."""
+    from fastpasta_spark.operators.drift import chi_square
+
+    d = _read(spark, sf_dir, "documents")
+    a = d.filter("source = 'src0'").groupBy(F.col("lang").alias("category")).agg(
+        F.count(F.lit(1)).alias("cnt"))
+    b = d.filter("source <> 'src0'").groupBy(F.col("lang").alias("category")).agg(
+        F.count(F.lit(1)).alias("cnt"))
+    return chi_square(a, b).select(
+        F.round("chi2", 4).alias("chi2"), F.col("dof").cast("long").alias("dof"))
+
+
+_SQL_DRIFT_CHI2 = """
+WITH a AS (SELECT lang, count(*) AS cnt_a FROM documents WHERE source = 'src0' GROUP BY lang),
+     b AS (SELECT lang, count(*) AS cnt_b FROM documents WHERE source <> 'src0' GROUP BY lang),
+     j AS (SELECT coalesce(a.lang, b.lang) AS lang,
+                  coalesce(cnt_a, 0) AS cnt_a, coalesce(cnt_b, 0) AS cnt_b
+           FROM a FULL OUTER JOIN b ON a.lang = b.lang),
+     t AS (SELECT sum(cnt_a) AS n_a, sum(cnt_b) AS n_b FROM j)
+SELECT round(sum(pow(cnt_a * sqrt(n_b / n_a) - cnt_b * sqrt(n_a / n_b), 2)
+             / (cnt_a + cnt_b)), 4) AS chi2,
+       count(*) - 1 AS dof
+FROM j, t
+"""
+
+
+def _q_bitflag_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitflag histogram (G4 / trigger_stats.rs analogue): branchless
+    sum of bit tests over events.user_id, one row."""
+    e = _read(spark, sf_dir, "events")
+    aggs = [
+        F.sum(F.expr(f"cast(pmod(shiftright(user_id, {b}), 2) as long)")).alias(f"bit_{b}")
+        for b in range(8)
+    ]
+    return e.agg(*aggs)
+
+
+_SQL_BITFLAG_HIST = "SELECT " + ", ".join(
+    f"sum((user_id >> {b}) & 1) AS bit_{b}" for b in range(8)
+) + " FROM events"
+
+
+def _q_dup_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content-dedup groups (uniqueness at content level); the
+    first 5 docs re-appended as copies so dup groups provably surface."""
+    from fastpasta_spark.operators.dedup import exact_duplicates
+
+    d = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text")
+    copies = d.orderBy(F.col("doc_id").cast("long")).limit(5).select(
+        F.concat(F.col("doc_id"), F.lit("_copy")).alias("doc_id"), "text")
+    return exact_duplicates(d.unionByName(copies)).select(
+        "content_hash", F.col("dup_count").cast("long").alias("dup_count"))
+
+
+_SQL_DUP_CONTENT = """
+WITH d2 AS (
+  SELECT doc_id::VARCHAR AS doc_id, text FROM documents
+  UNION ALL
+  (SELECT doc_id::VARCHAR || '_copy', text FROM documents ORDER BY doc_id LIMIT 5)
+)
+SELECT md5(text) AS content_hash, count(*) AS dup_count
+FROM d2 GROUP BY md5(text) HAVING count(*) > 1
+"""
+
+
+def _q_uniqueness_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniqueness totals: rows + exact distinct doc_ids (the HLL twin
+    doc_id_distinct_hll is engine-side; exact is the oracle-comparable)."""
+    d = _read(spark, sf_dir, "documents")
+    return d.agg(
+        F.count(F.lit(1)).cast("long").alias("rows_total"),
+        F.countDistinct("doc_id").cast("long").alias("distinct_exact"),
+    )
+
+
+_SQL_UNIQUENESS_TOTALS = """
+SELECT count(*) AS rows_total, count(DISTINCT doc_id) AS distinct_exact FROM documents
+"""
+
+
+def _q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped aggregation on lineitem."""
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-06-30"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").cast("double").alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                    ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).cast("long").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_SQL_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= DATE '2001-06-30'
+GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def _q_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-join with broadcast dims: revenue per nation."""
+    li = _read(spark, sf_dir, "lineitem")
+    o = _read(spark, sf_dir, "orders")
+    c = _read(spark, sf_dir, "customer")
+    n = _read(spark, sf_dir, "nation")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                     ).alias("revenue"),
+             F.count(F.lit(1)).cast("long").alias("n_items"))
+        .orderBy("n_name")
+    )
+
+
+_SQL_JOIN_REVENUE = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY n_name ORDER BY n_name
+"""
+
+
+def _q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 lineitems per supplier by price (window top-k pattern)."""
+    from pyspark.sql import Window as W
+
+    li = _read(spark, sf_dir, "lineitem")
+    w = W.partitionBy("l_suppkey").orderBy(
+        F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber"))
+    return (
+        li.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(F.col("l_suppkey").cast("long").alias("l_suppkey"),
+                F.col("l_orderkey").cast("long").alias("l_orderkey"),
+                F.col("l_linenumber").cast("long").alias("l_linenumber"),
+                F.col("rnk").cast("long").alias("rnk"))
+    )
+
+
+_SQL_TOPK_PER_GROUP = """
+SELECT l_suppkey, l_orderkey, l_linenumber, rnk FROM (
+  SELECT l_suppkey, l_orderkey, l_linenumber,
+         row_number() OVER (PARTITION BY l_suppkey
+                            ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rnk
+  FROM lineitem
+) t WHERE rnk <= 3
+"""
+
+
+def _q_error_filter_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-code filter + cap (P5 / err_printer.rs analogue)."""
+    e = _read(spark, sf_dir, "events")
+    return (
+        e.filter(F.col("event_type") == "error")
+        .orderBy("event_id")
+        .limit(100)
+        .select(F.col("event_id").cast("long").alias("event_id"),
+                F.col("user_id").cast("long").alias("user_id"),
+                F.round("value", 4).alias("value"))
+    )
+
+
+_SQL_ERROR_FILTER_LIMIT = """
+SELECT event_id, user_id, round(value, 4) AS value
+FROM events WHERE event_type = 'error' ORDER BY event_id LIMIT 100
+"""
+
+
+def _q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation (grouping-sets coverage)."""
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"),
+             F.round(F.sum("l_quantity"), 2).alias("qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("l_linestatus"),
+            "n", "qty",
+        )
+    )
+
+
+_SQL_ROLLUP = """
+SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+       coalesce(l_linestatus, 'ALL') AS l_linestatus,
+       count(*) AS n, round(sum(l_quantity), 2) AS qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via lag-gap cumsum (window pattern)."""
+    from pyspark.sql import Window as W
+
+    e = _read(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (F.unix_timestamp("ts")
+           - F.unix_timestamp(F.lag("ts").over(w))) > 3600
+    return (
+        e.withColumn("new_session", F.coalesce(gap.cast("long"), F.lit(1)))
+        .groupBy("user_id")
+        .agg(F.sum("new_session").cast("long").alias("n_sessions"))
+        .select(F.col("user_id").cast("long").alias("user_id"), "n_sessions")
+    )
+
+
+_SQL_SESSIONIZE = """
+SELECT user_id, sum(new_session) AS n_sessions FROM (
+  SELECT user_id,
+         CASE WHEN lag(ts) OVER w IS NULL THEN 1
+              WHEN epoch(ts) - epoch(lag(ts) OVER w) > 3600 THEN 1 ELSE 0 END AS new_session
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+) t GROUP BY user_id
+"""
+
+
+def _q_source_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-value/uniformity attributes per group (G3 analogue)."""
+    d = _read(spark, sf_dir, "documents")
+    return (
+        d.groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+             F.countDistinct("lang").cast("long").alias("n_langs"),
+             F.min("n_chars").cast("long").alias("min_chars"),
+             F.max("n_chars").cast("long").alias("max_chars"))
+        .orderBy("source")
+    )
+
+
+_SQL_SOURCE_UNIFORMITY = """
+SELECT source, count(*) AS n_docs, count(DISTINCT lang) AS n_langs,
+       min(n_chars) AS min_chars, max(n_chars) AS max_chars
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
+def _q_textstats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: token count, quality score, rolling fingerprint,
+    language-ID — all portable formulas (functions/hashing.py)."""
+    from fastpasta_spark.operators.textstats import (
+        fingerprint,
+        language_id,
+        quality_score,
+        token_count,
+    )
+
+    d = _read(spark, sf_dir, "documents")
+    d = token_count(d)
+    d = quality_score(d)
+    d = fingerprint(d)
+    d = language_id(d)
+    return d.select(F.col("doc_id").cast("long").alias("doc_id"),
+                    F.col("n_tokens").cast("long").alias("n_tokens"),
+                    F.col("quality").cast("double").alias("quality"),
+                    F.col("fingerprint").cast("long").alias("fingerprint"),
+                    "lang_pred")
+
+
+def _sql_textstats() -> str:
+    from fastpasta_spark.operators.textstats import STOPWORDS
+
+    tk = duckdb_tokens("text")
+    n_toks = f"greatest(len({tk}), 1)"
+
+    def sw_ratio(lang: str) -> str:
+        words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+        return (f"(len(list_filter({tk}, t -> t IN ({words})))::DOUBLE / {n_toks})")
+
+    langs = list(STOPWORDS)
+    ratios = {lg: sw_ratio(lg) for lg in langs}
+    best = "greatest(" + ", ".join(ratios.values()) + ")"
+    pick = "CASE "
+    for lg in langs:
+        pick += f"WHEN {ratios[lg]} = {best} AND {best} > 0 THEN '{lg}' "
+    pick += "ELSE 'unk' END"
+
+    n_chars = "length(coalesce(text, ''))"
+    mean_wl = f"({n_chars}::DOUBLE / {n_toks})"
+    alpha = (f"(length(regexp_replace(lower(coalesce(text, '')), '[^a-z]', '', 'g'))::DOUBLE"
+             f" / greatest({n_chars}, 1))")
+    sw_en = sw_ratio("en")
+    quality = (
+        f"round((CASE WHEN {n_chars} BETWEEN 50 AND 5000 THEN 0.25 ELSE 0.0 END + "
+        f"CASE WHEN {mean_wl} BETWEEN 3.0 AND 12.0 THEN 0.25 ELSE 0.0 END + "
+        f"0.25 * least({alpha} * 1.25, 1.0) + "
+        f"0.25 * least({sw_en} * 5.0, 1.0)), 6)"
+    )
+    fp = (f"list_reduce(list_prepend(7::BIGINT, list_transform({tk}, "
+          f"t -> ('0x' || substr(md5(t), 1, 12))::BIGINT)), "
+          "(acc, h) -> (acc * 1000003 + h) % 2147483647)")
+    # list_reduce with prepended seed replays Spark's aggregate(toks, 7, ...)
+    return f"""
+SELECT doc_id, len({tk}) AS n_tokens, {quality} AS quality,
+       {fp} AS fingerprint, {pick} AS lang_pred
+FROM documents
+"""
+
+
+def _q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (k=8) as columns — exact oracle parity via the
+    portable hash family."""
+    from fastpasta_spark.operators.dedup import minhash_signature, with_shingles
+
+    d = _read(spark, sf_dir, "documents").withColumn(
+        "doc_id", F.col("doc_id").cast("long"))
+    sig = minhash_signature(with_shingles(d), k=8)
+    cols = [F.expr(f"minhash[{j}]").alias(f"mh_{j}") for j in range(8)]
+    return sig.select("doc_id", *cols)
+
+
+def _sql_minhash_signatures() -> str:
+    tk = duckdb_tokens("text")
+    shingles = (
+        f"list_distinct(CASE WHEN len({tk}) < 3 THEN [array_to_string({tk}, ' ')] "
+        f"ELSE list_transform(range(0, len({tk}) - 2), "
+        f"i -> array_to_string(({tk})[i+1:i+3], ' ')) END)"
+    )
+    mh = ", ".join(
+        f"list_min(list_transform(sh, s -> {duckdb_md5_hash('s', seed=j)})) AS mh_{j}"
+        for j in range(8)
+    )
+    return f"SELECT doc_id, {mh} FROM (SELECT doc_id, {shingles} AS sh FROM documents) t"
+
+
+def _q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (threshold 0.1, same source)."""
+    from fastpasta_spark.operators.dedup import jaccard_pairs
+
+    d = _read(spark, sf_dir, "documents").withColumn(
+        "doc_id", F.col("doc_id").cast("long"))
+    return jaccard_pairs(d, threshold=0.1, within_col="source").select(
+        F.col("doc_a").cast("long").alias("doc_a"),
+        F.col("doc_b").cast("long").alias("doc_b"),
+        F.col("jaccard").cast("double").alias("jaccard"),
+    )
+
+
+def _sql_jaccard_pairs() -> str:
+    tk = duckdb_tokens("text")
+    shingles = (
+        f"list_distinct(CASE WHEN len({tk}) < 3 THEN [array_to_string({tk}, ' ')] "
+        f"ELSE list_transform(range(0, len({tk}) - 2), "
+        f"i -> array_to_string(({tk})[i+1:i+3], ' ')) END)"
+    )
+    return f"""
+WITH sh AS (SELECT doc_id, source, {shingles} AS shingles FROM documents),
+     inv AS (SELECT doc_id, source, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh),
+     pairs AS (
+       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS n_a, b.n_sh AS n_b,
+              count(*) AS shared
+       FROM inv a JOIN inv b
+         ON a.shingle = b.shingle AND a.doc_id < b.doc_id AND a.source = b.source
+       GROUP BY 1, 2, 3, 4)
+SELECT doc_a, doc_b,
+       round(shared::DOUBLE / (n_a + n_b - shared), 6) AS jaccard
+FROM pairs WHERE round(shared::DOUBLE / (n_a + n_b - shared), 6) >= 0.1
+"""
+
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints (32-bit, portable hash family)."""
+    from fastpasta_spark.operators.dedup import simhash
+
+    d = _read(spark, sf_dir, "documents").withColumn(
+        "doc_id", F.col("doc_id").cast("long"))
+    return simhash(d, bits=32).select("doc_id", F.col("simhash").cast("long").alias("simhash"))
+
+
+def _sql_simhash() -> str:
+    tk = f"list_distinct({duckdb_tokens('text')})"
+    hashes = f"list_transform({tk}, t -> {duckdb_md5_hash('t')})"
+    bit_terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(h, x -> CASE WHEN (x >> {b}) & 1 = 1 "
+        f"THEN 1 ELSE -1 END)) > 0 THEN {1 << b}::BIGINT ELSE 0 END)"
+        for b in range(32)
+    )
+    return (f"SELECT doc_id, ({bit_terms}) AS simhash "
+            f"FROM (SELECT doc_id, {hashes} AS h FROM documents) t")
+
+
+def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for the first 20 vectors (ANN baseline)."""
+    from fastpasta_spark.operators.similarity import cosine_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return cosine_topk(emb, queries, k=5).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        F.col("rank").cast("long").alias("rank"),
+        F.round("sim", 4).alias("sim"),
+    )
+
+
+_SQL_COSINE_TOPK = """
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_sum(list_transform(range(1, len(q.embedding) + 1),
+                 i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)) /
+           (sqrt(list_sum(list_transform(q.embedding, x -> x::DOUBLE * x::DOUBLE))) *
+            sqrt(list_sum(list_transform(c.embedding, x -> x::DOUBLE * x::DOUBLE)))), 6) AS sim
+  FROM embeddings q JOIN embeddings c ON q.vec_id < 20 AND q.vec_id <> c.vec_id
+)
+SELECT query_id, neighbor_id, rank, round(sim, 4) AS sim FROM (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM scored
+) t WHERE rank <= 5
+"""
+
+
+def _q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal metadata plumbing: byte length + content hash of the
+    opaque payload (binary column treatment of text payloads)."""
+    d = _read(spark, sf_dir, "documents")
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.octet_length("text").cast("long").alias("n_bytes"),
+        F.md5(F.col("text").cast("binary")).alias("content_hash"),
+    )
+
+
+_SQL_MEDIA_META = """
+SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS content_hash
+FROM documents
+"""
+
+
+def _q_span_fsm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-sequence FSM validation (R4-R14) over interleaved docs derived
+    from documents — the core non-SQL operator (rows-only check)."""
+    _ship(spark)
+    from fastpasta_spark.operators.sequence import sequence_pass, split_sequence_output
+    from fastpasta_spark.sources.from_documents import docs_from_documents
+
+    docs = docs_from_documents(_read(spark, sf_dir, "documents"))
+    viol, _ = split_sequence_output(sequence_pass(docs, fused=True))
+    return viol.orderBy("doc_id", "offset", "check_code")
+
+
+def _q_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-duplicate candidate pairs (rows-only check;
+    exactness vs jaccard verified in pytest)."""
+    from fastpasta_spark.operators.dedup import minhash_near_duplicates
+
+    d = _read(spark, sf_dir, "documents").withColumn(
+        "doc_id", F.col("doc_id").cast("long"))
+    return minhash_near_duplicates(d, threshold=0.3)
+
+
+def _q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate nearest neighbors (rows-only check;
+    recall vs brute force verified in pytest)."""
+    from fastpasta_spark.operators.similarity import lsh_ann_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return lsh_ann_topk(emb, queries, dim=64, k=5, n_planes=4, n_tables=8)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # validation engine (SURVEY §2.3-2.7, north_rule)
+        "doc_sanity": _q_doc_sanity,
+        "running_check": _q_running_check,
+        "referential": _q_referential,
+        "metrics_profile": _q_metrics_profile,
+        "drift_chi2": _q_drift_chi2,
+        "bitflag_hist": _q_bitflag_hist,
+        "dup_content": _q_dup_content,
+        "uniqueness_totals": _q_uniqueness_totals,
+        "span_fsm": _q_span_fsm,
+        # relational coverage (§2.2, 2.6, 2.9)
+        "q1_pricing_summary": _q1_pricing_summary,
+        "join_revenue": _q_join_revenue,
+        "topk_per_group": _q_topk_per_group,
+        "error_filter_limit": _q_error_filter_limit,
+        "rollup_agg": _q_rollup,
+        "sessionize": _q_sessionize,
+        "source_uniformity": _q_source_uniformity,
+        # training-data pipeline ops
+        "textstats": _q_textstats,
+        "minhash_signatures": _q_minhash_signatures,
+        "jaccard_pairs": _q_jaccard_pairs,
+        "simhash": _q_simhash,
+        "cosine_topk": _q_cosine_topk,
+        "media_meta": _q_media_meta,
+        "lsh_near_dup": _q_lsh_near_dup,
+        "lsh_ann": _q_lsh_ann,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "doc_sanity": _SQL_DOC_SANITY,
+        "running_check": _SQL_RUNNING_CHECK,
+        "referential": _SQL_REFERENTIAL,
+        "metrics_profile": _SQL_METRICS_PROFILE,
+        "drift_chi2": _SQL_DRIFT_CHI2,
+        "bitflag_hist": _SQL_BITFLAG_HIST,
+        "dup_content": _SQL_DUP_CONTENT,
+        "uniqueness_totals": _SQL_UNIQUENESS_TOTALS,
+        "q1_pricing_summary": _SQL_Q1,
+        "join_revenue": _SQL_JOIN_REVENUE,
+        "topk_per_group": _SQL_TOPK_PER_GROUP,
+        "error_filter_limit": _SQL_ERROR_FILTER_LIMIT,
+        "rollup_agg": _SQL_ROLLUP,
+        "sessionize": _SQL_SESSIONIZE,
+        "source_uniformity": _SQL_SOURCE_UNIFORMITY,
+        "textstats": _sql_textstats(),
+        "minhash_signatures": _sql_minhash_signatures(),
+        "jaccard_pairs": _sql_jaccard_pairs(),
+        "simhash": _sql_simhash(),
+        "cosine_topk": _SQL_COSINE_TOPK,
+        "media_meta": _SQL_MEDIA_META,
+        # span_fsm, lsh_near_dup, lsh_ann: non-SQL-expressible -> rows-only
+    }

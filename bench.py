@@ -1,0 +1,95 @@
+"""Headline benchmark — prints ONE JSON line.
+
+Times (a) end-to-end validation throughput (`check all` analogue) on a
+seeded synthetic interleaved corpus written to parquet, and (b) the
+headline queries from __spark_entry__ at $SPARK_GRAFT_SF_DIR.
+
+    value    = total seconds of the headline suite
+    queries  = per-query seconds
+    docs_per_sec = validation corpus docs / validation wall time
+
+Scaling evidence (local[N] vs local[4N]) is produced separately by
+scripts/scaling_bench.py -> BENCH/BASELINE.md (clean JVM per level).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+BENCH_DOCS = int(os.environ.get("BENCH_DOCS", 200_000))
+
+HEADLINE_QUERIES = [
+    "span_fsm",
+    "q1_pricing_summary",
+    "join_revenue",
+    "topk_per_group",
+    "textstats",
+    "minhash_signatures",
+    "jaccard_pairs",
+    "simhash",
+    "cosine_topk",
+    "sessionize",
+    "running_check",
+    "lsh_ann",
+]
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+    from fastpasta_spark.plans.check_all import check_all
+    from fastpasta_spark.session import get_spark
+    from fastpasta_spark.sources.synth import CorpusConfig, corpus_df, media_df
+
+    spark = get_spark(app_name="fastpasta_spark_bench", cores=CPUS,
+                      shuffle_partitions=max(8, CPUS))
+
+    # --- validation throughput on the synthetic interleaved corpus ------
+    cfg = CorpusConfig(n_docs=BENCH_DOCS, corrupt_per_mille=50, dup_per_mille=5)
+    corpus_path = "/tmp/fastpasta_bench_corpus"
+    if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
+        shutil.rmtree(corpus_path, ignore_errors=True)
+        corpus_df(spark, cfg).write.mode("overwrite").parquet(corpus_path)
+    docs = spark.read.parquet(corpus_path)
+    media = media_df(spark, cfg)
+
+    t0 = time.perf_counter()
+    res = check_all(docs, media)
+    n_viol = res.violations.count()
+    res.metrics.collect()
+    t_validate = time.perf_counter() - t0
+    n_docs = docs.count()
+
+    timings: dict[str, float] = {"check_all_validation": round(t_validate, 3)}
+
+    # --- headline queries at SF_DIR --------------------------------------
+    qs = entrymod.queries()
+    for name in HEADLINE_QUERIES:
+        t0 = time.perf_counter()
+        qs[name](spark, SF_DIR).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(json.dumps({
+        "metric": "headline_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "validation_docs": n_docs,
+        "validation_violations": n_viol,
+        "docs_per_sec": round(n_docs / t_validate, 1),
+        "cpus": CPUS,
+    }))
+
+
+if __name__ == "__main__":
+    main()

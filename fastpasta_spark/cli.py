@@ -1,0 +1,145 @@
+"""Command-line face of the engine — mirrors the reference's CLI shape
+(`/root/reference/fastpasta/src/config.rs:42-197`):
+
+    fastpasta <file> check sanity            -> check sanity <parquet>
+    fastpasta <file> check all its           -> check all <parquet>
+    fastpasta <file> view rdh                -> view docs <parquet>
+    fastpasta <file> view its-readout-frames -> view frames <parquet>
+    fastpasta <file> --filter-link 3 -o out  -> filter <parquet> --kind X -o out
+    --max-tolerate-errors N                  -> --max-errors N
+    --output-stats / --input-stats-file      -> same flags (JSON metrics)
+
+Run via spark-submit --py-files fastpasta_spark.zip -m, or plain python
+(local mode):  python -m fastpasta_spark check all /path/docs.parquet
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from fastpasta_spark import schema as S
+
+
+def _load_docs(spark, path: str):
+    df = spark.read.schema(S.DOCS_SCHEMA).parquet(path)
+    # fail fast on schema mismatch (S4 analogue: version-dispatch sanity,
+    # reference fastpasta/src/lib.rs:101-159)
+    names = [f.name for f in df.schema.fields]
+    if names != ["doc_id", "spans"]:
+        raise SystemExit(f"input schema mismatch: {names}")
+    return df
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="fastpasta_spark")
+    p.add_argument("--cores", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    chk = sub.add_parser("check", help="run validation")
+    chk.add_argument("mode", choices=["sanity", "all"])
+    chk.add_argument("input")
+    chk.add_argument("--media", help="media dimension parquet", default=None)
+    chk.add_argument("--max-errors", type=int, default=None)
+    chk.add_argument("--output-stats", default=None)
+    chk.add_argument("--input-stats-file", default=None)
+    chk.add_argument("--checkpoint", default=None,
+                     help="lineage dir: resumable run")
+    chk.add_argument("--violations-out", default=None)
+
+    vw = sub.add_parser("view", help="read-only views")
+    vw.add_argument("what", choices=["docs", "frames"])
+    vw.add_argument("input")
+    vw.add_argument("-n", type=int, default=20)
+
+    flt = sub.add_parser("filter", help="filtered passthrough writer")
+    flt.add_argument("input")
+    flt.add_argument("--kind", required=True, help="keep docs containing this span kind")
+    flt.add_argument("-o", "--output", required=True)
+
+    args = p.parse_args(argv)
+
+    from fastpasta_spark.session import get_spark
+
+    spark = get_spark(app_name=f"fastpasta_spark_{args.cmd}", cores=args.cores)
+
+    if args.cmd == "view":
+        from fastpasta_spark.operators import views
+
+        docs = _load_docs(spark, args.input)
+        df = views.view_docs(docs) if args.what == "docs" else views.view_frames(docs)
+        df.show(args.n, truncate=False)
+        return 0
+
+    if args.cmd == "filter":
+        # S5 analogue: filtered passthrough writer (write/writer.rs:26-120)
+        from pyspark.sql import functions as F
+
+        docs = _load_docs(spark, args.input)
+        kept = docs.filter(
+            F.expr(f"exists(spans, s -> s.kind = '{args.kind}')"))
+        kept.write.mode("overwrite").parquet(args.output)
+        print(f"wrote {spark.read.parquet(args.output).count()} docs")
+        return 0
+
+    # check
+    from pyspark.sql import functions as F
+
+    from fastpasta_spark.plans.check_all import check_all
+    from fastpasta_spark.plans.report import (
+        format_report,
+        golden_diff,
+        metrics_to_dict,
+        read_stats,
+        write_stats,
+    )
+
+    docs = _load_docs(spark, args.input)
+    media = spark.read.parquet(args.media) if args.media else None
+
+    if args.mode == "sanity":
+        from fastpasta_spark.operators.sanity import sanity_violations
+
+        violations = sanity_violations(docs).orderBy("doc_id", "offset")
+        if args.max_errors is not None:
+            violations = violations.limit(args.max_errors)
+        rows = violations.collect()
+        for r in rows[:50]:
+            print(f"{r.doc_id}:{r.offset}: [{r.check_code}] {r.message}")
+        print(f"total errors: {len(rows)}")
+        return 2 if rows else 0
+
+    if args.checkpoint:
+        from fastpasta_spark.plans.lineage import run_resumable
+
+        viol, run_id = run_resumable(docs, media, args.checkpoint)
+        n = viol.count()
+        print(f"run_id={run_id} violations={n}")
+        return 2 if n else 0
+
+    res = check_all(docs, media, max_errors=args.max_errors)
+    exit_code = 0
+    for r in res.violations.take(50):
+        print(f"{r.doc_id}:{r.offset}: [{r.check_code}] {r.message}")
+    metrics = metrics_to_dict(res.metrics)
+    print(format_report(metrics))
+    if metrics.get("total_errors", 0) > 0:
+        exit_code = 2
+    if args.violations_out:
+        res.violations.write.mode("overwrite").parquet(args.violations_out)
+    if args.output_stats:
+        write_stats(res.metrics, args.output_stats)
+    if args.input_stats_file:
+        diff = golden_diff(res.metrics, read_stats(spark, args.input_stats_file))
+        mismatches = diff.collect()
+        for r in mismatches:
+            print(f"[{r.check_code}] {r.message}")
+        if mismatches:
+            exit_code = 3
+        else:
+            print("golden stats: all fields match")
+    return exit_code
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,77 @@
+"""Streaming validation — continuous `check all` over arriving files.
+
+The reference's "streaming" is a bounded thread pipeline over a finite
+file (`/root/reference/doc/data_flow.md:13-23`), so batch DataFrames are
+the primary engine (SURVEY.md §1.2). This module adds the genuinely
+continuous variant a 100 TB ingest pipeline wants: new parquet files of
+interleaved docs land in a directory; every micro-batch is validated by
+the SAME fused pass (plans/check_all semantics) via ``foreachBatch``,
+appending violations + per-batch metrics to sinks. foreachBatch gives
+exactly-once-per-epoch semantics with the checkpoint directory.
+
+Also provided: a watermarked windowed violation-rate aggregation over
+an event-timestamped violation stream (late data handled by watermark)
+— the event-time capability the reference lacks (§2.10).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from fastpasta_spark import schema as S
+from fastpasta_spark.operators.sequence import sequence_pass, split_sequence_output
+
+
+def validate_stream(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    media: DataFrame | None = None,
+) -> StreamingQuery:
+    """readStream(parquet docs) -> fused validation per micro-batch ->
+    violations parquet sink (append). Returns the running query."""
+    stream = (
+        spark.readStream.schema(S.DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(input_dir)
+    )
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        out = sequence_pass(batch_df, fused=True)
+        violations, stats = split_sequence_output(out.persist())
+        if media is not None:
+            from fastpasta_spark.plans.check_all import _referential_branch
+
+            refs = out.filter(F.col("row_type") == "r").select(
+                "doc_id", "span_idx", "offset", "message")
+            violations = violations.unionByName(_referential_branch(refs, media))
+        (violations.withColumn("epoch_id", F.lit(epoch_id))
+         .write.mode("append").parquet(f"{out_dir}/violations"))
+        (stats.withColumn("epoch_id", F.lit(epoch_id))
+         .write.mode("append").parquet(f"{out_dir}/metrics"))
+        out.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def violation_rate_windows(violations_with_ts: DataFrame,
+                           window: str = "1 minute",
+                           watermark: str = "2 minutes") -> DataFrame:
+    """Watermarked windowed violation-rate aggregation (works on a
+    streaming DF; on a batch DF it degrades to a plain window groupBy)."""
+    df = violations_with_ts
+    if df.isStreaming:
+        df = df.withWatermark("ts", watermark)
+    return (
+        df.groupBy(F.window("ts", window), "check_code")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("window_start"), "check_code", "n")
+    )

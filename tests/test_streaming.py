@@ -1,0 +1,63 @@
+"""Streaming validation: file-source micro-batches produce the same
+violations as the batch pass; watermarked windowed aggregation runs."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fastpasta_spark.operators.sequence import sequence_pass, split_sequence_output
+from fastpasta_spark.sources.synth import CorpusConfig, corpus_df
+from fastpasta_spark.streaming.validate_stream import (
+    validate_stream,
+    violation_rate_windows,
+)
+
+CFG = CorpusConfig(n_docs=200, corrupt_per_mille=200)
+
+
+def test_stream_matches_batch(spark, tmp_path):
+    docs = corpus_df(spark, CFG)
+    in_dir = str(tmp_path / "in")
+    docs.repartition(4).write.parquet(in_dir)
+
+    q = validate_stream(
+        spark, in_dir,
+        out_dir=str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    got = sorted(
+        (r.doc_id, r.span_idx, r.offset, r.check_code)
+        for r in spark.read.parquet(str(tmp_path / "out" / "violations")).collect()
+    )
+    batch_viol, _ = split_sequence_output(sequence_pass(docs, fused=True))
+    expected = sorted(
+        (r.doc_id, r.span_idx, r.offset, r.check_code)
+        for r in batch_viol.collect()
+    )
+    assert got == expected
+    assert len(got) > 0
+
+    # restart with same checkpoint: no reprocessing, no duplicate rows
+    q2 = validate_stream(
+        spark, in_dir,
+        out_dir=str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q2.awaitTermination(60)
+    again = spark.read.parquet(str(tmp_path / "out" / "violations")).count()
+    assert again == len(got)
+
+
+def test_violation_rate_windows_batch_shape(spark):
+    rows = [
+        ("d1", "E70", "2024-01-01 00:00:10"),
+        ("d2", "E70", "2024-01-01 00:00:40"),
+        ("d3", "E11", "2024-01-01 00:01:10"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, check_code string, ts_s string") \
+        .withColumn("ts", F.to_timestamp("ts_s"))
+    out = violation_rate_windows(df).collect()
+    got = {(str(r.window_start), r.check_code): r.n for r in out}
+    assert got[("2024-01-01 00:00:00", "E70")] == 2
+    assert got[("2024-01-01 00:01:00", "E11")] == 1
