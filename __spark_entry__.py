@@ -44,6 +44,17 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _read_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read + spread across cores. The testdata tables are single parquet
+    files -> one input split; compute-heavy per-row expressions (minhash,
+    simhash, jaccard shingling) would otherwise run on ONE core. On a
+    real multi-file table this is a no-op decision — scans parallelize
+    by file/row-group; we emulate that here with a round-robin
+    repartition (cheap vs the per-row compute it unlocks)."""
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
 # ---------------------------------------------------------------------------
 # flagship
 # ---------------------------------------------------------------------------
@@ -462,7 +473,7 @@ def _q_textstats(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_count,
     )
 
-    d = _read(spark, sf_dir, "documents")
+    d = _read_spread(spark, sf_dir, "documents")
     d = token_count(d)
     d = quality_score(d)
     d = fingerprint(d)
@@ -519,7 +530,7 @@ def _q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     portable hash family."""
     from fastpasta_spark.operators.dedup import minhash_signature, with_shingles
 
-    d = _read(spark, sf_dir, "documents").withColumn(
+    d = _read_spread(spark, sf_dir, "documents").withColumn(
         "doc_id", F.col("doc_id").cast("long"))
     sig = minhash_signature(with_shingles(d), k=8)
     cols = [F.expr(f"minhash[{j}]").alias(f"mh_{j}") for j in range(8)]
@@ -541,12 +552,13 @@ def _sql_minhash_signatures() -> str:
 
 
 def _q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs (threshold 0.1, same source)."""
+    """df-capped n-gram Jaccard near-dup pairs (threshold 0.1, same
+    source, shingle df capped at 200 — boilerplate mitigation)."""
     from fastpasta_spark.operators.dedup import jaccard_pairs
 
-    d = _read(spark, sf_dir, "documents").withColumn(
+    d = _read_spread(spark, sf_dir, "documents").withColumn(
         "doc_id", F.col("doc_id").cast("long"))
-    return jaccard_pairs(d, threshold=0.1, within_col="source").select(
+    return jaccard_pairs(d, threshold=0.1, within_col="source", max_df=200).select(
         F.col("doc_a").cast("long").alias("doc_a"),
         F.col("doc_b").cast("long").alias("doc_b"),
         F.col("jaccard").cast("double").alias("jaccard"),
@@ -562,7 +574,8 @@ def _sql_jaccard_pairs() -> str:
     )
     return f"""
 WITH sh AS (SELECT doc_id, source, {shingles} AS shingles FROM documents),
-     inv AS (SELECT doc_id, source, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh),
+     inv0 AS (SELECT doc_id, source, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh),
+     inv AS (SELECT * FROM inv0 QUALIFY count(*) OVER (PARTITION BY shingle) <= 200),
      pairs AS (
        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS n_a, b.n_sh AS n_b,
               count(*) AS shared
@@ -579,7 +592,7 @@ def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprints (32-bit, portable hash family)."""
     from fastpasta_spark.operators.dedup import simhash
 
-    d = _read(spark, sf_dir, "documents").withColumn(
+    d = _read_spread(spark, sf_dir, "documents").withColumn(
         "doc_id", F.col("doc_id").cast("long"))
     return simhash(d, bits=32).select("doc_id", F.col("simhash").cast("long").alias("simhash"))
 
@@ -651,7 +664,7 @@ def _q_span_fsm(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fastpasta_spark.operators.sequence import sequence_pass, split_sequence_output
     from fastpasta_spark.sources.from_documents import docs_from_documents
 
-    docs = docs_from_documents(_read(spark, sf_dir, "documents"))
+    docs = docs_from_documents(_read_spread(spark, sf_dir, "documents"))
     viol, _ = split_sequence_output(sequence_pass(docs, fused=True))
     return viol.orderBy("doc_id", "offset", "check_code")
 
@@ -661,7 +674,7 @@ def _q_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactness vs jaccard verified in pytest)."""
     from fastpasta_spark.operators.dedup import minhash_near_duplicates
 
-    d = _read(spark, sf_dir, "documents").withColumn(
+    d = _read_spread(spark, sf_dir, "documents").withColumn(
         "doc_id", F.col("doc_id").cast("long"))
     return minhash_near_duplicates(d, threshold=0.3)
 

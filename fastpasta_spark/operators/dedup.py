@@ -63,28 +63,43 @@ def minhash_signature(df: DataFrame, k: int = 32, shingle_col: str = "shingles",
                       out_col: str = "minhash") -> DataFrame:
     """k-permutation MinHash signature over the shingle set.
 
-    Each permutation j is min over shingles of the portable seeded hash.
-    Pure Column expressions: transform over seq(0..k-1) of
-    array_min(transform(shingles, hash_j)) — no UDF, no shuffle.
+    Each permutation j is min over shingles of the portable seeded hash
+    md5('<j>:' || shingle). ONE nested-lambda expression — the seed j
+    comes from the outer transform variable, so the (expensive) shingle
+    array is referenced once; k separate expressions would make
+    ProjectionCollapse inline and recompute the tokenize+shingle chain
+    k times (measured ~8x slower). No UDF, no shuffle.
     """
-    per_seed = ", ".join(
-        f"array_min(transform({shingle_col}, s -> {spark_md5_hash('s', seed=j)}))"
-        for j in range(k)
+    seeded = ("cast(conv(substr(md5(concat(cast(j as string), ':', s)), 1, 15), "
+              "16, 10) as bigint)")
+    return df.withColumn(
+        out_col,
+        F.expr(
+            f"transform(sequence(0, {k - 1}), j -> "
+            f"array_min(transform({shingle_col}, s -> {seeded})))"
+        ),
     )
-    return df.withColumn(out_col, F.expr(f"array({per_seed})"))
 
 
 def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id", bands: int = 8,
                         rows_per_band: int = 4,
-                        minhash_col: str = "minhash") -> DataFrame:
+                        minhash_col: str = "minhash",
+                        max_bucket: int = 200) -> DataFrame:
     """Banded-LSH candidate pairs: band the signature, hash each band to a
     bucket, self-join within buckets.
 
-    Scale: the self-join shuffles only (bucket, id, signature); a hot
-    bucket (boilerplate shingle) is the classic skew case — AQE skew-join
-    handles it, and callers can pre-filter giant buckets. Returns
-    (doc_a, doc_b, est_jaccard) with doc_a < doc_b, deduped across bands.
+    Scale levers (all applied):
+      * buckets larger than max_bucket are dropped BEFORE the self-join —
+        a giant bucket means a band of near-universal shingles
+        (boilerplate); its pairs are noise and would cost |bucket|^2
+      * the similarity estimate is computed IN the join projection so
+        only (doc_a, doc_b, est) ever shuffles afterwards
+      * cross-band duplicates collapse via groupBy, not dropDuplicates
+        over signature arrays
+    Returns (doc_a, doc_b, est_jaccard) with doc_a < doc_b.
     """
+    from pyspark.sql import Window as W
+
     band_exprs = [
         F.md5(F.concat_ws(",", F.lit(b), F.expr(
             f"concat_ws(',', slice({minhash_col}, {b * rows_per_band + 1}, "
@@ -92,35 +107,44 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id", bands: int = 8,
         ))).alias("bucket")
         for b in range(bands)
     ]
-    buckets = df.select(
-        F.col(id_col), F.col(minhash_col),
-        F.explode(F.array(*band_exprs)).alias("bucket"),
+    buckets = (
+        df.select(F.col(id_col), F.col(minhash_col),
+                  F.explode(F.array(*band_exprs)).alias("bucket"))
+        .withColumn("_bsz", F.count(F.lit(1)).over(W.partitionBy("bucket")))
+        .filter(F.col("_bsz") <= max_bucket)
+        .drop("_bsz")
     )
     a = buckets.alias("a")
     b = buckets.alias("b")
-    pairs = (
+    est = F.expr(
+        f"size(filter(zip_with(a.{minhash_col}, b.{minhash_col}, "
+        f"(x, y) -> x = y), v -> v)) / CAST(size(a.{minhash_col}) AS DOUBLE)"
+    )
+    return (
         a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .select(
-            F.col(f"a.{id_col}").alias("doc_a"),
-            F.col(f"b.{id_col}").alias("doc_b"),
-            F.col(f"a.{minhash_col}").alias("sig_a"),
-            F.col(f"b.{minhash_col}").alias("sig_b"),
-        )
-        .dropDuplicates(["doc_a", "doc_b"])
+        .select(F.col(f"a.{id_col}").alias("doc_a"),
+                F.col(f"b.{id_col}").alias("doc_b"),
+                est.alias("est_jaccard"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.first("est_jaccard").alias("est_jaccard"))
     )
-    est = F.expr(
-        "size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)) "
-        "/ CAST(size(sig_a) AS DOUBLE)"
-    )
-    return pairs.select("doc_a", "doc_b", est.alias("est_jaccard"))
 
 
 def minhash_near_duplicates(df: DataFrame, id_col: str = "doc_id",
                             text_col: str = "text", n: int = 3, k: int = 32,
                             bands: int = 8, threshold: float = 0.5) -> DataFrame:
-    """shingle -> minhash -> LSH bands -> candidate pairs >= threshold."""
-    sig = minhash_signature(with_shingles(df, text_col, n), k=k)
+    """shingle -> minhash -> LSH bands -> candidate pairs >= threshold.
+
+    The signature table is persisted: it is tiny (k longs per doc) but
+    referenced ~10x downstream (8 band exprs + both self-join sides);
+    without the materialization boundary ProjectionCollapse inlines the
+    full tokenize+shingle+k-hash chain into every reference (measured
+    >10x slowdown). At cluster scale you would write signatures to a
+    bucketed table instead — same boundary, durable.
+    """
+    sig = minhash_signature(with_shingles(df, text_col, n), k=k).select(
+        id_col, "minhash").persist()
     pairs = lsh_candidate_pairs(sig, id_col, bands=bands, rows_per_band=k // bands)
     return pairs.filter(F.col("est_jaccard") >= threshold)
 
@@ -132,7 +156,8 @@ def minhash_near_duplicates(df: DataFrame, id_col: str = "doc_id",
 
 def jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                   n: int = 3, threshold: float = 0.5,
-                  within_col: str | None = None) -> DataFrame:
+                  within_col: str | None = None,
+                  max_df: int | None = None) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs sharing >=1 shingle.
 
     Scale: inverted-index join — explode distinct shingles, self-join on
@@ -140,6 +165,13 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     shingles per pair, then jaccard = shared / (|A| + |B| - shared).
     At web scale you run this ONLY on LSH candidates; standalone it's
     quadratic in the worst case (all docs sharing a shingle).
+
+    max_df caps a shingle's document frequency: shingles occurring in
+    more than max_df docs are dropped from the INDEX (not from |A|/|B|)
+    — the standard boilerplate-shingle mitigation; candidate-pair volume
+    falls from sum(df^2) to sum(min(df, max_df)^2). With a cap the
+    jaccard of pairs sharing mostly-common shingles is underestimated;
+    document it as df-capped jaccard (oracle applies the same cap).
     within_col optionally restricts pairs to the same group (e.g. source).
     """
     sh = with_shingles(df, text_col, n).select(
@@ -151,6 +183,14 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
         *( [F.col(within_col)] if within_col else [] ),
         F.explode("shingles").alias("shingle"),
     )
+    if max_df is not None:
+        from pyspark.sql import Window as W
+
+        inv = (
+            inv.withColumn("_df", F.count(F.lit(1)).over(W.partitionBy("shingle")))
+            .filter(F.col("_df") <= max_df)
+            .drop("_df")
+        )
     a, b = inv.alias("a"), inv.alias("b")
     cond = (F.col("a.shingle") == F.col("b.shingle")) & (
         F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
@@ -206,7 +246,9 @@ def simhash_duplicates(df: DataFrame, id_col: str = "doc_id",
     """Near-dups by SimHash: band the fingerprint into `bands` chunks;
     pairs within hamming distance < bands must share >=1 exact band
     (pigeonhole) -> band-bucket join, then exact hamming filter."""
-    h = simhash(df, text_col, bits)
+    # persist: the fingerprint expr is referenced by `bands` band exprs +
+    # both join sides — same ProjectionCollapse inlining hazard as minhash
+    h = simhash(df, text_col, bits).select(id_col, "simhash").persist()
     chunk = bits // bands
     band_cols = [
         F.expr(

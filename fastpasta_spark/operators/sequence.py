@@ -5,36 +5,44 @@ The reference drives a 9-state FSM over each CDP payload word-by-word
 its_payload_fsm_cont.rs:24-81,111-298`) with running checks and stats
 fused into the same scan (`cdp_running.rs:194-456`; stats funnel
 `controller.rs:112-248`). Catalyst has no built-in for a per-row grammar
-pass, so this is the designated slow-path escape hatch: ONE
-``mapInPandas`` (Arrow-batched) pass per partition that emits
+pass, so this is the designated slow-path escape hatch — implemented
+with ``mapInArrow`` so the slow path is as fast as it can be:
 
-  row_type 'v' — violation rows (FSM + optionally the stateless battery)
-  row_type 's' — per-batch stats partials (doc/span/kind counts, text
-                 length min/max/sum, length histogram) — O(batches) rows
-  row_type 'k' — (doc_id) key rows for downstream uniqueness agg
-  row_type 'r' — (doc_id, span_idx, offset, media_ref) for the
-                 referential anti-join
+  * the Arrow list<struct> column is unpacked ONCE into flat child
+    arrays (zero per-span Python objects),
+  * the stateless sanity battery, stats partials, uniqueness-key rows
+    and media-ref rows are all computed VECTORIZED (pyarrow.compute /
+    numpy) over the flat arrays,
+  * only the grammar FSM itself runs as a Python loop — over small int
+    kind-codes, touching span text only for the few header/trig/trailer
+    spans that carry parsed fields.
 
-The fused mode is what plans/check_all.py uses: at 100 TB a second full
-scan costs more than everything downstream combined, so uniqueness keys
-and media refs ride along in the same scan and all later joins/aggs run
-on the (orders-of-magnitude smaller) pass output. Per-document restart
-(cdp_running.rs:87-104) means no cross-partition state — any
-partitioning is correct and the pass scales linearly.
+Output rows are discriminated by ``row_type``:
+  'v' violation | 's' stats partial (O(batches)) | 'k' doc-id key row
+  (uniqueness) | 'r' media-ref row (referential; ref in `message`).
+
+Per-document restart (cdp_running.rs:87-104) means no cross-partition
+state: any partitioning is correct and the pass scales linearly — this
+is what makes one scan of a 100 TB table sufficient for the whole
+check battery (plans/check_all.py).
+
+Semantics are pinned by functions/fsm.py (the pure-Python oracle);
+tests assert row-for-row equality between this pass and the oracle.
 """
 
 from __future__ import annotations
 
-from collections import Counter
 from collections.abc import Iterator
 
-import pandas as pd
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from fastpasta_spark import schema as S
-from fastpasta_spark.functions.fsm import stateless_doc_checks, validate_spans
+from fastpasta_spark.functions import fsm as pyfsm
 
 SEQ_OUT_SCHEMA = T.StructType(
     [
@@ -50,80 +58,412 @@ SEQ_OUT_SCHEMA = T.StructType(
     ]
 )
 
+_ARROW_SCHEMA = pa.schema(
+    [
+        ("row_type", pa.string()),
+        ("doc_id", pa.string()),
+        ("span_idx", pa.int32()),
+        ("offset", pa.int32()),
+        ("check_code", pa.string()),
+        ("severity", pa.string()),
+        ("message", pa.string()),
+        ("stat_name", pa.string()),
+        ("stat_value", pa.float64()),
+    ]
+)
+
 # text-length histogram bucket edges (powers of 2; merged by sum downstream)
-_HIST_EDGES = [0, 8, 16, 32, 64, 128, 256, 512, 1024]
+_HIST_EDGES = np.array([0, 8, 16, 32, 64, 128, 256, 512, 1024], dtype=np.int64)
+
+# kind codes for the FSM loop (index in this list == code)
+_KINDS = list(S.VALID_KINDS)
+_K_HEADER = _KINDS.index(S.KIND_HEADER)
+_K_TRIG = _KINDS.index(S.KIND_TRIG)
+_K_TEXT = _KINDS.index(S.KIND_TEXT)
+_K_MEDIA = _KINDS.index(S.KIND_MEDIA)
+_K_CALIB = _KINDS.index(S.KIND_CALIB)
+_K_TRAILER = _KINDS.index(S.KIND_TRAILER)
+_K_DIAG = _KINDS.index(S.KIND_DIAG)
+
+_DOC_ID_RE = r"^[A-Za-z0-9_-]+$"
 
 
-def _hist_bucket(n: int) -> str:
-    for e in reversed(_HIST_EDGES):
-        if n >= e:
-            return f"text_len_hist_ge_{e}"
-    return "text_len_hist_ge_0"
+def _empty_cols(n: int, typ) -> pa.Array:
+    return pa.nulls(n, typ)
 
 
-def _make_pass(fused: bool):
-    """Build the mapInPandas function. fused=True adds stateless checks,
-    'k' key rows and 'r' ref rows (single-scan check_all mode)."""
+def _viol_batch(doc_ids, span_idx, offsets, codes, sevs, msgs) -> pa.RecordBatch:
+    n = len(doc_ids)
+    return pa.RecordBatch.from_arrays(
+        [
+            pa.array(["v"] * n, pa.string()),
+            pa.array(doc_ids, pa.string()),
+            pa.array(span_idx, pa.int32()),
+            pa.array(offsets, pa.int32()),
+            pa.array(codes, pa.string()),
+            pa.array(sevs, pa.string()),
+            pa.array(msgs, pa.string()),
+            _empty_cols(n, pa.string()),
+            _empty_cols(n, pa.float64()),
+        ],
+        schema=_ARROW_SCHEMA,
+    )
 
-    def seq_pass(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cols = list(SEQ_OUT_SCHEMA.fieldNames())
-        for pdf in batches:
-            rows: list[tuple] = []
-            stats: Counter = Counter()
-            tmin, tmax = None, None
-            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
-                stats["docs_seen"] += 1
-                if fused:
-                    rows.append(("k", doc_id, None, None, None, None, None,
-                                 None, None))
-                tuples = (
-                    []
-                    if spans is None
-                    else [(s["kind"], s["text"], s["media_ref"], s["offset"])
-                          for s in spans]
-                )
-                if fused:
-                    for vi in stateless_doc_checks(doc_id, tuples or None):
-                        rows.append(("v", doc_id, *vi[:2], vi[2], vi[3], vi[4],
-                                     None, None))
-                if not tuples:
+
+def _fsm_over_codes(codes, offs, kv, n_spans, kind_name):
+    """The grammar FSM over int kind-codes for ONE document.
+
+    codes: list[int|-1] kind codes; offs: list[int|-1] span offsets;
+    kv: dict span_idx -> parsed fields for header/trig/trailer spans;
+    kind_name: i -> original kind string (lazy; for E60 messages only).
+    Semantics identical to functions/fsm.validate_spans (oracle-tested).
+    Returns (span_idx, offset, code, severity, message) tuples.
+    """
+    viol = []
+    state = pyfsm.START
+    prev_trailer_done = None
+    prev_bc = None
+    noncalib = 0
+    E = S.SEV_ERROR
+
+    for i in range(n_spans):
+        k = codes[i]
+        off = offs[i]
+        if state == pyfsm.DONE:
+            viol.append((i, off, S.E60_DIAG_SANITY, E,
+                         f"span kind={kind_name(i)} after diag footer"))
+            continue
+
+        if k == _K_HEADER:
+            fields = kv.get(i, {})
+            if pyfsm._int_field(fields, "lanes") is None:
+                viol.append((i, off, S.E30_HEADER_SANITY, E,
+                             "header missing integer lanes= field"))
+            if state not in (pyfsm.START, pyfsm.CLOSED):
+                viol.append((i, off, S.E990_FSM_UNEXPECTED, E,
+                             f"header not legal in state {state}"))
+            state = pyfsm.AWAIT_TRIG
+            noncalib = 0
+
+        elif k == _K_TRIG:
+            fields = kv.get(i, {})
+            cont = pyfsm._int_field(fields, "cont")
+            bc = pyfsm._int_field(fields, "bc")
+            if cont is None or bc is None or cont not in (0, 1):
+                viol.append((i, off, S.E40_TRIG_SANITY, E,
+                             "trig missing cont=/bc= integer fields"))
+            if bc is not None:
+                if prev_bc is not None and bc < prev_bc:
+                    viol.append((i, off, S.E440_BC_NOT_MONOTONE, E,
+                                 f"trig bc {bc} decreased vs previous {prev_bc}"))
+                prev_bc = bc
+            if state == pyfsm.AWAIT_TRIG:
+                if cont == 1:
+                    viol.append((i, off, S.E41_CONTINUATION, E,
+                                 "trig cont=1 directly after header (new frame)"))
+            elif state == pyfsm.CLOSED:
+                if cont == 1:
+                    if prev_trailer_done != 0:
+                        viol.append((i, off, S.E41_CONTINUATION, E,
+                                     "trig cont=1 but previous trailer had done=1"))
+                else:
+                    viol.append((i, off, S.E990_FSM_UNEXPECTED, E,
+                                 "trig cont=0 without a new header after closed frame"))
+            else:
+                viol.append((i, off, S.E990_FSM_UNEXPECTED, E,
+                             f"trig not legal in state {state}"))
+            state = pyfsm.CONTENT
+            noncalib = 0
+
+        elif k == _K_TEXT or k == _K_MEDIA:
+            if state != pyfsm.CONTENT:
+                viol.append((i, off, S.E990_FSM_UNEXPECTED, E,
+                             f"{_KINDS[k]} span outside an open frame (state {state})"))
+                state = pyfsm.CONTENT
+            noncalib += 1
+
+        elif k == _K_CALIB:
+            if state != pyfsm.CONTENT:
+                viol.append((i, off, S.E990_FSM_UNEXPECTED, E,
+                             f"calib span outside an open frame (state {state})"))
+                state = pyfsm.CONTENT
+            elif noncalib > 0:
+                viol.append((i, off, S.E81_CALIB_POSITION, E,
+                             "calib span after content; only valid at frame start"))
+
+        elif k == _K_TRAILER:
+            fields = kv.get(i, {})
+            done = pyfsm._int_field(fields, "done")
+            if done is None or done not in (0, 1):
+                viol.append((i, off, S.E50_TRAILER_SANITY, E,
+                             "trailer missing done=0|1 field"))
+                done = 1
+            if state == pyfsm.CONTENT:
+                if noncalib == 0:
+                    viol.append((i, off, S.E701_EMPTY_FRAME, E,
+                                 "trailer closed a frame with no content spans"))
+                state = pyfsm.CLOSED
+            else:
+                viol.append((i, off, S.E992_FSM_ORPHAN_CLOSE, E,
+                             f"trailer with no open frame (state {state})"))
+                state = pyfsm.CLOSED
+            prev_trailer_done = done
+
+        elif k == _K_DIAG:
+            if state not in (pyfsm.CLOSED, pyfsm.START):
+                viol.append((i, off, S.E990_FSM_UNEXPECTED, E,
+                             f"diag footer while frame open (state {state})"))
+            state = pyfsm.DONE
+        # invalid kind (-1): stateless battery reports E70; FSM skips
+
+    if state in (pyfsm.AWAIT_TRIG, pyfsm.CONTENT):
+        last = n_spans - 1
+        viol.append((last, offs[last] if n_spans else -1,
+                     S.E991_FSM_UNCLOSED, E,
+                     "document ended with an open frame"))
+    return viol
+
+
+def _make_arrow_pass(fused: bool):
+    def arrow_pass(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            tbl = pa.Table.from_batches([batch]).combine_chunks()
+            doc_id_arr = tbl.column("doc_id").chunk(0)
+            spans_arr = tbl.column("spans").chunk(0)
+            n_docs = len(doc_id_arr)
+            if n_docs == 0:
+                continue
+
+            # ---- flatten ONCE ------------------------------------------
+            spans_null = pc.is_null(spans_arr).to_numpy(zero_copy_only=False)
+            # flattened children (only the list's own values, view-safe)
+            flat = spans_arr.flatten()
+            kind_c = flat.field("kind")
+            text_c = flat.field("text")
+            ref_c = flat.field("media_ref")
+            off_c = flat.field("offset")
+            counts = pc.list_value_length(spans_arr)
+            counts_np = pc.fill_null(counts, 0).to_numpy(zero_copy_only=False
+                                                         ).astype(np.int64)
+            bounds = np.zeros(n_docs + 1, dtype=np.int64)
+            np.cumsum(counts_np, out=bounds[1:])
+            n_spans_total = int(bounds[-1])
+            # doc index of every flattened span
+            parent = np.repeat(np.arange(n_docs), counts_np)
+
+            # kind codes: index in VALID_KINDS, -1 for unknown/null
+            codes = pc.fill_null(
+                pc.index_in(kind_c, value_set=pa.array(_KINDS)), -1
+            ).to_numpy(zero_copy_only=False).astype(np.int64)
+            offs = pc.fill_null(off_c, -1).to_numpy(zero_copy_only=False
+                                                    ).astype(np.int64)
+            text_len = pc.fill_null(pc.utf8_length(pc.fill_null(text_c, "")), 0
+                                    ).to_numpy(zero_copy_only=False).astype(np.int64)
+            text_null = pc.is_null(text_c).to_numpy(zero_copy_only=False)
+            text_empty = text_null | (text_len == 0)
+            ref_empty = (pc.fill_null(pc.utf8_length(pc.fill_null(ref_c, "")), 0)
+                         .to_numpy(zero_copy_only=False) == 0) | \
+                pc.is_null(ref_c).to_numpy(zero_copy_only=False)
+
+            doc_ids_py = doc_id_arr.to_pylist()
+
+            out_batches: list[pa.RecordBatch] = []
+
+            # ---- 'k' key rows (vectorized) ------------------------------
+            if fused:
+                out_batches.append(pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(["k"] * n_docs, pa.string()),
+                        doc_id_arr.cast(pa.string()),
+                        _empty_cols(n_docs, pa.int32()),
+                        _empty_cols(n_docs, pa.int32()),
+                        _empty_cols(n_docs, pa.string()),
+                        _empty_cols(n_docs, pa.string()),
+                        _empty_cols(n_docs, pa.string()),
+                        _empty_cols(n_docs, pa.string()),
+                        _empty_cols(n_docs, pa.float64()),
+                    ],
+                    schema=_ARROW_SCHEMA,
+                ))
+
+                # ---- 'r' media-ref rows (vectorized) --------------------
+                r_mask = (codes == _K_MEDIA) & ~ref_empty
+                r_idx = np.nonzero(r_mask)[0]
+                if len(r_idx):
+                    r_parent = parent[r_idx]
+                    out_batches.append(pa.RecordBatch.from_arrays(
+                        [
+                            pa.array(["r"] * len(r_idx), pa.string()),
+                            pc.take(doc_id_arr, pa.array(r_parent)).cast(pa.string()),
+                            pa.array(r_idx - bounds[r_parent], pa.int32()),
+                            pa.array(offs[r_idx], pa.int32()),
+                            _empty_cols(len(r_idx), pa.string()),
+                            _empty_cols(len(r_idx), pa.string()),
+                            pc.take(ref_c, pa.array(r_idx)).cast(pa.string()),
+                            _empty_cols(len(r_idx), pa.string()),
+                            _empty_cols(len(r_idx), pa.float64()),
+                        ],
+                        schema=_ARROW_SCHEMA,
+                    ))
+
+                # ---- stateless battery (vectorized) ---------------------
+                v_doc, v_span, v_off, v_code, v_sev, v_msg = [], [], [], [], [], []
+
+                def emit_flat(idx_arr, code, msg_fn):
+                    for j in idx_arr:
+                        d = parent[j]
+                        v_doc.append(doc_ids_py[d])
+                        v_span.append(int(j - bounds[d]))
+                        v_off.append(int(offs[j]))
+                        v_code.append(code)
+                        v_sev.append(S.SEV_ERROR)
+                        v_msg.append(msg_fn(j))
+
+                kind_py = None
+                e70 = np.nonzero(codes == -1)[0]
+                if len(e70):
+                    kind_py = kind_c.to_pylist()
+                    emit_flat(e70, S.E70_INVALID_KIND, lambda j: (
+                        f"invalid span kind: {kind_py[j] if kind_py[j] is not None else 'NULL'}"))
+                e71 = np.nonzero((codes == _K_TEXT) & text_empty)[0]
+                emit_flat(e71, S.E71_TEXT_EMPTY,
+                          lambda j: "text span with empty text")
+                e72 = np.nonzero((codes == _K_MEDIA) & ref_empty)[0]
+                emit_flat(e72, S.E72_MEDIA_REF_MISSING,
+                          lambda j: "media span with empty media_ref")
+                e73 = np.nonzero((codes != _K_MEDIA) & ~ref_empty)[0]
+                ref_py = None
+                if len(e73):
+                    ref_py = ref_c.to_pylist()
+                    emit_flat(e73, S.E73_UNEXPECTED_REF,
+                              lambda j: f"non-media span carries media_ref {ref_py[j]}")
+
+                # doc-level: E10/E13 (doc_id), E12 (spans), E11 (offsets)
+                did_null = pc.is_null(doc_id_arr).to_numpy(zero_copy_only=False)
+                did_len = pc.fill_null(
+                    pc.utf8_length(pc.fill_null(doc_id_arr, "")), 0
+                ).to_numpy(zero_copy_only=False)
+                did_bad = ~pc.fill_null(
+                    pc.match_substring_regex(pc.fill_null(doc_id_arr, ""),
+                                             _DOC_ID_RE), False
+                ).to_numpy(zero_copy_only=False)
+                for d in np.nonzero(did_null | (did_len == 0))[0]:
+                    v_doc.append(doc_ids_py[d]); v_span.append(None)
+                    v_off.append(-1); v_code.append(S.E10_DOC_ID_NULL)
+                    v_sev.append(S.SEV_ERROR)
+                    v_msg.append("doc_id is null or empty")
+                for d in np.nonzero(~did_null & (did_len > 0) & did_bad)[0]:
+                    v_doc.append(doc_ids_py[d]); v_span.append(None)
+                    v_off.append(-1); v_code.append(S.E13_DOC_ID_FORMAT)
+                    v_sev.append(S.SEV_ERROR)
+                    v_msg.append(f"malformed doc_id: {doc_ids_py[d]}")
+                for d in np.nonzero(spans_null | (counts_np == 0))[0]:
+                    v_doc.append(doc_ids_py[d]); v_span.append(None)
+                    v_off.append(-1); v_code.append(S.E12_SPANS_NULL)
+                    v_sev.append(S.SEV_ERROR)
+                    v_msg.append("spans array is null or empty")
+
+                # E11: first index where offset != position-in-doc
+                pos_in_doc = np.arange(n_spans_total) - bounds[parent]
+                mism = np.nonzero(offs != pos_in_doc)[0]
+                if len(mism):
+                    # first mismatch per doc
+                    md = parent[mism]
+                    first = np.unique(md, return_index=True)[1]
+                    for f_i in first:
+                        j = mism[f_i]
+                        d = parent[j]
+                        i_in_doc = int(j - bounds[d])
+                        v_doc.append(doc_ids_py[d]); v_span.append(i_in_doc)
+                        v_off.append(int(offs[j]))
+                        v_code.append(S.E11_OFFSET_SEQUENCE)
+                        v_sev.append(S.SEV_ERROR)
+                        v_msg.append(f"offset sequence broken at span {i_in_doc}")
+
+                if v_doc:
+                    out_batches.append(_viol_batch(v_doc, v_span, v_off,
+                                                   v_code, v_sev, v_msg))
+
+            # ---- stats partials (vectorized) ----------------------------
+            stats: dict[str, float] = {"docs_seen": float(n_docs),
+                                       "spans_seen": float(n_spans_total)}
+            vc = pc.value_counts(pa.array(codes))
+            for rec in vc.to_pylist():
+                k = rec["values"]
+                name = _KINDS[k] if 0 <= k < len(_KINDS) else "invalid"
+                stats[f"kind_count_{name}"] = stats.get(f"kind_count_{name}", 0.0) \
+                    + float(rec["counts"])
+            tmask = codes == _K_TEXT
+            if tmask.any():
+                stats["text_null_count"] = float((tmask & text_null).sum())
+                tl = text_len[tmask & ~text_null]
+                if len(tl):
+                    stats["text_len_sum"] = float(tl.sum())
+                    stats["text_len_min"] = float(tl.min())
+                    stats["text_len_max"] = float(tl.max())
+                    hist_idx = np.searchsorted(_HIST_EDGES, tl, side="right") - 1
+                    for b, cnt in zip(*np.unique(hist_idx, return_counts=True)):
+                        stats[f"text_len_hist_ge_{_HIST_EDGES[b]}"] = float(cnt)
+            ns = len(stats)
+            out_batches.append(pa.RecordBatch.from_arrays(
+                [
+                    pa.array(["s"] * ns, pa.string()),
+                    _empty_cols(ns, pa.string()),
+                    _empty_cols(ns, pa.int32()),
+                    _empty_cols(ns, pa.int32()),
+                    _empty_cols(ns, pa.string()),
+                    _empty_cols(ns, pa.string()),
+                    _empty_cols(ns, pa.string()),
+                    pa.array(list(stats.keys()), pa.string()),
+                    pa.array(list(stats.values()), pa.float64()),
+                ],
+                schema=_ARROW_SCHEMA,
+            ))
+
+            # ---- the FSM loop (Python, but over ints + sparse kv) -------
+            # parse fields only for header/trig/trailer spans
+            kv_mask = (codes == _K_HEADER) | (codes == _K_TRIG) | (codes == _K_TRAILER)
+            kv_idx = np.nonzero(kv_mask)[0]
+            kv_texts = pc.take(text_c, pa.array(kv_idx)).to_pylist() if len(kv_idx) else []
+            kv_flat = {int(j): pyfsm.parse_kv(t or "")
+                       for j, t in zip(kv_idx, kv_texts)}
+
+            f_doc, f_span, f_off, f_code, f_sev, f_msg = [], [], [], [], [], []
+            codes_l = codes.tolist()
+            offs_l = offs.tolist()
+            _kind_py_cache: list = [None]
+
+            def _kind_at(j: int) -> str | None:
+                if _kind_py_cache[0] is None:
+                    _kind_py_cache[0] = kind_c.to_pylist()
+                return _kind_py_cache[0][j]
+
+            for d in range(n_docs):
+                lo, hi = int(bounds[d]), int(bounds[d + 1])
+                if lo == hi:
                     continue
-                stats["spans_seen"] += len(tuples)
-                for i, (kind, text, ref, off) in enumerate(tuples):
-                    key = kind if kind in S.VALID_KINDS else "invalid"
-                    stats[f"kind_count_{key}"] += 1
-                    if kind == S.KIND_TEXT:
-                        if text is None:
-                            stats["text_null_count"] += 1
-                        else:
-                            n = len(text)
-                            stats["text_len_sum"] += n
-                            stats[_hist_bucket(n)] += 1
-                            tmin = n if tmin is None else min(tmin, n)
-                            tmax = n if tmax is None else max(tmax, n)
-                    if fused and kind == S.KIND_MEDIA and ref:
-                        rows.append(("r", doc_id, i, off, None, None, ref,
-                                     None, None))
-                for span_idx, off, code, sev, msg in validate_spans(tuples):
-                    rows.append(("v", doc_id, span_idx, off, code, sev, msg,
-                                 None, None))
-            for k, v in stats.items():
-                rows.append(("s", None, None, None, None, None, None, k, float(v)))
-            if tmin is not None:
-                rows.append(("s", None, None, None, None, None, None,
-                             "text_len_min", float(tmin)))
-                rows.append(("s", None, None, None, None, None, None,
-                             "text_len_max", float(tmax)))
-            yield pd.DataFrame(rows, columns=cols)
+                kv = {j - lo: kv_flat[j] for j in range(lo, hi) if j in kv_flat}
+                for i, off, code, sev, msg in _fsm_over_codes(
+                        codes_l[lo:hi], offs_l[lo:hi], kv, hi - lo,
+                        lambda i, _lo=lo: _kind_at(_lo + i)):
+                    f_doc.append(doc_ids_py[d]); f_span.append(i)
+                    f_off.append(off); f_code.append(code)
+                    f_sev.append(sev); f_msg.append(msg)
+            if f_doc:
+                out_batches.append(_viol_batch(f_doc, f_span, f_off,
+                                               f_code, f_sev, f_msg))
 
-    return seq_pass
+            for ob in out_batches:
+                yield ob
+
+    return arrow_pass
 
 
 def sequence_pass(docs: DataFrame, fused: bool = False) -> DataFrame:
     """Run the FSM (+stats) pass. fused=True also emits key/ref rows and
-    the stateless battery (see module docstring). Returns SEQ_OUT_SCHEMA."""
-    return docs.select("doc_id", "spans").mapInPandas(
-        _make_pass(fused), schema=SEQ_OUT_SCHEMA
+    the stateless battery (single-scan check_all mode)."""
+    return docs.select("doc_id", "spans").mapInArrow(
+        _make_arrow_pass(fused), schema=SEQ_OUT_SCHEMA
     )
 
 
