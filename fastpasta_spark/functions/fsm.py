@@ -17,6 +17,10 @@ Running rules:
   * trig.cont=1 is legal only when the previous trailer had done=0 (E41)
   * trig.bc is non-decreasing across trigs within a doc (E440)
   * a trailer closing a frame with zero content spans -> E701
+  * header lanes=N declares the frame's expected content-span count
+    (excluding calib); a closing trailer with a different count -> E702
+    (nested-group cardinality, A1 analogue: the reference's expected
+    lanes-per-frame check, alpide_readout_frame.rs:53-130)
   * a trailer with no open frame -> E992; doc ending inside a frame -> E991
   * any span after diag -> E60
   * calib after content within a frame -> E81
@@ -126,6 +130,7 @@ def validate_spans(spans: list[tuple[str, str, str, int]]) -> list[tuple[int, in
     prev_bc: int | None = None
     content_in_frame = 0
     noncalib_in_frame = 0
+    declared_lanes: int | None = None
 
     def emit(i: int, off: int, code: str, msg: str, sev: str = S.SEV_ERROR) -> None:
         viol.append((i, off, code, sev, msg))
@@ -138,7 +143,8 @@ def validate_spans(spans: list[tuple[str, str, str, int]]) -> list[tuple[int, in
 
         if kind == S.KIND_HEADER:
             fields = parse_kv(text or "")
-            if _int_field(fields, "lanes") is None:
+            declared_lanes = _int_field(fields, "lanes")
+            if declared_lanes is None:
                 emit(i, off, S.E30_HEADER_SANITY, "header missing integer lanes= field")
             if state in (START, CLOSED):
                 state = AWAIT_TRIG
@@ -207,6 +213,10 @@ def validate_spans(spans: list[tuple[str, str, str, int]]) -> list[tuple[int, in
                 if noncalib_in_frame == 0:
                     emit(i, off, S.E701_EMPTY_FRAME,
                          "trailer closed a frame with no content spans")
+                elif declared_lanes is not None and noncalib_in_frame != declared_lanes:
+                    emit(i, off, S.E702_LANE_COUNT,
+                         f"frame content count {noncalib_in_frame} != "
+                         f"declared lanes {declared_lanes}")
                 state = CLOSED
             else:
                 emit(i, off, S.E992_FSM_ORPHAN_CLOSE,

@@ -124,6 +124,7 @@ def _fsm_over_codes(codes, offs, kv, n_spans, kind_name):
     prev_trailer_done = None
     prev_bc = None
     noncalib = 0
+    declared_lanes = None
     E = S.SEV_ERROR
 
     for i in range(n_spans):
@@ -136,7 +137,8 @@ def _fsm_over_codes(codes, offs, kv, n_spans, kind_name):
 
         if k == _K_HEADER:
             fields = kv.get(i, {})
-            if pyfsm._int_field(fields, "lanes") is None:
+            declared_lanes = pyfsm._int_field(fields, "lanes")
+            if declared_lanes is None:
                 viol.append((i, off, S.E30_HEADER_SANITY, E,
                              "header missing integer lanes= field"))
             if state not in (pyfsm.START, pyfsm.CLOSED):
@@ -202,6 +204,10 @@ def _fsm_over_codes(codes, offs, kv, n_spans, kind_name):
                 if noncalib == 0:
                     viol.append((i, off, S.E701_EMPTY_FRAME, E,
                                  "trailer closed a frame with no content spans"))
+                elif declared_lanes is not None and noncalib != declared_lanes:
+                    viol.append((i, off, S.E702_LANE_COUNT, E,
+                                 f"frame content count {noncalib} != "
+                                 f"declared lanes {declared_lanes}"))
                 state = pyfsm.CLOSED
             else:
                 viol.append((i, off, S.E992_FSM_ORPHAN_CLOSE, E,

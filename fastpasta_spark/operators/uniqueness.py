@@ -30,6 +30,36 @@ def duplicate_keys(docs: DataFrame, key: str = "doc_id") -> DataFrame:
     )
 
 
+def salted_duplicate_keys(docs: DataFrame, key: str = "doc_id",
+                          salt_buckets: int = 32) -> DataFrame:
+    """Skew-hardened duplicate extraction: two-phase salted aggregation.
+
+    A pathologically hot key (north_rule skew mandate; FIXTURES.md
+    dup_keys hot key x1000) concentrates its rows in ONE reducer with a
+    plain groupBy. Salting phase 1 groups on (key, salt) so the hot
+    key's partial counts spread over salt_buckets reducers; phase 2
+    merges the tiny (key, salt, cnt) partials. Same result as
+    duplicate_keys — asserted in tests on a hot-key corpus.
+
+    Note: Spark's hash aggregate already does map-side partial
+    aggregation, which handles MOST key skew; explicit salting matters
+    when per-key state is too big for the map-side hash table (e.g.
+    collect_list payloads) or with sort-based fallback. Provided as the
+    general pattern.
+    """
+    salted = docs.select(
+        F.col(key),
+        F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets))
+        .alias("_salt"),
+    )
+    phase1 = salted.groupBy(key, "_salt").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        phase1.groupBy(key)
+        .agg(F.sum("cnt").alias("dup_count"))
+        .filter(F.col("dup_count") > 1)
+    )
+
+
 def uniqueness_violations(docs: DataFrame, key: str = "doc_id") -> DataFrame:
     """E100 violation rows, one per duplicated key (VIOLATION_SCHEMA)."""
     return duplicate_keys(docs, key).select(

@@ -77,6 +77,39 @@ def golden_diff(metrics: DataFrame, golden: DataFrame) -> DataFrame:
     )
 
 
+def custom_checks(metrics: DataFrame, expectations: dict[str, float],
+                  rtol: float = 0.0) -> DataFrame:
+    """User-configured expectations against the metrics table — the V2
+    analogue of the reference's custom TOML checks (expected CDP count,
+    expected trigger count; custom_checks_cfg.rs:7-28,
+    stats_validation.rs:4-38). One E9001 row per failed expectation;
+    a missing metric also fails."""
+    spark = metrics.sparkSession
+    exp = spark.createDataFrame(
+        [(k, float(v)) for k, v in sorted(expectations.items())],
+        schema=S.METRICS_SCHEMA,
+    ).select(F.col("name"), F.col("value").alias("expected"))
+    j = exp.join(metrics.withColumnRenamed("value", "actual"), "name", "left")
+    bad = j.filter(
+        F.col("actual").isNull()
+        | (F.abs(F.col("actual") - F.col("expected"))
+           > F.abs(F.col("expected")) * rtol)
+    )
+    return bad.select(
+        F.lit(None).cast("string").alias("doc_id"),
+        F.lit(None).cast("int").alias("span_idx"),
+        F.lit(-1).alias("offset"),
+        F.lit(S.E9001_CUSTOM_CHECK).alias("check_code"),
+        F.lit(S.SEV_ERROR).alias("severity"),
+        F.concat(
+            F.lit("custom check failed: "), F.col("name"),
+            F.lit(" expected="), F.col("expected").cast("string"),
+            F.lit(" actual="),
+            F.coalesce(F.col("actual").cast("string"), F.lit("<absent>")),
+        ).alias("message"),
+    )
+
+
 def format_report(metrics: dict[str, float], max_width: int = 60) -> str:
     """Human-readable totals table (stats_report.rs:16-64 analogue)."""
     lines = ["fastpasta_spark report", "=" * max_width]

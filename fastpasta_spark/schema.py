@@ -140,12 +140,17 @@ E992_FSM_ORPHAN_CLOSE = "E992"   # trailer closing a never-opened section (E59 a
 E440_BC_NOT_MONOTONE = "E440"    # trig bc decreased vs previous trig (tdh.rs:115-122)
 E41_CONTINUATION = "E41"         # trig cont=1 not preceded by trailer done=0
 E701_EMPTY_FRAME = "E701"        # section closed with zero content spans (readout_frame.rs:96-100)
+E702_LANE_COUNT = "E702"         # frame content count != header-declared lanes
+                                 # (A1 analogue: alpide_readout_frame.rs:53-130
+                                 #  expected lane cardinality per frame)
 
 # Relational checks (north_rule extensions)
 E100_DUPLICATE_KEY = "E100"      # duplicate doc_id (uniqueness)
 E110_DANGLING_REF = "E110"       # media_ref unresolved in media table (referential)
 E120_DRIFT = "E120"              # distribution drift vs golden profile
 E130_GOLDEN_MISMATCH = "E130"    # golden-stats field mismatch (stats/lib.rs:9-31 analogue)
+E9001_CUSTOM_CHECK = "E9001"     # user-configured expectation failed
+                                 # (custom_checks_cfg.rs:7-28, stats_validation.rs:4-38)
 
 ALL_CODES = [
     E10_DOC_ID_NULL, E11_OFFSET_SEQUENCE, E12_SPANS_NULL, E13_DOC_ID_FORMAT,
@@ -153,6 +158,6 @@ ALL_CODES = [
     E70_INVALID_KIND, E71_TEXT_EMPTY, E72_MEDIA_REF_MISSING, E73_UNEXPECTED_REF,
     E81_CALIB_POSITION, E990_FSM_UNEXPECTED, E991_FSM_UNCLOSED,
     E992_FSM_ORPHAN_CLOSE, E440_BC_NOT_MONOTONE, E41_CONTINUATION,
-    E701_EMPTY_FRAME, E100_DUPLICATE_KEY, E110_DANGLING_REF, E120_DRIFT,
-    E130_GOLDEN_MISMATCH,
+    E701_EMPTY_FRAME, E702_LANE_COUNT, E100_DUPLICATE_KEY, E110_DANGLING_REF,
+    E120_DRIFT, E130_GOLDEN_MISMATCH, E9001_CUSTOM_CHECK,
 ]

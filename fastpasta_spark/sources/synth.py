@@ -47,7 +47,8 @@ MUT_DIAG_EARLY = 8        # diag before last frame       -> E990/E60
 MUT_EMPTY_FRAME = 9       # frame with no content spans  -> E701
 MUT_BAD_CONT = 10         # trig cont=1 after done=1     -> E41
 MUT_BAD_FIELDS = 11       # malformed trig text          -> E40
-N_MUTATIONS = 12
+MUT_LANE_MISMATCH = 12    # header lanes= wrong count    -> E702
+N_MUTATIONS = 13
 
 
 def splitmix64(x: int) -> int:
@@ -85,12 +86,14 @@ def _doc_spans(i: int, cfg: CorpusConfig) -> list[dict]:
     hs = h
     for f in range(n_frames):
         hs = splitmix64(hs + f + 1)
-        push(S.KIND_HEADER, f"lanes={hs % 512}")
+        n_content = 1 + (hs >> 16) % 4
+        # header declares the frame's content-span count (A1 analogue:
+        # expected lanes per readout frame)
+        push(S.KIND_HEADER, f"lanes={n_content}")
         push(S.KIND_TRIG, f"cont=0,bc={bc}")
         bc += 1 + (hs >> 8) % 50
         if hs % 5 == 0:
             push(S.KIND_CALIB, "idx=0")
-        n_content = 1 + (hs >> 16) % 4
         for c in range(n_content):
             hc = splitmix64(hs + 31 * (c + 1))
             if hc % 4 == 0:
@@ -187,6 +190,10 @@ def _mutate(spans: list[dict], mut: int, h: int, cfg: CorpusConfig) -> list[dict
     elif mut == MUT_BAD_FIELDS:
         idx = next(k for k, s in enumerate(spans) if s["kind"] == S.KIND_TRIG)
         spans[idx]["text"] = "garbage"
+    elif mut == MUT_LANE_MISMATCH:
+        idx = next(k for k, s in enumerate(spans) if s["kind"] == S.KIND_HEADER)
+        declared = int(spans[idx]["text"].split("=")[1])
+        spans[idx]["text"] = f"lanes={declared + 1 + h % 3}"
     return spans
 
 

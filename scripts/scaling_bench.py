@@ -33,20 +33,32 @@ spark = get_spark(app_name=f"scaling_{{cores}}", cores=cores,
 cfg = CorpusConfig(n_docs={n_docs}, corrupt_per_mille=50, dup_per_mille=5)
 docs = spark.read.parquet({corpus!r})
 media = media_df(spark, cfg)
-# warmup: JIT + file listing (excluded from the measured run)
-docs.limit(1000).count()
-t0 = time.perf_counter()
-res = check_all(docs, media)
-nv = res.violations.count()
-res.metrics.collect()
-dt = time.perf_counter() - t0
-print("RESULT " + json.dumps({{"cores": cores, "sec": dt,
+# warmup run on a small slice: compiles the same plans (whole-stage
+# codegen, Janino, Python worker spin-up) so the measured run reflects
+# steady-state throughput — same role as hyperfine's warmup runs in the
+# reference's benches (README.md:243-265)
+warm = check_all(docs.limit(2000), media)
+warm.violations.count(); warm.metrics.collect()
+# the sandbox host is SHARED (noisy neighbors, loadavg often >15 with
+# nothing of ours running): take best-of-N as the uncontended estimate,
+# like hyperfine's min
+best, nv, reps = None, 0, {reps}
+for _ in range(reps):
+    spark.catalog.clearCache()
+    t0 = time.perf_counter()
+    res = check_all(docs, media)
+    nv = res.violations.count()
+    res.metrics.collect()
+    dt = time.perf_counter() - t0
+    best = dt if best is None else min(best, dt)
+print("RESULT " + json.dumps({{"cores": cores, "sec": best,
     "docs": docs.count(), "violations": nv}}))
 """
 
 
-def run_level(cores: int, n_docs: int, corpus: str) -> dict:
-    code = WORKER.format(repo=REPO, cores=cores, n_docs=n_docs, corpus=corpus)
+def run_level(cores: int, n_docs: int, corpus: str, reps: int = 3) -> dict:
+    code = WORKER.format(repo=REPO, cores=cores, n_docs=n_docs, corpus=corpus,
+                         reps=reps)
     out = subprocess.run([sys.executable, "-c", code], capture_output=True,
                          text=True, timeout=1800)
     for line in out.stdout.splitlines():
@@ -55,10 +67,9 @@ def run_level(cores: int, n_docs: int, corpus: str) -> dict:
     raise RuntimeError(f"level {cores} failed:\n{out.stdout[-2000:]}\n{out.stderr[-3000:]}")
 
 
-def main(n_low: int = 8, n_docs: int = 400_000) -> None:
-    corpus = "/tmp/fastpasta_scaling_corpus"
+def main(n_low: int = 4, n_docs: int = 1_500_000) -> None:
+    corpus = f"/tmp/fastpasta_scaling_corpus_{n_docs}"
     if not os.path.exists(os.path.join(corpus, "_SUCCESS")):
-        code = WORKER.format(repo=REPO, cores=16, n_docs=n_docs, corpus=corpus)
         gen = (
             f"import sys; sys.path.insert(0, {REPO!r})\n"
             "from fastpasta_spark.session import get_spark\n"
@@ -85,7 +96,10 @@ the IDENTICAL end-to-end validation job (`check_all`: fused FSM +
 sanity + stats + uniqueness + referential, {lo['docs']:,} docs,
 {lo['violations']:,} violations found) on the same parquet input at two
 local parallelism levels, fresh JVM per level,
-`spark.sql.shuffle.partitions = 2 x cores` per level.
+`spark.sql.shuffle.partitions = 2 x cores` per level, warmup run
+excluded, best-of-3 per level (the sandbox host is shared — loadavg
+>15 from neighbor workloads with nothing of ours running — so min
+approximates the uncontended time, as hyperfine's min does).
 
 | level | cores | wall sec | docs/sec |
 |---|---|---|---|

@@ -23,13 +23,13 @@ def _codes(viols):
 
 
 GOOD_DOC = [
-    span("header", "lanes=7", off=0),
+    span("header", "lanes=2", off=0),   # declares 2 content spans
     span("trig", "cont=0,bc=10", off=1),
-    span("calib", "idx=0", off=2),
+    span("calib", "idx=0", off=2),      # calib doesn't count toward lanes
     span("text", "hello world", off=3),
     span("media", "", "m1", off=4),
     span("trailer", "done=1", off=5),
-    span("header", "lanes=7", off=6),
+    span("header", "lanes=1", off=6),
     span("trig", "cont=0,bc=22", off=7),
     span("text", "more", off=8),
     span("trailer", "done=1", off=9),
@@ -129,6 +129,28 @@ def test_calib_only_frame_is_empty():
         span("trig", "cont=0,bc=5", off=1),
         span("calib", "idx=0", off=2),
         span("trailer", "done=1", off=3),
+    ]
+    assert _codes(validate_spans(doc)) == [S.E701_EMPTY_FRAME]
+
+
+def test_lane_count_mismatch():
+    doc = [
+        span("header", "lanes=3", off=0),
+        span("trig", "cont=0,bc=1", off=1),
+        span("text", "a", off=2),
+        span("text", "b", off=3),
+        span("trailer", "done=1", off=4),
+    ]
+    viols = validate_spans(doc)
+    assert _codes(viols) == [S.E702_LANE_COUNT]
+    assert viols[0][0] == 4  # reported on the closing trailer
+
+
+def test_lane_count_empty_frame_is_e701_not_e702():
+    doc = [
+        span("header", "lanes=3", off=0),
+        span("trig", "cont=0,bc=1", off=1),
+        span("trailer", "done=1", off=2),
     ]
     assert _codes(validate_spans(doc)) == [S.E701_EMPTY_FRAME]
 
