@@ -532,7 +532,11 @@ def _q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _read_spread(spark, sf_dir, "documents").withColumn(
         "doc_id", F.col("doc_id").cast("long"))
-    sig = minhash_signature(with_shingles(d), k=8)
+    # persist before element extraction: 8 references to the minhash
+    # column would otherwise each inline (and recompute) the whole
+    # tokenize+shingle+hash chain via ProjectionCollapse (~8x, measured)
+    sig = minhash_signature(with_shingles(d), k=8).select(
+        "doc_id", "minhash").persist()
     cols = [F.expr(f"minhash[{j}]").alias(f"mh_{j}") for j in range(8)]
     return sig.select("doc_id", *cols)
 

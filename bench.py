@@ -52,8 +52,10 @@ def main() -> None:
                       shuffle_partitions=max(8, CPUS))
 
     # --- validation throughput on the synthetic interleaved corpus ------
+    from fastpasta_spark.sources.synth import GENERATOR_VERSION
+
     cfg = CorpusConfig(n_docs=BENCH_DOCS, corrupt_per_mille=50, dup_per_mille=5)
-    corpus_path = "/tmp/fastpasta_bench_corpus"
+    corpus_path = f"/tmp/fastpasta_bench_corpus_v{GENERATOR_VERSION}_{BENCH_DOCS}"
     if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
         shutil.rmtree(corpus_path, ignore_errors=True)
         corpus_df(spark, cfg).write.mode("overwrite").parquet(corpus_path)

@@ -28,6 +28,9 @@ from fastpasta_spark import schema as S
 
 MASK64 = (1 << 64) - 1
 
+# bump when generated output changes — benchmark corpus caches embed this
+GENERATOR_VERSION = 2
+
 _VOCAB = (
     "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima "
     "mike november oscar papa quebec romeo sierra tango uniform victor whiskey "

@@ -68,7 +68,10 @@ def run_level(cores: int, n_docs: int, corpus: str, reps: int = 3) -> dict:
 
 
 def main(n_low: int = 4, n_docs: int = 1_500_000) -> None:
-    corpus = f"/tmp/fastpasta_scaling_corpus_{n_docs}"
+    sys.path.insert(0, REPO)
+    from fastpasta_spark.sources.synth import GENERATOR_VERSION
+
+    corpus = f"/tmp/fastpasta_scaling_corpus_v{GENERATOR_VERSION}_{n_docs}"
     if not os.path.exists(os.path.join(corpus, "_SUCCESS")):
         gen = (
             f"import sys; sys.path.insert(0, {REPO!r})\n"

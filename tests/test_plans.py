@@ -1,0 +1,114 @@
+"""Physical-plan assertions — the optimizer contract.
+
+The prompt-level requirement: filters reach the parquet scan
+(PushedFilters), column pruning happens (ReadSchema), small dims
+broadcast (BroadcastHashJoin), hot paths stay in whole-stage codegen,
+and the fused pass adds NO shuffle. These tests pin that contract so a
+regression (e.g. an operator change that breaks pushdown) fails CI,
+not a 100 TB run.
+"""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def executed_plan_of(df) -> str:
+    """Finalized (post-AQE) physical plan — shows WholeStageCodegen spans."""
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def n_exchanges(plan: str) -> int:
+    """Count Exchange NODES (formatted explain prints each node twice:
+    once in the tree, once as a '(n) Exchange' detail header)."""
+    return len(re.findall(r"\n\(\d+\) Exchange", plan))
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark):
+    return spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+
+
+def test_filter_pushdown_reaches_scan(spark, lineitem):
+    df = lineitem.filter(F.col("l_shipdate") <= "2001-06-30").select(
+        "l_orderkey", "l_quantity")
+    plan = plan_of(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_column_pruning_reaches_scan(spark, lineitem):
+    df = lineitem.select("l_orderkey", "l_quantity")
+    plan = plan_of(df)
+    # ReadSchema must contain ONLY the projected columns
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_extendedprice" not in read_schema
+
+
+def test_media_dim_join_is_broadcast(spark):
+    from fastpasta_spark.plans.check_all import check_all
+    from fastpasta_spark.sources.synth import CorpusConfig, corpus_df, media_df
+
+    cfg = CorpusConfig(n_docs=50)
+    res = check_all(corpus_df(spark, cfg), media_df(spark, cfg))
+    plan = plan_of(res.violations)
+    assert "BroadcastHashJoin" in plan
+    assert "LeftAnti" in plan
+
+
+def test_fused_pass_has_no_shuffle(spark):
+    from fastpasta_spark.operators.sequence import sequence_pass
+    from fastpasta_spark.sources.synth import CorpusConfig, corpus_df
+
+    out = sequence_pass(corpus_df(spark, CorpusConfig(n_docs=50)), fused=True)
+    plan = plan_of(out)
+    assert "Exchange" not in plan  # embarrassingly parallel: zero shuffles
+
+
+def test_agg_uses_whole_stage_codegen_and_partial_agg(spark, lineitem):
+    df = lineitem.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("q"))
+    # partial (map-side) aggregation before the exchange
+    plan = plan_of(df)
+    assert len(re.findall(r"\n\(\d+\) HashAggregate", plan)) >= 2
+    # codegen spans appear in the finalized (executed) plan as `*(n)`
+    assert re.search(r"\*\(\d+\)", executed_plan_of(df))
+
+
+def test_topk_window_single_shuffle(spark, lineitem):
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("l_suppkey").orderBy(F.desc("l_extendedprice"))
+    df = lineitem.withColumn("rnk", F.row_number().over(w)).filter("rnk <= 3")
+    assert n_exchanges(plan_of(df)) == 1  # one hash-partitioning, no extra
+
+
+def test_cosine_topk_broadcasts_queries_not_corpus(spark):
+    from fastpasta_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    df = cosine_topk(emb, emb.limit(5), k=3)
+    plan = plan_of(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_dedup_shuffles_hashes_not_text(spark):
+    from fastpasta_spark.operators.dedup import exact_duplicates
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet").withColumn(
+        "doc_id", F.col("doc_id").cast("string"))
+    plan = plan_of(exact_duplicates(d))
+    # the shuffle is keyed on the content hash — text never leaves the
+    # scan stage (partial agg collapses it before the exchange)
+    assert re.search(r"Arguments: hashpartitioning\(content_hash", plan)
+    # collect_list makes it an ObjectHashAggregate; partial + final
+    assert len(re.findall(r"\n\(\d+\) (?:Object)?HashAggregate", plan)) >= 2

@@ -1,0 +1,87 @@
+"""Property-based equivalence: the Arrow-vectorized engine pass must
+match the pure-Python oracle on RANDOM span sequences — not just the
+generator's grammar-shaped ones. Hypothesis drives the input space
+(arbitrary kinds, malformed fields, broken offsets, null text/refs)."""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from fastpasta_spark import schema as S
+from fastpasta_spark.functions.fsm import stateless_doc_checks, validate_spans
+
+KINDS = [*S.VALID_KINDS, "junk", "x", None]
+TEXTS = ["", "lanes=3", "cont=0,bc=5", "cont=1,bc=2", "done=0", "done=1",
+         "garbage", "bc=9", "hello world", None, "lanes=x", "cont=2,bc=1"]
+REFS = ["", "m1", "missing_9", None]
+
+span_st = st.tuples(
+    st.sampled_from(KINDS),
+    st.sampled_from(TEXTS),
+    st.sampled_from(REFS),
+    st.one_of(st.integers(-2, 30), st.none()),
+)
+doc_st = st.lists(span_st, min_size=0, max_size=14)
+
+
+@settings(max_examples=300, deadline=None)
+@given(doc_st)
+def test_fsm_oracle_total_and_deterministic(spans):
+    """The oracle itself never crashes and is deterministic on arbitrary
+    input (totality of the grammar over the full input space)."""
+    a = validate_spans(spans)
+    b = validate_spans(spans)
+    assert a == b
+    for _idx, _off, code, sev, _msg in a:
+        assert code in S.ALL_CODES
+        assert sev in (S.SEV_ERROR, S.SEV_WARNING, S.SEV_FATAL)
+    c = stateless_doc_checks("doc1", spans or None)
+    assert c == stateless_doc_checks("doc1", spans or None)
+
+
+def test_engine_matches_oracle_on_random_docs(spark):
+    """Run the Arrow pass over a Hypothesis-style randomized corpus and
+    compare row-for-row with the oracle. (One Spark job over many random
+    docs, instead of a job per Hypothesis example.)"""
+    import random
+
+    from fastpasta_spark.operators.sequence import (
+        sequence_pass,
+        split_sequence_output,
+    )
+
+    rng = random.Random(1234)
+    rows = []
+    for i in range(400):
+        n = rng.randint(0, 14)
+        spans = [
+            {
+                "kind": rng.choice(KINDS),
+                "text": rng.choice(TEXTS),
+                "media_ref": rng.choice(REFS),
+                "offset": rng.choice([None, -1, rng.randint(0, 20), idx]),
+            }
+            for idx in range(n)
+        ]
+        rows.append((f"r{i:04d}", spans if n else rng.choice([[], None])))
+
+    docs = spark.createDataFrame(rows, schema=S.DOCS_SCHEMA)
+    viol, _ = split_sequence_output(sequence_pass(docs, fused=True))
+    got = sorted(
+        ((r.doc_id, r.span_idx, r.offset, r.check_code, r.severity, r.message)
+         for r in viol.collect()),
+        key=lambda v: (v[0], -2 if v[1] is None else v[1], v[2], v[3], v[5]),
+    )
+
+    expected = []
+    for doc_id, spans in rows:
+        tuples = (
+            None if spans is None
+            else [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in spans]
+        )
+        for si, off, code, sev, msg in stateless_doc_checks(doc_id, tuples or None):
+            expected.append((doc_id, si, off, code, sev, msg))
+        for si, off, code, sev, msg in validate_spans(tuples or []):
+            expected.append((doc_id, si, off, code, sev, msg))
+    expected.sort(key=lambda v: (v[0], -2 if v[1] is None else v[1], v[2], v[3], v[5]))
+
+    assert got == expected
