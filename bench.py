@@ -24,7 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
-BENCH_DOCS = int(os.environ.get("BENCH_DOCS", 200_000))
+BENCH_DOCS = int(os.environ.get("BENCH_DOCS", 500_000))
 
 HEADLINE_QUERIES = [
     "span_fsm",
@@ -61,6 +61,13 @@ def main() -> None:
         corpus_df(spark, cfg).write.mode("overwrite").parquet(corpus_path)
     docs = spark.read.parquet(corpus_path)
     media = media_df(spark, cfg)
+
+    # warmup on a slice: compile the plans (codegen/JIT/python workers)
+    # so the measured run reflects steady-state throughput — same role
+    # as the warmup runs in the reference's hyperfine benches
+    warm = check_all(docs.limit(2000), media)
+    warm.violations.count(); warm.metrics.collect()
+    spark.catalog.clearCache()
 
     t0 = time.perf_counter()
     res = check_all(docs, media)

@@ -38,7 +38,9 @@ def docs_from_documents(documents: DataFrame, max_content: int = 8) -> DataFrame
         f"'kind', CASE WHEN {mut} = 0 AND i = size({toks}) - 1 THEN 'junk' "
         "WHEN pmod(i, 4) = 3 THEN 'media' ELSE 'text' END, "
         "'text', IF(pmod(i, 4) = 3, '', t), "
-        f"'media_ref', IF(pmod(i, 4) = 3, concat('m', cast(pmod({spark_md5_hash('t')}, 64) as string)), ''), "
+        # refs land in m0..m71 while the companion media dim has 64 rows
+        # -> ~11% dangle, so the referential anti-join (E110) fires too
+        f"'media_ref', IF(pmod(i, 4) = 3, concat('m', cast(pmod({spark_md5_hash('t')}, 72) as string)), ''), "
         f"'offset', cast(i + 2 + IF({mut} = 2 AND i > 0, 1, 0) as int)))"
     )
     header = (
