@@ -21,6 +21,9 @@ Running rules:
     (excluding calib); a closing trailer with a different count -> E702
     (nested-group cardinality, A1 analogue: the reference's expected
     lanes-per-frame check, alpide_readout_frame.rs:53-130)
+  * the same media_ref appearing twice within one frame -> E703
+    (nested-group uniqueness, A6 analogue: chip-ID order/uniqueness,
+    lane_alpide_frame_analyzer.rs:288-320)
   * a trailer with no open frame -> E992; doc ending inside a frame -> E991
   * any span after diag -> E60
   * calib after content within a frame -> E81
@@ -131,11 +134,12 @@ def validate_spans(spans: list[tuple[str, str, str, int]]) -> list[tuple[int, in
     content_in_frame = 0
     noncalib_in_frame = 0
     declared_lanes: int | None = None
+    frame_refs: set[str] = set()
 
     def emit(i: int, off: int, code: str, msg: str, sev: str = S.SEV_ERROR) -> None:
         viol.append((i, off, code, sev, msg))
 
-    for i, (kind, text, _media_ref, offset) in enumerate(spans):
+    for i, (kind, text, media_ref, offset) in enumerate(spans):
         off = offset if offset is not None else -1
         if state == DONE:
             emit(i, off, S.E60_DIAG_SANITY, f"span kind={kind} after diag footer")
@@ -154,6 +158,7 @@ def validate_spans(spans: list[tuple[str, str, str, int]]) -> list[tuple[int, in
                 state = AWAIT_TRIG
             content_in_frame = 0
             noncalib_in_frame = 0
+            frame_refs = set()
 
         elif kind == S.KIND_TRIG:
             fields = parse_kv(text or "")
@@ -184,12 +189,18 @@ def validate_spans(spans: list[tuple[str, str, str, int]]) -> list[tuple[int, in
             state = CONTENT
             content_in_frame = 0
             noncalib_in_frame = 0
+            frame_refs = set()
 
         elif kind in (S.KIND_TEXT, S.KIND_MEDIA):
             if state != CONTENT:
                 emit(i, off, S.E990_FSM_UNEXPECTED,
                      f"{kind} span outside an open frame (state {state})")
                 state = CONTENT  # best-guess recovery: assume frame open
+            if kind == S.KIND_MEDIA and media_ref:
+                if media_ref in frame_refs:
+                    emit(i, off, S.E703_DUP_REF_IN_FRAME,
+                         f"media_ref {media_ref} repeated within frame")
+                frame_refs.add(media_ref)
             content_in_frame += 1
             noncalib_in_frame += 1
 

@@ -110,11 +110,12 @@ def _viol_batch(doc_ids, span_idx, offsets, codes, sevs, msgs) -> pa.RecordBatch
     )
 
 
-def _fsm_over_codes(codes, offs, kv, n_spans, kind_name):
+def _fsm_over_codes(codes, offs, kv, refs, n_spans, kind_name):
     """The grammar FSM over int kind-codes for ONE document.
 
     codes: list[int|-1] kind codes; offs: list[int|-1] span offsets;
     kv: dict span_idx -> parsed fields for header/trig/trailer spans;
+    refs: dict span_idx -> media_ref for media spans with non-empty ref;
     kind_name: i -> original kind string (lazy; for E60 messages only).
     Semantics identical to functions/fsm.validate_spans (oracle-tested).
     Returns (span_idx, offset, code, severity, message) tuples.
@@ -125,6 +126,7 @@ def _fsm_over_codes(codes, offs, kv, n_spans, kind_name):
     prev_bc = None
     noncalib = 0
     declared_lanes = None
+    frame_refs = set()
     E = S.SEV_ERROR
 
     for i in range(n_spans):
@@ -146,6 +148,7 @@ def _fsm_over_codes(codes, offs, kv, n_spans, kind_name):
                              f"header not legal in state {state}"))
             state = pyfsm.AWAIT_TRIG
             noncalib = 0
+            frame_refs = set()
 
         elif k == _K_TRIG:
             fields = kv.get(i, {})
@@ -176,12 +179,19 @@ def _fsm_over_codes(codes, offs, kv, n_spans, kind_name):
                              f"trig not legal in state {state}"))
             state = pyfsm.CONTENT
             noncalib = 0
+            frame_refs = set()
 
         elif k == _K_TEXT or k == _K_MEDIA:
             if state != pyfsm.CONTENT:
                 viol.append((i, off, S.E990_FSM_UNEXPECTED, E,
                              f"{_KINDS[k]} span outside an open frame (state {state})"))
                 state = pyfsm.CONTENT
+            if k == _K_MEDIA and i in refs:
+                ref = refs[i]
+                if ref in frame_refs:
+                    viol.append((i, off, S.E703_DUP_REF_IN_FRAME, E,
+                                 f"media_ref {ref} repeated within frame"))
+                frame_refs.add(ref)
             noncalib += 1
 
         elif k == _K_CALIB:
@@ -433,6 +443,10 @@ def _make_arrow_pass(fused: bool):
             kv_texts = pc.take(text_c, pa.array(kv_idx)).to_pylist() if len(kv_idx) else []
             kv_flat = {int(j): pyfsm.parse_kv(t or "")
                        for j, t in zip(kv_idx, kv_texts)}
+            ref_idx = np.nonzero((codes == _K_MEDIA) & ~ref_empty)[0]
+            ref_vals = (pc.take(ref_c, pa.array(ref_idx)).to_pylist()
+                        if len(ref_idx) else [])
+            ref_flat = {int(j): v for j, v in zip(ref_idx, ref_vals)}
 
             f_doc, f_span, f_off, f_code, f_sev, f_msg = [], [], [], [], [], []
             codes_l = codes.tolist()
@@ -449,8 +463,9 @@ def _make_arrow_pass(fused: bool):
                 if lo == hi:
                     continue
                 kv = {j - lo: kv_flat[j] for j in range(lo, hi) if j in kv_flat}
+                refs = {j - lo: ref_flat[j] for j in range(lo, hi) if j in ref_flat}
                 for i, off, code, sev, msg in _fsm_over_codes(
-                        codes_l[lo:hi], offs_l[lo:hi], kv, hi - lo,
+                        codes_l[lo:hi], offs_l[lo:hi], kv, refs, hi - lo,
                         lambda i, _lo=lo: _kind_at(_lo + i)):
                     f_doc.append(doc_ids_py[d]); f_span.append(i)
                     f_off.append(off); f_code.append(code)

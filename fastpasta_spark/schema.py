@@ -143,6 +143,9 @@ E701_EMPTY_FRAME = "E701"        # section closed with zero content spans (reado
 E702_LANE_COUNT = "E702"         # frame content count != header-declared lanes
                                  # (A1 analogue: alpide_readout_frame.rs:53-130
                                  #  expected lane cardinality per frame)
+E703_DUP_REF_IN_FRAME = "E703"   # same media_ref twice within one frame
+                                 # (A6 analogue: chip-ID order/uniqueness,
+                                 #  lane_alpide_frame_analyzer.rs:288-320)
 
 # Relational checks (north_rule extensions)
 E100_DUPLICATE_KEY = "E100"      # duplicate doc_id (uniqueness)
@@ -158,6 +161,7 @@ ALL_CODES = [
     E70_INVALID_KIND, E71_TEXT_EMPTY, E72_MEDIA_REF_MISSING, E73_UNEXPECTED_REF,
     E81_CALIB_POSITION, E990_FSM_UNEXPECTED, E991_FSM_UNCLOSED,
     E992_FSM_ORPHAN_CLOSE, E440_BC_NOT_MONOTONE, E41_CONTINUATION,
-    E701_EMPTY_FRAME, E702_LANE_COUNT, E100_DUPLICATE_KEY, E110_DANGLING_REF,
+    E701_EMPTY_FRAME, E702_LANE_COUNT, E703_DUP_REF_IN_FRAME,
+    E100_DUPLICATE_KEY, E110_DANGLING_REF,
     E120_DRIFT, E130_GOLDEN_MISMATCH, E9001_CUSTOM_CHECK,
 ]

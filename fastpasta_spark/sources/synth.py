@@ -29,7 +29,7 @@ from fastpasta_spark import schema as S
 MASK64 = (1 << 64) - 1
 
 # bump when generated output changes — benchmark corpus caches embed this
-GENERATOR_VERSION = 2
+GENERATOR_VERSION = 3
 
 _VOCAB = (
     "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima "
@@ -51,7 +51,8 @@ MUT_EMPTY_FRAME = 9       # frame with no content spans  -> E701
 MUT_BAD_CONT = 10         # trig cont=1 after done=1     -> E41
 MUT_BAD_FIELDS = 11       # malformed trig text          -> E40
 MUT_LANE_MISMATCH = 12    # header lanes= wrong count    -> E702
-N_MUTATIONS = 13
+MUT_DUP_REF = 13          # same media_ref twice in frame -> E703
+N_MUTATIONS = 14
 
 
 def splitmix64(x: int) -> int:
@@ -97,10 +98,18 @@ def _doc_spans(i: int, cfg: CorpusConfig) -> list[dict]:
         bc += 1 + (hs >> 8) % 50
         if hs % 5 == 0:
             push(S.KIND_CALIB, "idx=0")
+        frame_refs: set[str] = set()
         for c in range(n_content):
             hc = splitmix64(hs + 31 * (c + 1))
             if hc % 4 == 0:
-                push(S.KIND_MEDIA, "", f"m{hc % cfg.n_media}")
+                # linear-probe away from refs already used in this frame
+                # (duplicate ref within a frame is the E703 violation —
+                # clean docs must not produce it by collision)
+                k = hc % cfg.n_media
+                while f"m{k}" in frame_refs:
+                    k = (k + 1) % cfg.n_media
+                frame_refs.add(f"m{k}")
+                push(S.KIND_MEDIA, "", f"m{k}")
             else:
                 words = " ".join(_VOCAB[(hc >> (7 * w)) % len(_VOCAB)] for w in range(2 + hc % 5))
                 push(S.KIND_TEXT, words)
@@ -197,6 +206,22 @@ def _mutate(spans: list[dict], mut: int, h: int, cfg: CorpusConfig) -> list[dict
         idx = next(k for k, s in enumerate(spans) if s["kind"] == S.KIND_HEADER)
         declared = int(spans[idx]["text"].split("=")[1])
         spans[idx]["text"] = f"lanes={declared + 1 + h % 3}"
+    elif mut == MUT_DUP_REF:
+        # duplicate a media ref within its frame (or convert the first
+        # text span); the lanes count is bumped so only E703 fires
+        m_idx = next((k for k, s in enumerate(spans) if s["kind"] == S.KIND_MEDIA),
+                     None)
+        if m_idx is None:
+            m_idx = next(k for k, s in enumerate(spans) if s["kind"] == S.KIND_TEXT)
+            spans[m_idx] = {"kind": S.KIND_MEDIA, "text": "",
+                            "media_ref": f"m{h % 8}", "offset": 0}
+        dup = dict(spans[m_idx])
+        spans.insert(m_idx + 1, dup)
+        h_idx = max(k for k in range(m_idx) if spans[k]["kind"] == S.KIND_HEADER)
+        declared = int(spans[h_idx]["text"].split("=")[1])
+        spans[h_idx]["text"] = f"lanes={declared + 1}"
+        for k, s in enumerate(spans):
+            s["offset"] = k
     return spans
 
 

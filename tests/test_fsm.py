@@ -155,6 +155,33 @@ def test_lane_count_empty_frame_is_e701_not_e702():
     assert _codes(validate_spans(doc)) == [S.E701_EMPTY_FRAME]
 
 
+def test_dup_ref_in_frame():
+    doc = [
+        span("header", "lanes=2", off=0),
+        span("trig", "cont=0,bc=1", off=1),
+        span("media", "", "m5", off=2),
+        span("media", "", "m5", off=3),  # duplicate ref, same frame
+        span("trailer", "done=1", off=4),
+    ]
+    viols = validate_spans(doc)
+    assert _codes(viols) == [S.E703_DUP_REF_IN_FRAME]
+    assert viols[0][0] == 3
+
+
+def test_same_ref_in_different_frames_ok():
+    doc = [
+        span("header", "lanes=1", off=0),
+        span("trig", "cont=0,bc=1", off=1),
+        span("media", "", "m5", off=2),
+        span("trailer", "done=1", off=3),
+        span("header", "lanes=1", off=4),
+        span("trig", "cont=0,bc=2", off=5),
+        span("media", "", "m5", off=6),  # same ref, NEW frame -> fine
+        span("trailer", "done=1", off=7),
+    ]
+    assert validate_spans(doc) == []
+
+
 def test_span_after_diag():
     doc = GOOD_DOC + [span("text", "late", off=11)]
     codes = _codes(validate_spans(doc))
