@@ -231,6 +231,54 @@ FROM j, t
 """
 
 
+def _q_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KS statistic over fixed-edge length-histogram sketches:
+    documents from src0 vs the rest (drift.ks_statistic operator)."""
+    from fastpasta_spark.operators.drift import ks_statistic
+
+    d = _read(spark, sf_dir, "documents")
+    edges = [0, 64, 128, 256, 512, 1024, 1 << 30]
+    bucket = "aggregate(array({}), 0, (acc, e) -> acc + IF(n_chars >= e, 1, 0))".format(
+        ", ".join(map(str, edges[1:])))
+    cat = F.expr(f"lpad(cast({bucket} as string), 2, '0')")
+
+    def prof(df):
+        return df.select(cat.alias("category")).groupBy("category").agg(
+            F.count(F.lit(1)).alias("cnt"))
+
+    a = prof(d.filter("source = 'src0'"))
+    b = prof(d.filter("source <> 'src0'"))
+    return ks_statistic(a, b).select(F.round("ks", 6).alias("ks"))
+
+
+_KS_EDGES_SQL = ", ".join(str(e) for e in [64, 128, 256, 512, 1024, 1 << 30])
+
+_SQL_DRIFT_KS = f"""
+WITH b AS (
+  SELECT lpad((CASE WHEN n_chars >= 64 THEN 1 ELSE 0 END +
+          CASE WHEN n_chars >= 128 THEN 1 ELSE 0 END +
+          CASE WHEN n_chars >= 256 THEN 1 ELSE 0 END +
+          CASE WHEN n_chars >= 512 THEN 1 ELSE 0 END +
+          CASE WHEN n_chars >= 1024 THEN 1 ELSE 0 END +
+          CASE WHEN n_chars >= {1 << 30} THEN 1 ELSE 0 END)::VARCHAR, 2, '0')
+           AS category,
+         (source = 'src0') AS is_a
+  FROM documents
+), p AS (
+  SELECT category,
+         sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS cnt_a,
+         sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS cnt_b
+  FROM b GROUP BY category
+), t AS (SELECT sum(cnt_a) AS ta, sum(cnt_b) AS tb FROM p),
+cdf AS (
+  SELECT sum(cnt_a) OVER (ORDER BY category) / ta AS cdf_a,
+         sum(cnt_b) OVER (ORDER BY category) / tb AS cdf_b
+  FROM p, t
+)
+SELECT round(max(abs(cdf_a - cdf_b)), 6) AS ks FROM cdf
+"""
+
+
 def _q_bitflag_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bitflag histogram (G4 / trigger_stats.rs analogue): branchless
     sum of bit tests over events.user_id, one row."""
@@ -701,6 +749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "referential": _q_referential,
         "metrics_profile": _q_metrics_profile,
         "drift_chi2": _q_drift_chi2,
+        "drift_ks": _q_drift_ks,
         "bitflag_hist": _q_bitflag_hist,
         "dup_content": _q_dup_content,
         "uniqueness_totals": _q_uniqueness_totals,
@@ -732,6 +781,7 @@ def oracle_sql() -> dict[str, str]:
         "referential": _SQL_REFERENTIAL,
         "metrics_profile": _SQL_METRICS_PROFILE,
         "drift_chi2": _SQL_DRIFT_CHI2,
+        "drift_ks": _SQL_DRIFT_KS,
         "bitflag_hist": _SQL_BITFLAG_HIST,
         "dup_content": _SQL_DUP_CONTENT,
         "uniqueness_totals": _SQL_UNIQUENESS_TOTALS,

@@ -40,10 +40,20 @@ media = media_df(spark, cfg)
 warm = check_all(docs.limit(2000), media)
 warm.violations.count(); warm.metrics.collect()
 # the sandbox host is SHARED (noisy neighbors, loadavg often >15 with
-# nothing of ours running): take best-of-N as the uncontended estimate,
-# like hyperfine's min
+# nothing of ours running): gate each rep on low ambient load and take
+# best-of-N as the uncontended estimate, like hyperfine's min
+def wait_for_quiet(max_wait=240, threshold=4.0):
+    waited = 0
+    while waited < max_wait:
+        load1 = float(open("/proc/loadavg").read().split()[0])
+        if load1 < threshold:
+            return load1
+        time.sleep(10); waited += 10
+    return load1
+
 best, nv, reps = None, 0, {reps}
 for _ in range(reps):
+    wait_for_quiet()
     spark.catalog.clearCache()
     t0 = time.perf_counter()
     res = check_all(docs, media)
@@ -100,8 +110,9 @@ sanity + stats + uniqueness + referential, {lo['docs']:,} docs,
 {lo['violations']:,} violations found) on the same parquet input at two
 local parallelism levels, fresh JVM per level,
 `spark.sql.shuffle.partitions = 2 x cores` per level, warmup run
-excluded, best-of-3 per level (the sandbox host is shared — loadavg
->15 from neighbor workloads with nothing of ours running — so min
+excluded, best-of-3 per level with each rep gated on ambient
+loadavg < 4 (the sandbox host is shared — loadavg >15 from neighbor
+workloads with nothing of ours running — so the load-gated min
 approximates the uncontended time, as hyperfine's min does).
 
 | level | cores | wall sec | docs/sec |

@@ -1,0 +1,62 @@
+"""Drift operators: chi-square and KS against known distributions."""
+
+from fastpasta_spark.operators.drift import (
+    chi_square,
+    drift_violations,
+    kind_profile,
+    ks_statistic,
+    len_profile,
+)
+from fastpasta_spark.sources.synth import CorpusConfig, corpus_df
+
+
+def _profile(spark, rows):
+    return spark.createDataFrame(rows, "category string, cnt long")
+
+
+def test_chi_square_zero_for_identical(spark):
+    p = _profile(spark, [("a", 100), ("b", 50)])
+    r = chi_square(p, p).collect()[0]
+    assert abs(r.chi2) < 1e-9
+    assert r.dof == 1
+
+
+def test_chi_square_scale_invariant_for_proportional(spark):
+    # same distribution at 10x the volume: chi2 stays ~0
+    a = _profile(spark, [("a", 100), ("b", 50)])
+    b = _profile(spark, [("a", 1000), ("b", 500)])
+    assert abs(chi_square(a, b).collect()[0].chi2) < 1e-9
+
+
+def test_chi_square_detects_shift(spark):
+    a = _profile(spark, [("a", 100), ("b", 100)])
+    b = _profile(spark, [("a", 190), ("b", 10)])
+    assert chi_square(a, b).collect()[0].chi2 > 50
+
+
+def test_ks_bounds(spark):
+    a = _profile(spark, [("00", 100), ("01", 100)])
+    same = ks_statistic(a, a).collect()[0].ks
+    assert abs(same) < 1e-9
+    b = _profile(spark, [("00", 200), ("01", 0)])
+    shifted = ks_statistic(a, b).collect()[0].ks
+    assert abs(shifted - 0.5) < 1e-9  # CDF gap at the first bucket
+
+
+def test_drift_violations_fire_on_shifted_corpus(spark):
+    clean = corpus_df(spark, CorpusConfig(n_docs=300))
+    golden = kind_profile(clean)
+    # heavily corrupted corpus shifts the kind mix (junk kinds, dropped
+    # trailers) — FIXTURES.md 'drifted' fixture
+    drifted = corpus_df(spark, CorpusConfig(n_docs=300, corrupt_per_mille=900))
+    rows = drift_violations(drifted, golden, chi2_threshold=5.0).collect()
+    assert len(rows) == 1 and rows[0].check_code == "E120"
+    # and the clean corpus itself does NOT drift vs its own profile
+    assert drift_violations(clean, golden, chi2_threshold=5.0).count() == 0
+
+
+def test_len_profile_buckets(spark):
+    docs = corpus_df(spark, CorpusConfig(n_docs=100))
+    rows = len_profile(docs).collect()
+    assert sum(r.cnt for r in rows) > 0
+    assert all(r.category.startswith("len_bucket_") for r in rows)
