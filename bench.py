@@ -48,8 +48,17 @@ def main() -> None:
     from fastpasta_spark.session import get_spark
     from fastpasta_spark.sources.synth import CorpusConfig, corpus_df, media_df
 
+    # finer input splits + small Arrow batches: the synthetic corpus is
+    # a few hundred MB in ~256 small files — default 128m splits pack it
+    # into ~16 partitions and starve a 32-core run (see BENCH/BASELINE.md
+    # methodology notes)
     spark = get_spark(app_name="fastpasta_spark_bench", cores=CPUS,
-                      shuffle_partitions=max(8, CPUS))
+                      shuffle_partitions=max(8, CPUS),
+                      extra_conf={
+                          "spark.sql.files.maxPartitionBytes": "4m",
+                          "spark.sql.files.openCostInBytes": "512k",
+                          "spark.sql.execution.arrow.maxRecordsPerBatch": "500",
+                      })
 
     # --- validation throughput on the synthetic interleaved corpus ------
     from fastpasta_spark.sources.synth import GENERATOR_VERSION

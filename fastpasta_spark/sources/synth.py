@@ -72,12 +72,18 @@ class CorpusConfig:
     corrupt_per_mille: int = 0  # docs corrupted per 1000 (0 = clean corpus)
     dup_per_mille: int = 0      # extra duplicate-doc_id rows per 1000
     hot_key_copies: int = 0     # skew: extra copies of doc 0's key
+    # document weight knobs (defaults = historical shape; benches use
+    # heavier docs so per-doc compute dominates fixed driver overheads)
+    min_frames: int = 1
+    max_frames: int = 3
+    min_content: int = 1
+    max_content: int = 4
 
 
 def _doc_spans(i: int, cfg: CorpusConfig) -> list[dict]:
     """Clean spans for doc index i — pure function of (seed, i)."""
     h = splitmix64(cfg.seed * 0x51_7C_C1 + i)
-    n_frames = 1 + h % 3
+    n_frames = cfg.min_frames + h % (cfg.max_frames - cfg.min_frames + 1)
     spans: list[dict] = []
     off = 0
 
@@ -90,7 +96,8 @@ def _doc_spans(i: int, cfg: CorpusConfig) -> list[dict]:
     hs = h
     for f in range(n_frames):
         hs = splitmix64(hs + f + 1)
-        n_content = 1 + (hs >> 16) % 4
+        n_content = cfg.min_content + (hs >> 16) % (
+            cfg.max_content - cfg.min_content + 1)
         # header declares the frame's content-span count (A1 analogue:
         # expected lanes per readout frame)
         push(S.KIND_HEADER, f"lanes={n_content}")

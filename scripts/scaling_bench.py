@@ -3,11 +3,21 @@
 The north_rule's two-cluster-size criterion (throughput scaling
 efficiency >= 0.8 from N to 4N executors) cannot use a real cluster in
 this sandbox, so per BASELINE.md we run the IDENTICAL validation job at
-local[N] and local[4N] (fresh JVM each, same parquet input,
-shuffle.partitions sized per level) and report docs/sec at both plus
+local[N] and local[4N] and report docs/sec at both plus
 efficiency = (T_N / T_4N) / 4.
 
-    python scripts/scaling_bench.py [n_low] [n_docs]
+Measurement discipline (this host is SHARED; loadavg is often >15 from
+neighbor workloads with nothing of ours running):
+  * each level's WHOLE process tree is pinned with `taskset` — local[N]
+    alone only bounds JVM task slots; Arrow python workers would
+    silently use extra host cores and corrupt the ratio
+  * reps ALTERNATE between levels so ambient noise hits both equally;
+    each rep is a fresh JVM with a warmup slice run first (codegen/JIT,
+    like the reference's hyperfine warmups, README.md:243-265)
+  * each rep additionally gates on ambient loadavg; the reported time
+    is the per-level MIN over reps (hyperfine-min analogue)
+
+    python scripts/scaling_bench.py [n_low] [n_docs] [reps]
 """
 
 from __future__ import annotations
@@ -20,6 +30,9 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+CFG_ARGS = ("corrupt_per_mille=50, dup_per_mille=5, "
+            "min_frames=4, max_frames=8, min_content=5, max_content=12")
+
 WORKER = r"""
 import json, sys, time
 sys.path.insert(0, {repo!r})
@@ -28,113 +41,123 @@ from fastpasta_spark.plans.check_all import check_all
 from fastpasta_spark.sources.synth import CorpusConfig, corpus_df, media_df
 
 cores = {cores}
+# finer input splits: the 323MB corpus otherwise packs into ~16 scan
+# partitions (openCost-dominated) -> a single straggler-bound wave at
+# 16 cores; ~100 splits give every level several balanced waves, which
+# is exactly how a many-file 100TB table would behave
 spark = get_spark(app_name=f"scaling_{{cores}}", cores=cores,
-                  shuffle_partitions=max(8, 2 * cores))
-cfg = CorpusConfig(n_docs={n_docs}, corrupt_per_mille=50, dup_per_mille=5)
+                  shuffle_partitions=max(8, 2 * cores),
+                  extra_conf={{"spark.sql.files.maxPartitionBytes": "4m",
+                               "spark.sql.files.openCostInBytes": "512k",
+                               # small Arrow batches: cache-friendlier
+                               # JVM<->Python conversion under high task
+                               # concurrency
+                               "spark.sql.execution.arrow.maxRecordsPerBatch": "500"}})
+cfg = CorpusConfig(n_docs={n_docs}, {cfg_args})
 docs = spark.read.parquet({corpus!r})
 media = media_df(spark, cfg)
-# warmup run on a small slice: compiles the same plans (whole-stage
-# codegen, Janino, Python worker spin-up) so the measured run reflects
-# steady-state throughput — same role as hyperfine's warmup runs in the
-# reference's benches (README.md:243-265)
 warm = check_all(docs.limit(2000), media)
 warm.violations.count(); warm.metrics.collect()
-# the sandbox host is SHARED (noisy neighbors, loadavg often >15 with
-# nothing of ours running): gate each rep on low ambient load and take
-# best-of-N as the uncontended estimate, like hyperfine's min
-def wait_for_quiet(max_wait=240, threshold=4.0):
-    waited = 0
-    while waited < max_wait:
-        load1 = float(open("/proc/loadavg").read().split()[0])
-        if load1 < threshold:
-            return load1
-        time.sleep(10); waited += 10
-    return load1
-
-best, nv, reps = None, 0, {reps}
-for _ in range(reps):
-    wait_for_quiet()
-    spark.catalog.clearCache()
-    t0 = time.perf_counter()
-    res = check_all(docs, media)
-    nv = res.violations.count()
-    res.metrics.collect()
-    dt = time.perf_counter() - t0
-    best = dt if best is None else min(best, dt)
-print("RESULT " + json.dumps({{"cores": cores, "sec": best,
+spark.catalog.clearCache()
+for _ in range(90):
+    if float(open("/proc/loadavg").read().split()[0]) < {load_gate}:
+        break
+    time.sleep(10)
+t0 = time.perf_counter()
+res = check_all(docs, media)
+nv = res.violations.count()
+res.metrics.collect()
+dt = time.perf_counter() - t0
+print("RESULT " + json.dumps({{"cores": cores, "sec": dt,
     "docs": docs.count(), "violations": nv}}))
 """
 
 
-def run_level(cores: int, n_docs: int, corpus: str, reps: int = 3) -> dict:
+def run_rep(cores: int, n_docs: int, corpus: str, load_gate: float = 3.0) -> dict:
     code = WORKER.format(repo=REPO, cores=cores, n_docs=n_docs, corpus=corpus,
-                         reps=reps)
-    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
-                         text=True, timeout=1800)
+                         cfg_args=CFG_ARGS, load_gate=load_gate)
+    cmd = ["taskset", "-c", f"0-{cores - 1}", sys.executable, "-c", code]
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=2400)
     for line in out.stdout.splitlines():
         if line.startswith("RESULT "):
             return json.loads(line[len("RESULT "):])
-    raise RuntimeError(f"level {cores} failed:\n{out.stdout[-2000:]}\n{out.stderr[-3000:]}")
+    raise RuntimeError(f"rep cores={cores} failed:\n{out.stdout[-2000:]}\n"
+                       f"{out.stderr[-3000:]}")
 
 
-def main(n_low: int = 4, n_docs: int = 1_500_000) -> None:
+def main(n_low: int = 4, n_docs: int = 600_000, reps: int = 5) -> None:
     sys.path.insert(0, REPO)
     from fastpasta_spark.sources.synth import GENERATOR_VERSION
 
-    corpus = f"/tmp/fastpasta_scaling_corpus_v{GENERATOR_VERSION}_{n_docs}"
+    corpus = f"/tmp/fastpasta_scaling_corpus_v{GENERATOR_VERSION}h_{n_docs}"
     if not os.path.exists(os.path.join(corpus, "_SUCCESS")):
         gen = (
             f"import sys; sys.path.insert(0, {REPO!r})\n"
             "from fastpasta_spark.session import get_spark\n"
             "from fastpasta_spark.sources.synth import CorpusConfig, corpus_df\n"
-            f"spark = get_spark(cores=16)\n"
-            f"cfg = CorpusConfig(n_docs={n_docs}, corrupt_per_mille=50, dup_per_mille=5)\n"
+            "spark = get_spark(cores=16)\n"
+            f"cfg = CorpusConfig(n_docs={n_docs}, {CFG_ARGS})\n"
             f"corpus_df(spark, cfg).write.mode('overwrite').parquet({corpus!r})\n"
         )
         subprocess.run([sys.executable, "-c", gen], check=True, timeout=1800,
                        capture_output=True)
 
     n_high = 4 * n_low
-    lo = run_level(n_low, n_docs, corpus)
-    hi = run_level(n_high, n_docs, corpus)
-    tput_lo = lo["docs"] / lo["sec"]
-    tput_hi = hi["docs"] / hi["sec"]
-    eff = (lo["sec"] / hi["sec"]) / 4
+    lo_times, hi_times = [], []
+    lo = hi = None
+    for rep in range(reps):
+        lo = run_rep(n_low, n_docs, corpus)
+        hi = run_rep(n_high, n_docs, corpus)
+        lo_times.append(lo["sec"])
+        hi_times.append(hi["sec"])
+        print(json.dumps({"rep": rep, "sec_low": round(lo["sec"], 2),
+                          "sec_high": round(hi["sec"], 2)}), flush=True)
+
+    sec_low, sec_high = min(lo_times), min(hi_times)
+    tput_lo = lo["docs"] / sec_low
+    tput_hi = hi["docs"] / sec_high
+    eff = (sec_low / sec_high) / 4
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     md = f"""# BENCH/BASELINE.md — scaling evidence (local[N] vs local[4N])
 
 Per BASELINE.md: the two-cluster-size criterion is evidenced by running
 the IDENTICAL end-to-end validation job (`check_all`: fused FSM +
-sanity + stats + uniqueness + referential, {lo['docs']:,} docs,
-{lo['violations']:,} violations found) on the same parquet input at two
-local parallelism levels, fresh JVM per level,
-`spark.sql.shuffle.partitions = 2 x cores` per level, warmup run
-excluded, best-of-3 per level with each rep gated on ambient
-loadavg < 4 (the sandbox host is shared — loadavg >15 from neighbor
-workloads with nothing of ours running — so the load-gated min
-approximates the uncontended time, as hyperfine's min does).
+sanity + stats + uniqueness + referential; {lo['docs']:,} docs of
+~4-8 frames x 5-12 content spans, {lo['violations']:,} violations
+found) on the same parquet input at two pinned parallelism levels.
 
-| level | cores | wall sec | docs/sec |
+Methodology (shared noisy host — loadavg >15 with nothing of ours
+running): whole process tree pinned via `taskset -c 0-(cores-1)` (the
+Arrow python workers live OUTSIDE local[N]'s task-slot budget and would
+otherwise inflate the low level); fresh JVM + warmup slice per rep;
+reps alternate between levels so ambient noise hits both; per-level
+minimum over {reps} reps (hyperfine-min analogue);
+`spark.sql.shuffle.partitions = 2 x cores`.
+
+| level | cores | wall sec (min of {reps}) | docs/sec |
 |---|---|---|---|
-| N  | {n_low} | {lo['sec']:.2f} | {tput_lo:,.0f} |
-| 4N | {n_high} | {hi['sec']:.2f} | {tput_hi:,.0f} |
+| N  | {n_low} | {sec_low:.2f} | {tput_lo:,.0f} |
+| 4N | {n_high} | {sec_high:.2f} | {tput_hi:,.0f} |
+
+all reps: N={[round(t, 1) for t in lo_times]}  4N={[round(t, 1) for t in hi_times]}
 
 **Scaling efficiency (T_N / T_4N) / 4 = {eff:.3f}** (gate: >= 0.8)
 
-Caveats: local mode shares one JVM/driver; shuffle is via local disk.
-On a real 4N-executor cluster the same plan shape applies (the fused
-pass is embarrassingly parallel per document; downstream aggregations
-shuffle only keys/violations).
+Caveats: local mode shares one JVM/driver and the host with neighbor
+workloads; shuffle goes through local disk. On a real 4N-executor
+cluster the same plan shape applies — the fused pass is embarrassingly
+parallel per document (zero exchanges; see tests/test_plans.py) and
+downstream aggregations shuffle only keys/violations.
 """
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)
     print(json.dumps({"n_low": n_low, "n_high": n_high,
-                      "sec_low": round(lo["sec"], 2), "sec_high": round(hi["sec"], 2),
-                      "docs_per_sec_low": round(tput_lo), "docs_per_sec_high": round(tput_hi),
+                      "sec_low": round(sec_low, 2), "sec_high": round(sec_high, 2),
+                      "docs_per_sec_low": round(tput_lo),
+                      "docs_per_sec_high": round(tput_hi),
                       "efficiency": round(eff, 3)}))
 
 
 if __name__ == "__main__":
-    args = [int(a) for a in sys.argv[1:]]
-    main(*args)
+    main(*(int(a) for a in sys.argv[1:]))
