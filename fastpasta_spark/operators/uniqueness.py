@@ -77,7 +77,7 @@ def uniqueness_violations(docs: DataFrame, key: str = "doc_id") -> DataFrame:
 def uniqueness_metrics(docs: DataFrame, key: str = "doc_id") -> DataFrame:
     """(name, value) metrics: exact + HLL distinct, dup rows.
 
-    One aggregation job; HLL rsd=0.01 keeps the sketch small enough to
+    One aggregation job; the HLL sketch is small enough to
     merge tree-style at 10^12 keys.
     """
     # HLL over a 64-bit pre-hash — rsd=0.01 on raw strings takes a ~10x
