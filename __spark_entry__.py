@@ -491,6 +491,36 @@ SELECT user_id, sum(new_session) AS n_sessions FROM (
 """
 
 
+def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (temporal operator Spark lacks natively): every error
+    event + the latest click by the same user at or before it. Engine:
+    union + last-value window, ONE shuffle (operators/asof.py); oracle:
+    DuckDB's native ASOF JOIN."""
+    from fastpasta_spark.operators.asof import asof_join
+
+    e = _read(spark, sf_dir, "events")
+    errors = e.filter(F.col("event_type") == "error")
+    clicks = e.filter(F.col("event_type") == "click")
+    out = asof_join(errors, clicks, key="user_id", left_time="ts",
+                    right_time="ts", payload_cols=["event_id", "value"])
+    return out.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("asof_event_id").cast("long").alias("last_click_id"),
+        F.round("asof_value", 4).alias("last_click_value"),
+    )
+
+
+_SQL_ASOF_JOIN = """
+SELECT e.event_id, e.user_id,
+       c.event_id AS last_click_id,
+       round(c.value, 4) AS last_click_value
+FROM (SELECT * FROM events WHERE event_type = 'error') e
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON e.user_id = c.user_id AND e.ts >= c.ts
+"""
+
+
 def _q_source_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-value/uniformity attributes per group (G3 analogue)."""
     d = _read(spark, sf_dir, "documents")
@@ -762,6 +792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_agg": _q_rollup,
         "sessionize": _q_sessionize,
         "source_uniformity": _q_source_uniformity,
+        "asof_join": _q_asof_join,
         # training-data pipeline ops
         "textstats": _q_textstats,
         "minhash_signatures": _q_minhash_signatures,
@@ -792,6 +823,7 @@ def oracle_sql() -> dict[str, str]:
         "rollup_agg": _SQL_ROLLUP,
         "sessionize": _SQL_SESSIONIZE,
         "source_uniformity": _SQL_SOURCE_UNIFORMITY,
+        "asof_join": _SQL_ASOF_JOIN,
         "textstats": _sql_textstats(),
         "minhash_signatures": _sql_minhash_signatures(),
         "jaccard_pairs": _sql_jaccard_pairs(),
