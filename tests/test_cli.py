@@ -1,0 +1,78 @@
+"""CLI surface tests (in-process main(); exit codes are the contract —
+the reference exits non-zero on validation errors)."""
+
+import json
+
+import pytest
+
+from fastpasta_spark.cli import main
+from fastpasta_spark.sources.synth import CorpusConfig, corpus_df, media_df
+
+
+@pytest.fixture(scope="module")
+def fixture_paths(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("cli")
+    cfg = CorpusConfig(n_docs=150, corrupt_per_mille=150, dup_per_mille=20)
+    corpus_df(spark, cfg).write.parquet(str(base / "docs"))
+    media_df(spark, cfg).write.parquet(str(base / "media"))
+    corpus_df(spark, CorpusConfig(n_docs=80)).write.parquet(str(base / "clean"))
+    return base
+
+
+def test_check_all_exit_codes_and_stats(fixture_paths, capsys):
+    stats = str(fixture_paths / "stats.json")
+    rc = main(["check", "all", str(fixture_paths / "docs"),
+               "--media", str(fixture_paths / "media"),
+               "--output-stats", stats])
+    assert rc == 2  # violations found
+    out = capsys.readouterr().out
+    assert "[E" in out and "total_errors" in out
+    with open(stats) as f:
+        assert json.load(f)["total_errors"] > 0
+
+    # golden round-trip: same run vs its own stats -> all fields match
+    rc = main(["check", "all", str(fixture_paths / "docs"),
+               "--media", str(fixture_paths / "media"),
+               "--input-stats-file", stats])
+    assert rc == 2  # still has violations, but...
+    assert "golden stats: all fields match" in capsys.readouterr().out
+
+
+def test_check_all_clean_exit_zero(fixture_paths):
+    rc = main(["check", "all", str(fixture_paths / "clean")])
+    assert rc == 0
+
+
+def test_check_sanity(fixture_paths, capsys):
+    rc = main(["check", "sanity", str(fixture_paths / "docs")])
+    assert rc == 2
+    assert "total errors:" in capsys.readouterr().out
+
+
+def test_views(fixture_paths, capsys):
+    assert main(["view", "docs", str(fixture_paths / "docs"), "-n", "3"]) == 0
+    assert "n_spans" in capsys.readouterr().out
+    assert main(["view", "frames", str(fixture_paths / "docs"), "-n", "3"]) == 0
+    assert "describe" in capsys.readouterr().out
+
+
+def test_filter_passthrough(fixture_paths, spark, capsys):
+    out = str(fixture_paths / "filtered")
+    rc = main(["filter", str(fixture_paths / "docs"), "--kind", "media",
+               "-o", out])
+    assert rc == 0
+    kept = spark.read.parquet(out)
+    from pyspark.sql import functions as F
+
+    n_with_media = kept.filter(
+        F.expr("exists(spans, s -> s.kind = 'media')")).count()
+    assert kept.count() == n_with_media > 0
+
+
+def test_resumable_via_cli(fixture_paths, capsys):
+    ckpt = str(fixture_paths / "ckpt")
+    rc = main(["check", "all", str(fixture_paths / "docs"),
+               "--media", str(fixture_paths / "media"),
+               "--checkpoint", ckpt])
+    assert rc == 2
+    assert "run_id=" in capsys.readouterr().out
