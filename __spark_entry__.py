@@ -192,13 +192,16 @@ def _q_metrics_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#  ::BIGINT on integer sums: DuckDB types sum(int) as HUGEINT -> Arrow
+#  decimal128(38,0), which the driver's hasher normalizes differently
+#  from Spark's BIGINT (round-1 hash mismatch root cause).
 _SQL_METRICS_PROFILE = f"""
 SELECT count(*) AS docs,
-       sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS null_texts,
-       min(length(text)) AS min_len,
-       max(length(text)) AS max_len,
+       sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END)::BIGINT AS null_texts,
+       min(length(text))::BIGINT AS min_len,
+       max(length(text))::BIGINT AS max_len,
        round(avg(length(text)), 4) AS avg_len,
-       sum(len({duckdb_tokens('text')})) AS total_tokens
+       sum(len({duckdb_tokens('text')}))::BIGINT AS total_tokens
 FROM documents
 """
 
@@ -291,7 +294,7 @@ def _q_bitflag_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_BITFLAG_HIST = "SELECT " + ", ".join(
-    f"sum((user_id >> {b}) & 1) AS bit_{b}" for b in range(8)
+    f"sum((user_id >> {b}) & 1)::BIGINT AS bit_{b}" for b in range(8)
 ) + " FROM events"
 
 
@@ -471,8 +474,12 @@ def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _read(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = (F.unix_timestamp("ts")
-           - F.unix_timestamp(F.lag("ts").over(w))) > 3600
+    # microsecond-exact gap: unix_timestamp truncates to whole seconds
+    # while the DuckDB oracle keeps microseconds — a true gap within 1s
+    # of the threshold would flip the comparison (latent round-1 bug)
+    us = lambda c: F.unix_micros(c.cast("timestamp"))  # ts is TIMESTAMP_NTZ;
+    # the session-tz shift from the cast cancels in the difference
+    gap = (us(F.col("ts")) - us(F.lag("ts").over(w))) > 3600 * 1_000_000
     return (
         e.withColumn("new_session", F.coalesce(gap.cast("long"), F.lit(1)))
         .groupBy("user_id")
@@ -482,10 +489,11 @@ def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_SESSIONIZE = """
-SELECT user_id, sum(new_session) AS n_sessions FROM (
+SELECT user_id, sum(new_session)::BIGINT AS n_sessions FROM (
   SELECT user_id,
          CASE WHEN lag(ts) OVER w IS NULL THEN 1
-              WHEN epoch(ts) - epoch(lag(ts) OVER w) > 3600 THEN 1 ELSE 0 END AS new_session
+              WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 3600000000 THEN 1 ELSE 0 END
+           AS new_session
   FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ) t GROUP BY user_id
 """

@@ -103,11 +103,15 @@ def main(argv: list[str] | None = None) -> int:
         violations = sanity_violations(docs).orderBy("doc_id", "offset")
         if args.max_errors is not None:
             violations = violations.limit(args.max_errors)
-        rows = violations.collect()
-        for r in rows[:50]:
+        # take(50) for display + count() for the total: an unbounded
+        # collect() here is a driver OOM at scale (the violation table
+        # can be as large as the input)
+        shown = violations.take(50)
+        for r in shown:
             print(f"{r.doc_id}:{r.offset}: [{r.check_code}] {r.message}")
-        print(f"total errors: {len(rows)}")
-        return 2 if rows else 0
+        n = len(shown) if len(shown) < 50 else violations.count()
+        print(f"total errors: {n}")
+        return 2 if n else 0
 
     if args.checkpoint:
         from fastpasta_spark.plans.lineage import run_resumable

@@ -45,7 +45,10 @@ import re
 
 from fastpasta_spark import schema as S
 
-_DOC_ID_RE = re.compile(r"^[A-Za-z0-9_-]+$")
+# \A..\Z (not ^..$): Python's $ matches before a trailing newline, RE2's
+# (Arrow twin in operators/sequence.py) does not — strict anchors keep the
+# three implementations (here, Arrow, Java RLIKE) byte-identical
+_DOC_ID_RE = re.compile(r"\A[A-Za-z0-9_-]+\Z")
 
 # FSM states
 START = 0        # before any span

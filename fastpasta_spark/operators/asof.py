@@ -37,7 +37,10 @@ def asof_join(
 
     Ties on time resolve to the right row (side ordering: right rows
     sort before left rows at equal times, so an exactly-simultaneous
-    right row IS visible to the left row).
+    right row IS visible to the left row). Among right rows sharing the
+    same (key, time), the greatest payload tuple (compared in
+    payload_cols order) wins — a deterministic rule, so output is stable
+    across runs and partitionings.
     """
     lcols = left.columns
     l_tag = left.select(
@@ -57,7 +60,10 @@ def asof_join(
     )
     w = (
         Window.partitionBy("_k")
-        .orderBy("_t", "_side")
+        .orderBy("_t", "_side",
+                 # deterministic tie-break among equal-time right rows:
+                 # last() then picks the greatest payload tuple
+                 *[F.col(f"{prefix}{c}").asc_nulls_first() for c in payload_cols])
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     unioned = l_tag.unionByName(r_tag)

@@ -91,8 +91,10 @@ def sanity_violations(docs: DataFrame) -> DataFrame:
                       "'doc_id is null or empty'"),
             _doc_rule("spans IS NULL OR size(spans) = 0", S.E12_SPANS_NULL,
                       "'spans array is null or empty'"),
+            # \\A..\\z strict anchors: Java $ matches before a trailing
+            # newline; the fused Arrow pass (RE2) does not — keep them equal
             _doc_rule("doc_id IS NOT NULL AND doc_id <> '' "
-                      "AND NOT doc_id RLIKE '^[A-Za-z0-9_-]+$'",
+                      "AND NOT doc_id RLIKE '\\\\A[A-Za-z0-9_-]+\\\\z'",
                       S.E13_DOC_ID_FORMAT,
                       "concat('malformed doc_id: ', doc_id)"),
             _doc_rule(

@@ -85,7 +85,9 @@ _K_CALIB = _KINDS.index(S.KIND_CALIB)
 _K_TRAILER = _KINDS.index(S.KIND_TRAILER)
 _K_DIAG = _KINDS.index(S.KIND_DIAG)
 
-_DOC_ID_RE = r"^[A-Za-z0-9_-]+$"
+# strict anchors (\A..\z) — RE2 supports them and they mean the same in
+# Python/Java, unlike $ (which Python/Java match before a trailing newline)
+_DOC_ID_RE = r"\A[A-Za-z0-9_-]+\z"
 
 
 def _empty_cols(n: int, typ) -> pa.Array:

@@ -169,12 +169,26 @@ def check_all(
 
     metrics = stats.unionByName(uniq_metrics).unionByName(code_counts).unionByName(total)
 
-    # per-doc verdict: docs with no ERROR/FATAL violation pass
+    # per-doc verdict: docs with no ERROR/FATAL violation pass. NULL
+    # doc_ids coalesce to a sentinel for the join — a NULL key never
+    # matches a left_anti join, so a doc that produced an E10 ERROR
+    # would otherwise be reported PASS. (All NULL-keyed docs collapse
+    # into the one sentinel row — NULL keys are indistinguishable.)
+    sent = "\x00null_doc_id"
+    key_of = F.coalesce(F.col("doc_id"), F.lit(sent)).alias("doc_id")
     failed = violations.filter(
-        (F.col("severity") != S.SEV_WARNING) & F.col("doc_id").isNotNull()
-    ).select("doc_id").distinct()
-    passed = keys.distinct().join(failed, "doc_id", "left_anti").select(
+        F.col("severity") != S.SEV_WARNING
+    ).select(key_of).distinct()
+    passed = keys.select(key_of).distinct().join(
+        failed, "doc_id", "left_anti"
+    ).select(
         "doc_id", F.lit("PASS").alias("verdict")
-    ).unionByName(failed.select("doc_id", F.lit("FAIL").alias("verdict")))
+    ).unionByName(
+        failed.select("doc_id", F.lit("FAIL").alias("verdict"))
+    ).select(
+        F.when(F.col("doc_id") == sent, F.lit(None).cast("string"))
+        .otherwise(F.col("doc_id")).alias("doc_id"),
+        "verdict",
+    )
 
     return CheckResult(violations=violations_sorted, metrics=metrics, passed=passed)

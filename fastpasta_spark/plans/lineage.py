@@ -63,8 +63,9 @@ def record_lineage(
 
     One row per bucket: (run_id, bucket, docs_seen, violations, verdict).
     Append-mode parquet = the checkpoint table; a killed run simply never
-    appends its rows, so its buckets re-run on resume (idempotent since
-    outputs are overwritten per bucket by the caller or deduped on read).
+    appends its rows, so its buckets re-run on resume (idempotent because
+    the caller writes violations with dynamic partition-overwrite per
+    bucket BEFORE this marker lands — a re-run replaces, never duplicates).
     """
     run_id = run_id or uuid.uuid4().hex
     path = os.path.join(checkpoint_dir, "lineage")
@@ -120,7 +121,15 @@ def run_resumable(
         "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int")
     )
     out_path = os.path.join(out_dir or checkpoint_dir, "violations")
-    viol.write.mode("append").partitionBy("bucket").parquet(out_path)
-    run_id = record_lineage(res.violations, todo, checkpoint_dir, n_buckets)
+    # dynamic overwrite, NOT append: a crash between this write and
+    # record_lineage re-runs these buckets on resume; overwrite-per-bucket
+    # makes the re-run idempotent (append would duplicate their rows)
     spark = docs.sparkSession
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        viol.write.mode("overwrite").partitionBy("bucket").parquet(out_path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+    run_id = record_lineage(res.violations, todo, checkpoint_dir, n_buckets)
     return spark.read.parquet(out_path), run_id

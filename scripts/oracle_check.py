@@ -7,10 +7,12 @@ row count / schema / order-insensitive value hash. Usage:
 
 from __future__ import annotations
 
+import decimal
 import hashlib
 import sys
 
 import duckdb
+import pyarrow as pa
 
 sys.path.insert(0, ".")
 
@@ -23,11 +25,23 @@ def norm_cell(v):
         return "NULL"
     if isinstance(v, bool):
         return str(int(v))
+    if isinstance(v, decimal.Decimal):
+        v = float(v)
     if isinstance(v, float):
         if v != v:
             return "nan"
         return f"{v:.6f}".rstrip("0").rstrip(".")
     return str(v)
+
+
+def decimal_cols(table: pa.Table) -> list[str]:
+    """DuckDB types sum(int) as HUGEINT -> Arrow decimal128(38,0); the
+    driver's hasher normalizes that differently from BIGINT even when the
+    values are identical (round-1 mismatch). Surface such columns as
+    failures locally so the fix (::BIGINT cast in the oracle SQL) lands
+    before the driver runs."""
+    return [f.name for f in table.schema
+            if pa.types.is_decimal(f.type)]
 
 
 def value_hash(rows, colnames):
@@ -70,12 +84,16 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
         try:
             rel = con.sql(oracles[name])
             dcols = rel.columns
-            drows = rel.fetchall()
+            atab = rel.arrow()
+            drows = [tuple(r.values()) for r in atab.to_pylist()]
         except Exception as e:
             print(f"FAIL  {name}: duckdb error {str(e)[:200]}")
             failures += 1
             continue
         problems = []
+        decs = decimal_cols(atab)
+        if decs:
+            problems.append(f"decimal-typed oracle cols {decs} (cast ::BIGINT/::DOUBLE)")
         if len(srows) != len(drows):
             problems.append(f"rows {len(srows)} vs {len(drows)}")
         if sorted(scols) != sorted(dcols):
