@@ -132,16 +132,13 @@ SELECT doc_id, check_code FROM (
 def _q_running_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered running check per key (R1-R3 analogue): events whose value
     decreased vs the previous event of the same user (order = event_id)."""
-    from pyspark.sql import Window as W
+    from fastpasta_spark.operators.running import monotone_violations
 
     e = _read(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("event_id")
-    return (
-        e.withColumn("prev_value", F.lag("value").over(w))
-        .filter(F.col("value") < F.col("prev_value"))
-        .select(F.col("user_id").cast("long").alias("user_id"),
-                F.col("event_id").cast("long").alias("event_id"))
-    )
+    return monotone_violations(e, key="user_id", order=["event_id"],
+                               value_col="value").select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_id").cast("long").alias("event_id"))
 
 
 _SQL_RUNNING_CHECK = """
@@ -499,6 +496,40 @@ SELECT user_id, sum(new_session)::BIGINT AS n_sessions FROM (
 """
 
 
+def _q_trigger_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigger-period check (R10/E45 analogue, tdh.rs:60-109): per user,
+    over the click sub-sequence, the mod-3564 bc distance between
+    consecutive events must equal 17 — report the off-period rows. The
+    same lag-over-filtered-subsequence shape as the FSM's E45, here in
+    pure SQL so it is oracle-checkable."""
+    from fastpasta_spark.operators.running import period_violations
+
+    e = _read(spark, sf_dir, "events").filter(F.col("event_type") == "click")
+    bc = F.pmod(F.col("event_id"), F.lit(3564))
+    out = period_violations(e.withColumn("bc", bc), key="user_id",
+                            order=["event_id"], bc_col="bc",
+                            period=17, modulus=3564)
+    return (
+        out.select(F.col("user_id").cast("long").alias("user_id"),
+                   F.col("event_id").cast("long").alias("event_id"),
+                   F.col("detected").cast("long").alias("detected"))
+        .orderBy("user_id", "event_id")
+        .limit(500)
+    )
+
+
+_SQL_TRIGGER_PERIOD = """
+SELECT user_id, event_id, detected FROM (
+  SELECT user_id, event_id,
+         ((bc - lag(bc) OVER (PARTITION BY user_id ORDER BY event_id))
+          % 3564 + 3564) % 3564 AS detected
+  FROM (SELECT user_id, event_id, event_id % 3564 AS bc
+        FROM events WHERE event_type = 'click') t
+) v WHERE detected IS NOT NULL AND detected <> 17
+ORDER BY user_id, event_id LIMIT 500
+"""
+
+
 def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (temporal operator Spark lacks natively): every error
     event + the latest click by the same user at or before it. Engine:
@@ -801,6 +832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": _q_sessionize,
         "source_uniformity": _q_source_uniformity,
         "asof_join": _q_asof_join,
+        "trigger_period": _q_trigger_period,
         # training-data pipeline ops
         "textstats": _q_textstats,
         "minhash_signatures": _q_minhash_signatures,
@@ -832,6 +864,7 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": _SQL_SESSIONIZE,
         "source_uniformity": _SQL_SOURCE_UNIFORMITY,
         "asof_join": _SQL_ASOF_JOIN,
+        "trigger_period": _SQL_TRIGGER_PERIOD,
         "textstats": _sql_textstats(),
         "minhash_signatures": _sql_minhash_signatures(),
         "jaccard_pairs": _sql_jaccard_pairs(),

@@ -41,6 +41,9 @@ def main(argv: list[str] | None = None) -> int:
     chk.add_argument("input")
     chk.add_argument("--media", help="media dimension parquet", default=None)
     chk.add_argument("--max-errors", type=int, default=None)
+    chk.add_argument("--trigger-period", type=int, default=None,
+                     help="expected bc period between internal triggers "
+                          "(E45 check; reference --its-trigger-period)")
     chk.add_argument("--output-stats", default=None)
     chk.add_argument("--input-stats-file", default=None)
     chk.add_argument("--checkpoint", default=None,
@@ -121,7 +124,8 @@ def main(argv: list[str] | None = None) -> int:
         print(f"run_id={run_id} violations={n}")
         return 2 if n else 0
 
-    res = check_all(docs, media, max_errors=args.max_errors)
+    res = check_all(docs, media, max_errors=args.max_errors,
+                    trigger_period=args.trigger_period)
     exit_code = 0
     for r in res.violations.take(50):
         print(f"{r.doc_id}:{r.offset}: [{r.check_code}] {r.message}")

@@ -16,6 +16,9 @@ Grammar over the span-kind alphabet (FIXTURES.md):
 Running rules:
   * trig.cont=1 is legal only when the previous trailer had done=0 (E41)
   * trig.bc is non-decreasing across trigs within a doc (E440)
+  * with a user-configured ``trigger_period``: between consecutive trigs
+    carrying int=1 (internal trigger), (bc_cur - bc_prev) mod 3564 must
+    equal the period -> E45 (tdh.rs:60-109 via cdp_running.rs:400-427)
   * a trailer closing a frame with zero content spans -> E701
   * header lanes=N declares the frame's expected content-span count
     (excluding calib); a closing trailer with a different count -> E702
@@ -27,6 +30,28 @@ Running rules:
   * a trailer with no open frame -> E992; doc ending inside a frame -> E991
   * any span after diag -> E60
   * calib after content within a frame -> E81
+
+Lane-identity + chip layer (the third nesting level; opt-in per span —
+a content span participates iff its text starts with ``lane=``):
+  * header may declare the lane SET via ``lane_ids=a;b;c`` (and expected
+    chips per lane via ``chips=M``); a participating span whose lane is
+    not in the set -> E704 (membership, util.rs:184-189, ib.rs:14-22)
+  * participating lanes must appear in non-decreasing order within a
+    frame -> E705 (legal-grouping analogue, alpide_readout_frame.rs:94-130)
+  * a participating span may carry a chip sub-stream ``chips=c0;c1;...``
+    plus a chip bunch counter ``cbc=B`` (lane_alpide_frame_analyzer.rs:
+    91-177 decode analogue):
+      - chip count != declared chips=M -> E9004
+      - else chip ids not strictly increasing -> E9005 (order checked
+        only when the count is valid, mirroring the reference :191-205)
+      - cbc values must agree across all lanes of one frame; the
+        mismatch is reported on the closing trailer -> E9003
+      - an undecodable chip stream (non-integer id) -> E9006 with
+        severity FATAL; the lane joins the doc's running fatal set and
+        is excluded from expected-lane accounting for all LATER frames
+        (readout_frame.rs:40-50: expected count drops per fatal lane).
+        The frame where the lane went fatal still expects it (the fatal
+        set is snapshotted at frame open).
 
 The function below is PURE PYTHON over plain lists — it is the single
 source of truth used BOTH by the vectorized engine pass
@@ -80,6 +105,25 @@ def _int_field(fields: dict[str, str], key: str) -> int | None:
         return None
 
 
+def _int_list_field(fields: dict[str, str], key: str) -> list[int] | None:
+    """Parse a ';'-separated int list value ('0;1;2'). None if the key is
+    absent OR any element fails to parse (undecodable list)."""
+    v = fields.get(key)
+    if v is None:
+        return None
+    out: list[int] = []
+    for part in v.split(";"):
+        try:
+            out.append(int(part))
+        except ValueError:
+            return None
+    return out
+
+
+# bc counters wrap at this modulus (Tdh::MAX_BC + 1 analogue)
+BC_MODULUS = 3564
+
+
 def stateless_doc_checks(
     doc_id: str | None, spans: list[tuple[str, str, str, int]] | None
 ) -> list[tuple[int | None, int, str, str, str]]:
@@ -121,11 +165,16 @@ def stateless_doc_checks(
     return viol
 
 
-def validate_spans(spans: list[tuple[str, str, str, int]]) -> list[tuple[int, int, str, str, str]]:
+def validate_spans(
+    spans: list[tuple[str, str, str, int]],
+    trigger_period: int | None = None,
+) -> list[tuple[int, int, str, str, str]]:
     """Run the grammar FSM over one document's spans.
 
     ``spans`` is the list of (kind, text, media_ref, offset), already in
     stored order (callers sort by offset first when offsets are sane).
+    ``trigger_period`` enables the E45 check (user-configurable, like the
+    reference's --its-trigger-period; off by default).
     Returns violations as (span_idx, offset, code, severity, message).
     Stateless per-span sanity (E70/E71/E72/E73) is NOT done here — that
     battery is vectorized Column expressions (operators/sanity.py).
@@ -134,13 +183,30 @@ def validate_spans(spans: list[tuple[str, str, str, int]]) -> list[tuple[int, in
     state = START
     prev_trailer_done: int | None = None
     prev_bc: int | None = None
+    prev_int_bc: int | None = None        # last bc of an int=1 trig (E45)
     content_in_frame = 0
     noncalib_in_frame = 0
     declared_lanes: int | None = None
+    declared_lane_ids: list[int] | None = None
+    declared_chips: int | None = None
+    fatal_lanes: set[int] = set()         # running, doc-scope (A8)
+    frame_fatal_snapshot: set[int] = set()  # fatal set at frame open (E702)
+    prev_lane: int | None = None
+    frame_cbcs: set[int] = set()
     frame_refs: set[str] = set()
 
     def emit(i: int, off: int, code: str, msg: str, sev: str = S.SEV_ERROR) -> None:
         viol.append((i, off, code, sev, msg))
+
+    def reset_frame() -> None:
+        nonlocal content_in_frame, noncalib_in_frame, frame_refs
+        nonlocal prev_lane, frame_cbcs, frame_fatal_snapshot
+        content_in_frame = 0
+        noncalib_in_frame = 0
+        frame_refs = set()
+        prev_lane = None
+        frame_cbcs = set()
+        frame_fatal_snapshot = set(fatal_lanes)
 
     for i, (kind, text, media_ref, offset) in enumerate(spans):
         off = offset if offset is not None else -1
@@ -151,6 +217,8 @@ def validate_spans(spans: list[tuple[str, str, str, int]]) -> list[tuple[int, in
         if kind == S.KIND_HEADER:
             fields = parse_kv(text or "")
             declared_lanes = _int_field(fields, "lanes")
+            declared_lane_ids = _int_list_field(fields, "lane_ids")
+            declared_chips = _int_field(fields, "chips")
             if declared_lanes is None:
                 emit(i, off, S.E30_HEADER_SANITY, "header missing integer lanes= field")
             if state in (START, CLOSED):
@@ -159,9 +227,7 @@ def validate_spans(spans: list[tuple[str, str, str, int]]) -> list[tuple[int, in
                 # double header / header inside frame; best-guess: reopen
                 emit(i, off, S.E990_FSM_UNEXPECTED, f"header not legal in state {state}")
                 state = AWAIT_TRIG
-            content_in_frame = 0
-            noncalib_in_frame = 0
-            frame_refs = set()
+            reset_frame()
 
         elif kind == S.KIND_TRIG:
             fields = parse_kv(text or "")
@@ -174,6 +240,17 @@ def validate_spans(spans: list[tuple[str, str, str, int]]) -> list[tuple[int, in
                     emit(i, off, S.E440_BC_NOT_MONOTONE,
                          f"trig bc {bc} decreased vs previous {prev_bc}")
                 prev_bc = bc
+            if (trigger_period is not None and bc is not None
+                    and _int_field(fields, "int") == 1):
+                # E45: period between consecutive internal triggers
+                # (tdh.rs:60-109; mod-3564 wraparound like Tdh::MAX_BC)
+                if prev_int_bc is not None:
+                    detected = (bc - prev_int_bc) % BC_MODULUS
+                    if detected != trigger_period:
+                        emit(i, off, S.E45_TRIGGER_PERIOD,
+                             f"trigger period {detected} != specified "
+                             f"{trigger_period} (prev bc {prev_int_bc}, bc {bc})")
+                prev_int_bc = bc
             if state == AWAIT_TRIG:
                 if cont == 1:
                     emit(i, off, S.E41_CONTINUATION,
@@ -190,9 +267,7 @@ def validate_spans(spans: list[tuple[str, str, str, int]]) -> list[tuple[int, in
             else:
                 emit(i, off, S.E990_FSM_UNEXPECTED, f"trig not legal in state {state}")
             state = CONTENT
-            content_in_frame = 0
-            noncalib_in_frame = 0
-            frame_refs = set()
+            reset_frame()
 
         elif kind in (S.KIND_TEXT, S.KIND_MEDIA):
             if state != CONTENT:
@@ -204,6 +279,12 @@ def validate_spans(spans: list[tuple[str, str, str, int]]) -> list[tuple[int, in
                     emit(i, off, S.E703_DUP_REF_IN_FRAME,
                          f"media_ref {media_ref} repeated within frame")
                 frame_refs.add(media_ref)
+            if text and text.startswith("lane="):
+                box = [prev_lane]
+                _lane_span_checks(parse_kv(text), i, off, emit, fatal_lanes,
+                                  declared_lane_ids, declared_chips,
+                                  frame_cbcs, box)
+                prev_lane = box[0]
             content_in_frame += 1
             noncalib_in_frame += 1
 
@@ -224,13 +305,18 @@ def validate_spans(spans: list[tuple[str, str, str, int]]) -> list[tuple[int, in
                 emit(i, off, S.E50_TRAILER_SANITY, "trailer missing done=0|1 field")
                 done = 1
             if state == CONTENT:
+                expected = _expected_lanes(
+                    declared_lanes, declared_lane_ids, frame_fatal_snapshot)
                 if noncalib_in_frame == 0:
                     emit(i, off, S.E701_EMPTY_FRAME,
                          "trailer closed a frame with no content spans")
-                elif declared_lanes is not None and noncalib_in_frame != declared_lanes:
+                elif expected is not None and noncalib_in_frame != expected:
                     emit(i, off, S.E702_LANE_COUNT,
                          f"frame content count {noncalib_in_frame} != "
-                         f"declared lanes {declared_lanes}")
+                         f"declared lanes {expected}")
+                if len(frame_cbcs) > 1:
+                    emit(i, off, S.E9003_CHIP_BC_MISMATCH,
+                         f"chip bc mismatch across lanes: {sorted(frame_cbcs)}")
                 state = CLOSED
             else:
                 emit(i, off, S.E992_FSM_ORPHAN_CLOSE,
@@ -255,3 +341,64 @@ def validate_spans(spans: list[tuple[str, str, str, int]]) -> list[tuple[int, in
                      S.E991_FSM_UNCLOSED, S.SEV_ERROR,
                      "document ended with an open frame"))
     return viol
+
+
+def _expected_lanes(
+    declared_lanes: int | None,
+    declared_lane_ids: list[int] | None,
+    fatal_snapshot: set[int],
+) -> int | None:
+    """Expected content-span count for a closing frame: the declared lane
+    set minus lanes already FATAL when the frame opened
+    (readout_frame.rs:64-77: `expect_lane_count -= fatal_lanes.len()`)."""
+    if declared_lane_ids is not None:
+        return len([lid for lid in declared_lane_ids if lid not in fatal_snapshot])
+    if declared_lanes is not None and fatal_snapshot:
+        return max(declared_lanes - len(fatal_snapshot), 0)
+    return declared_lanes
+
+
+def _lane_span_checks(
+    fields: dict[str, str],
+    i: int,
+    off: int,
+    emit,
+    fatal_lanes: set[int],
+    declared_lane_ids: list[int] | None,
+    declared_chips: int | None,
+    frame_cbcs: set[int],
+    prev_lane_box: list,
+) -> None:
+    """Lane-identity + chip-layer checks for ONE participating content span
+    (text starts with 'lane='). Mutates fatal_lanes / frame_cbcs /
+    prev_lane_box in place. Shared by both FSM implementations so the
+    message formats cannot drift."""
+    lane = _int_field(fields, "lane")
+    if lane is None:
+        return
+    if lane in fatal_lanes:
+        return  # FATAL lane: excluded from all expectations (A8)
+    if declared_lane_ids is not None and lane not in declared_lane_ids:
+        emit(i, off, S.E704_LANE_NOT_DECLARED,
+             f"lane {lane} not in declared lane set {declared_lane_ids}")
+    if prev_lane_box[0] is not None and lane < prev_lane_box[0]:
+        emit(i, off, S.E705_LANE_ORDER,
+             f"lane {lane} out of order after lane {prev_lane_box[0]}")
+    prev_lane_box[0] = lane
+    if "chips" in fields:
+        chips = _int_list_field(fields, "chips")
+        if chips is None:
+            emit(i, off, S.E9006_LANE_FATAL,
+                 f"undecodable chip stream on lane {lane}; lane excluded "
+                 "for the rest of the doc", S.SEV_FATAL)
+            fatal_lanes.add(lane)
+            return
+        cbc = _int_field(fields, "cbc")
+        if cbc is not None:
+            frame_cbcs.add(cbc)
+        if declared_chips is not None and len(chips) != declared_chips:
+            emit(i, off, S.E9004_CHIP_COUNT,
+                 f"chip count {len(chips)} != declared {declared_chips}")
+        elif any(chips[j] >= chips[j + 1] for j in range(len(chips) - 1)):
+            emit(i, off, S.E9005_CHIP_ORDER,
+                 f"chip ids not strictly increasing: {chips}")

@@ -112,11 +112,13 @@ def _viol_batch(doc_ids, span_idx, offsets, codes, sevs, msgs) -> pa.RecordBatch
     )
 
 
-def _fsm_over_codes(codes, offs, kv, refs, n_spans, kind_name):
+def _fsm_over_codes(codes, offs, kv, refs, n_spans, kind_name,
+                    trigger_period=None):
     """The grammar FSM over int kind-codes for ONE document.
 
     codes: list[int|-1] kind codes; offs: list[int|-1] span offsets;
-    kv: dict span_idx -> parsed fields for header/trig/trailer spans;
+    kv: dict span_idx -> parsed fields for header/trig/trailer spans AND
+    for content spans whose text starts with 'lane=' (lane-layer opt-in);
     refs: dict span_idx -> media_ref for media spans with non-empty ref;
     kind_name: i -> original kind string (lazy; for E60 messages only).
     Semantics identical to functions/fsm.validate_spans (oracle-tested).
@@ -126,10 +128,20 @@ def _fsm_over_codes(codes, offs, kv, refs, n_spans, kind_name):
     state = pyfsm.START
     prev_trailer_done = None
     prev_bc = None
+    prev_int_bc = None
     noncalib = 0
     declared_lanes = None
+    declared_lane_ids = None
+    declared_chips = None
+    fatal_lanes = set()
+    frame_fatal_snapshot = set()
+    prev_lane_box = [None]
+    frame_cbcs = set()
     frame_refs = set()
     E = S.SEV_ERROR
+
+    def emit(i, off, code, msg, sev=E):
+        viol.append((i, off, code, sev, msg))
 
     for i in range(n_spans):
         k = codes[i]
@@ -142,6 +154,8 @@ def _fsm_over_codes(codes, offs, kv, refs, n_spans, kind_name):
         if k == _K_HEADER:
             fields = kv.get(i, {})
             declared_lanes = pyfsm._int_field(fields, "lanes")
+            declared_lane_ids = pyfsm._int_list_field(fields, "lane_ids")
+            declared_chips = pyfsm._int_field(fields, "chips")
             if declared_lanes is None:
                 viol.append((i, off, S.E30_HEADER_SANITY, E,
                              "header missing integer lanes= field"))
@@ -151,6 +165,9 @@ def _fsm_over_codes(codes, offs, kv, refs, n_spans, kind_name):
             state = pyfsm.AWAIT_TRIG
             noncalib = 0
             frame_refs = set()
+            prev_lane_box = [None]
+            frame_cbcs = set()
+            frame_fatal_snapshot = set(fatal_lanes)
 
         elif k == _K_TRIG:
             fields = kv.get(i, {})
@@ -164,6 +181,15 @@ def _fsm_over_codes(codes, offs, kv, refs, n_spans, kind_name):
                     viol.append((i, off, S.E440_BC_NOT_MONOTONE, E,
                                  f"trig bc {bc} decreased vs previous {prev_bc}"))
                 prev_bc = bc
+            if (trigger_period is not None and bc is not None
+                    and pyfsm._int_field(fields, "int") == 1):
+                if prev_int_bc is not None:
+                    detected = (bc - prev_int_bc) % pyfsm.BC_MODULUS
+                    if detected != trigger_period:
+                        viol.append((i, off, S.E45_TRIGGER_PERIOD, E,
+                                     f"trigger period {detected} != specified "
+                                     f"{trigger_period} (prev bc {prev_int_bc}, bc {bc})"))
+                prev_int_bc = bc
             if state == pyfsm.AWAIT_TRIG:
                 if cont == 1:
                     viol.append((i, off, S.E41_CONTINUATION, E,
@@ -182,6 +208,9 @@ def _fsm_over_codes(codes, offs, kv, refs, n_spans, kind_name):
             state = pyfsm.CONTENT
             noncalib = 0
             frame_refs = set()
+            prev_lane_box = [None]
+            frame_cbcs = set()
+            frame_fatal_snapshot = set(fatal_lanes)
 
         elif k == _K_TEXT or k == _K_MEDIA:
             if state != pyfsm.CONTENT:
@@ -194,6 +223,10 @@ def _fsm_over_codes(codes, offs, kv, refs, n_spans, kind_name):
                     viol.append((i, off, S.E703_DUP_REF_IN_FRAME, E,
                                  f"media_ref {ref} repeated within frame"))
                 frame_refs.add(ref)
+            if i in kv:  # lane-layer participant (text starts with 'lane=')
+                pyfsm._lane_span_checks(kv[i], i, off, emit, fatal_lanes,
+                                        declared_lane_ids, declared_chips,
+                                        frame_cbcs, prev_lane_box)
             noncalib += 1
 
         elif k == _K_CALIB:
@@ -213,13 +246,18 @@ def _fsm_over_codes(codes, offs, kv, refs, n_spans, kind_name):
                              "trailer missing done=0|1 field"))
                 done = 1
             if state == pyfsm.CONTENT:
+                expected = pyfsm._expected_lanes(
+                    declared_lanes, declared_lane_ids, frame_fatal_snapshot)
                 if noncalib == 0:
                     viol.append((i, off, S.E701_EMPTY_FRAME, E,
                                  "trailer closed a frame with no content spans"))
-                elif declared_lanes is not None and noncalib != declared_lanes:
+                elif expected is not None and noncalib != expected:
                     viol.append((i, off, S.E702_LANE_COUNT, E,
                                  f"frame content count {noncalib} != "
-                                 f"declared lanes {declared_lanes}"))
+                                 f"declared lanes {expected}"))
+                if len(frame_cbcs) > 1:
+                    viol.append((i, off, S.E9003_CHIP_BC_MISMATCH, E,
+                                 f"chip bc mismatch across lanes: {sorted(frame_cbcs)}"))
                 state = pyfsm.CLOSED
             else:
                 viol.append((i, off, S.E992_FSM_ORPHAN_CLOSE, E,
@@ -242,7 +280,7 @@ def _fsm_over_codes(codes, offs, kv, refs, n_spans, kind_name):
     return viol
 
 
-def _make_arrow_pass(fused: bool):
+def _make_arrow_pass(fused: bool, trigger_period: int | None = None):
     def arrow_pass(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
             tbl = pa.Table.from_batches([batch]).combine_chunks()
@@ -439,8 +477,14 @@ def _make_arrow_pass(fused: bool):
             ))
 
             # ---- the FSM loop (Python, but over ints + sparse kv) -------
-            # parse fields only for header/trig/trailer spans
+            # parse fields only for header/trig/trailer spans, plus the
+            # content spans that OPT INTO the lane layer (text starts
+            # with 'lane=' — vectorized prefix test, so free-text corpora
+            # pay nothing for the chip-level checks)
             kv_mask = (codes == _K_HEADER) | (codes == _K_TRIG) | (codes == _K_TRAILER)
+            lane_pref = pc.starts_with(pc.fill_null(text_c, ""), pattern="lane="
+                                       ).to_numpy(zero_copy_only=False)
+            kv_mask |= ((codes == _K_TEXT) | (codes == _K_MEDIA)) & lane_pref
             kv_idx = np.nonzero(kv_mask)[0]
             kv_texts = pc.take(text_c, pa.array(kv_idx)).to_pylist() if len(kv_idx) else []
             kv_flat = {int(j): pyfsm.parse_kv(t or "")
@@ -468,7 +512,8 @@ def _make_arrow_pass(fused: bool):
                 refs = {j - lo: ref_flat[j] for j in range(lo, hi) if j in ref_flat}
                 for i, off, code, sev, msg in _fsm_over_codes(
                         codes_l[lo:hi], offs_l[lo:hi], kv, refs, hi - lo,
-                        lambda i, _lo=lo: _kind_at(_lo + i)):
+                        lambda i, _lo=lo: _kind_at(_lo + i),
+                        trigger_period=trigger_period):
                     f_doc.append(doc_ids_py[d]); f_span.append(i)
                     f_off.append(off); f_code.append(code)
                     f_sev.append(sev); f_msg.append(msg)
@@ -482,11 +527,14 @@ def _make_arrow_pass(fused: bool):
     return arrow_pass
 
 
-def sequence_pass(docs: DataFrame, fused: bool = False) -> DataFrame:
+def sequence_pass(docs: DataFrame, fused: bool = False,
+                  trigger_period: int | None = None) -> DataFrame:
     """Run the FSM (+stats) pass. fused=True also emits key/ref rows and
-    the stateless battery (single-scan check_all mode)."""
+    the stateless battery (single-scan check_all mode). trigger_period
+    enables the E45 internal-trigger period check (reference
+    --its-trigger-period analogue; off by default)."""
     return docs.select("doc_id", "spans").mapInArrow(
-        _make_arrow_pass(fused), schema=SEQ_OUT_SCHEMA
+        _make_arrow_pass(fused, trigger_period), schema=SEQ_OUT_SCHEMA
     )
 
 

@@ -94,6 +94,7 @@ def check_all(
     golden_kind_profile: DataFrame | None = None,
     work_dir: str | None = None,
     max_errors: int | None = None,
+    trigger_period: int | None = None,
 ) -> CheckResult:
     """Full validation: one scan of docs, everything downstream is small.
 
@@ -104,9 +105,12 @@ def check_all(
     max_errors: cap the violation table (the reference's
     --max-tolerate-errors early stop, controller.rs:229-235 — here a
     LIMIT that AQE short-circuits rather than a cross-task stop flag).
+
+    trigger_period: enable the E45 internal-trigger period check
+    (reference --its-trigger-period, cdp_running.rs:400-427).
     """
     spark = docs.sparkSession
-    out = sequence_pass(docs, fused=True)
+    out = sequence_pass(docs, fused=True, trigger_period=trigger_period)
 
     if work_dir:
         (out.write.mode("overwrite").partitionBy("row_type").parquet(work_dir))

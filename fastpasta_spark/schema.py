@@ -133,6 +133,10 @@ E72_MEDIA_REF_MISSING = "E72"    # media-kind span with empty media_ref
 E73_UNEXPECTED_REF = "E73"       # non-media span carrying a media_ref
 E81_CALIB_POSITION = "E81"       # calib span not at section start (cdp_running.rs:317-332)
 
+E45_TRIGGER_PERIOD = "E45"       # trig bc period != user-specified period between
+                                 # internal triggers (tdh.rs:60-109, driven from
+                                 # cdp_running.rs:400-427; mod-3564 wraparound)
+
 # Sequence / FSM (its_payload_fsm_cont.rs:24-81 analogues)
 E990_FSM_UNEXPECTED = "E990"     # word not legal in current FSM state
 E991_FSM_UNCLOSED = "E991"       # document ended with an open section
@@ -146,6 +150,21 @@ E702_LANE_COUNT = "E702"         # frame content count != header-declared lanes
 E703_DUP_REF_IN_FRAME = "E703"   # same media_ref twice within one frame
                                  # (A6 analogue: chip-ID order/uniqueness,
                                  #  lane_alpide_frame_analyzer.rs:288-320)
+E704_LANE_NOT_DECLARED = "E704"  # content span lane id not in the header-declared
+                                 # lane set (membership, not just count; analogue of
+                                 # words/its/status_words/util.rs:184-189, ib.rs:14-22)
+E705_LANE_ORDER = "E705"         # lane ids within a frame not non-decreasing
+                                 # (legal-lane-grouping analogue,
+                                 #  alpide_readout_frame.rs:94-130)
+
+# Chip layer — the third nesting level (doc -> frame -> lane span -> chips;
+# analogue of per-lane ALPIDE decode, lane_alpide_frame_analyzer.rs:91-320)
+E9003_CHIP_BC_MISMATCH = "E9003"  # chip bunch counters differ across a frame's lanes
+E9004_CHIP_COUNT = "E9004"        # chip count != header-declared chips per lane
+E9005_CHIP_ORDER = "E9005"        # chip ids not strictly increasing within a lane
+E9006_LANE_FATAL = "E9006"        # undecodable chip stream -> lane FATAL; the lane is
+                                  # excluded from expected-lane accounting for the rest
+                                  # of the doc (readout_frame.rs:40-50 fatal_lanes)
 
 # Relational checks (north_rule extensions)
 E100_DUPLICATE_KEY = "E100"      # duplicate doc_id (uniqueness)
@@ -161,7 +180,11 @@ ALL_CODES = [
     E70_INVALID_KIND, E71_TEXT_EMPTY, E72_MEDIA_REF_MISSING, E73_UNEXPECTED_REF,
     E81_CALIB_POSITION, E990_FSM_UNEXPECTED, E991_FSM_UNCLOSED,
     E992_FSM_ORPHAN_CLOSE, E440_BC_NOT_MONOTONE, E41_CONTINUATION,
+    E45_TRIGGER_PERIOD,
     E701_EMPTY_FRAME, E702_LANE_COUNT, E703_DUP_REF_IN_FRAME,
+    E704_LANE_NOT_DECLARED, E705_LANE_ORDER,
+    E9003_CHIP_BC_MISMATCH, E9004_CHIP_COUNT, E9005_CHIP_ORDER,
+    E9006_LANE_FATAL,
     E100_DUPLICATE_KEY, E110_DANGLING_REF,
     E120_DRIFT, E130_GOLDEN_MISMATCH, E9001_CUSTOM_CHECK,
 ]

@@ -17,7 +17,8 @@ from fastpasta_spark.sources import synth
 from fastpasta_spark.sources.synth import CorpusConfig, corpus_df
 
 
-def _mutated(spark: SparkSession, mutation: int, n_docs: int = 500) -> DataFrame:
+def _mutated(spark: SparkSession, mutation: int, n_docs: int = 500,
+             cfg: CorpusConfig | None = None) -> DataFrame:
     """Corpus where EVERY corrupted doc uses one specific mutation class.
 
     corrupt_per_mille=1000 makes every doc corrupt; we then monkey-select
@@ -29,7 +30,7 @@ def _mutated(spark: SparkSession, mutation: int, n_docs: int = 500) -> DataFrame
 
     from fastpasta_spark import schema as S
 
-    cfg = CorpusConfig(n_docs=n_docs)
+    cfg = cfg or CorpusConfig(n_docs=n_docs)
 
     def gen(batches):
         for pdf in batches:
@@ -91,6 +92,56 @@ def empty_frames(spark: SparkSession, n_docs: int = 500) -> DataFrame:
     return _mutated(spark, synth.MUT_EMPTY_FRAME, n_docs)
 
 
+# lane-layer / trigger-period corpora: every frame carries the full
+# lane+chip structure (≥2 content spans and ≥2 frames so order/bc/period
+# mutations always have something to corrupt)
+_LANE_CFG = CorpusConfig(n_docs=400, lane_layer=True, chips_per_lane=2,
+                         min_frames=2, min_content=2)
+_PERIOD_CFG = CorpusConfig(n_docs=400, trigger_period=198, min_frames=2)
+
+
+def bad_trigger_period(spark: SparkSession, n_docs: int = 400) -> DataFrame:
+    """Internal-trig bc off-period -> E45 (tdh.rs:60-109 analogue).
+    Validate with check_all(..., trigger_period=198)."""
+    return _mutated(spark, synth.MUT_BAD_PERIOD, n_docs, cfg=_PERIOD_CFG)
+
+
+def bad_lane_ids(spark: SparkSession, n_docs: int = 400) -> DataFrame:
+    """Content lane not in the declared lane set -> E704
+    (util.rs:184-189 membership analogue)."""
+    return _mutated(spark, synth.MUT_LANE_UNDECLARED, n_docs, cfg=_LANE_CFG)
+
+
+def bad_lane_order(spark: SparkSession, n_docs: int = 400) -> DataFrame:
+    """Lanes out of order within a frame -> E705
+    (alpide_readout_frame.rs:94-130 grouping analogue)."""
+    return _mutated(spark, synth.MUT_LANE_ORDER, n_docs, cfg=_LANE_CFG)
+
+
+def bad_chip_count(spark: SparkSession, n_docs: int = 400) -> DataFrame:
+    """Chip count != declared chips per lane -> E9004."""
+    return _mutated(spark, synth.MUT_CHIP_COUNT, n_docs, cfg=_LANE_CFG)
+
+
+def bad_chip_order(spark: SparkSession, n_docs: int = 400) -> DataFrame:
+    """Chip ids not strictly increasing -> E9005
+    (lane_alpide_frame_analyzer.rs:288-320 analogue)."""
+    return _mutated(spark, synth.MUT_CHIP_ORDER, n_docs, cfg=_LANE_CFG)
+
+
+def bad_chip_bc(spark: SparkSession, n_docs: int = 400) -> DataFrame:
+    """Chip bc mismatch across a frame's lanes -> E9003
+    (lane_alpide_frame_analyzer.rs:213-259 analogue)."""
+    return _mutated(spark, synth.MUT_CHIP_BC, n_docs, cfg=_LANE_CFG)
+
+
+def fatal_lanes(spark: SparkSession, n_docs: int = 400) -> DataFrame:
+    """Undecodable chip stream -> one E9006 FATAL per doc; the lane's
+    spans vanish from later frames and the A8 propagation keeps E702
+    quiet (readout_frame.rs:40-50 fatal_lanes analogue)."""
+    return _mutated(spark, synth.MUT_FATAL_LANE, n_docs, cfg=_LANE_CFG)
+
+
 def drifted(spark: SparkSession, n_docs: int = 500) -> DataFrame:
     """Shifted kind distribution (heavy corruption) for drift checks."""
     return corpus_df(spark, CorpusConfig(n_docs=n_docs, corrupt_per_mille=900))
@@ -110,6 +161,13 @@ FIXTURES = {
     "dup_keys": dup_keys,
     "dangling_refs": dangling_refs,
     "empty_frames": empty_frames,
+    "bad_trigger_period": bad_trigger_period,
+    "bad_lane_ids": bad_lane_ids,
+    "bad_lane_order": bad_lane_order,
+    "bad_chip_count": bad_chip_count,
+    "bad_chip_order": bad_chip_order,
+    "bad_chip_bc": bad_chip_bc,
+    "fatal_lanes": fatal_lanes,
     "drifted": drifted,
     "resume_corpus": resume_corpus,
 }
@@ -126,4 +184,10 @@ def expected_dominant_codes() -> dict[str, set[str]]:
         "dup_keys": {"E100"},
         "dangling_refs": {"E110"},
         "empty_frames": {"E701"},
+        "bad_lane_ids": {"E704"},
+        "bad_lane_order": {"E705"},
+        "bad_chip_count": {"E9004"},
+        "bad_chip_order": {"E9005"},
+        "bad_chip_bc": {"E9003"},
+        "fatal_lanes": {"E9006"},
     }

@@ -52,7 +52,22 @@ MUT_BAD_CONT = 10         # trig cont=1 after done=1     -> E41
 MUT_BAD_FIELDS = 11       # malformed trig text          -> E40
 MUT_LANE_MISMATCH = 12    # header lanes= wrong count    -> E702
 MUT_DUP_REF = 13          # same media_ref twice in frame -> E703
-N_MUTATIONS = 14
+N_MUTATIONS = 14          # default rotation (pre-lane-layer classes;
+                          # golden corpora depend on this staying 14)
+
+# lane-layer / trigger-period mutation classes (only meaningful on
+# corpora generated with trigger_period / lane_layer set; select them
+# via CorpusConfig.mutation_classes)
+MUT_BAD_PERIOD = 14       # internal-trig bc off-period   -> E45
+MUT_LANE_UNDECLARED = 15  # content lane not in lane_ids  -> E704
+MUT_LANE_ORDER = 16       # lanes out of order in frame   -> E705
+MUT_CHIP_COUNT = 17       # chip count != declared        -> E9004
+MUT_CHIP_ORDER = 18       # chip ids not increasing       -> E9005
+MUT_CHIP_BC = 19          # one lane's cbc differs        -> E9003
+MUT_FATAL_LANE = 20       # undecodable chips -> E9006 FATAL; the lane's
+                          # spans vanish from later frames (propagation:
+                          # no E702 because expected count drops)
+N_MUTATIONS_ALL = 21
 
 
 def splitmix64(x: int) -> int:
@@ -78,6 +93,12 @@ class CorpusConfig:
     max_frames: int = 3
     min_content: int = 1
     max_content: int = 4
+    # grammar-v2 knobs (defaults off -> byte-identical v1 corpora)
+    trigger_period: int | None = None  # trigs get int=1, bc steps by this
+    lane_layer: bool = False           # content spans carry lane=/chips=/cbc=
+    chips_per_lane: int = 2
+    # restrict corrupted docs to these mutation classes (None = 0..13)
+    mutation_classes: tuple[int, ...] | None = None
 
 
 def _doc_spans(i: int, cfg: CorpusConfig) -> list[dict]:
@@ -92,23 +113,42 @@ def _doc_spans(i: int, cfg: CorpusConfig) -> list[dict]:
         spans.append({"kind": kind, "text": text, "media_ref": media_ref, "offset": off})
         off += 1
 
-    bc = h % 1000
+    # trigger-period corpora start low and step by exactly the period so
+    # clean docs never wrap mod 3564 (keeps E440 monotonicity intact)
+    bc = h % 200 if cfg.trigger_period else h % 1000
     hs = h
     for f in range(n_frames):
         hs = splitmix64(hs + f + 1)
         n_content = cfg.min_content + (hs >> 16) % (
             cfg.max_content - cfg.min_content + 1)
         # header declares the frame's content-span count (A1 analogue:
-        # expected lanes per readout frame)
-        push(S.KIND_HEADER, f"lanes={n_content}")
-        push(S.KIND_TRIG, f"cont=0,bc={bc}")
-        bc += 1 + (hs >> 8) % 50
+        # expected lanes per readout frame); lane-layer corpora also
+        # declare the lane SET + expected chips per lane (R11/A5 analogue)
+        if cfg.lane_layer:
+            ids = ";".join(str(c) for c in range(n_content))
+            push(S.KIND_HEADER,
+                 f"lanes={n_content},lane_ids={ids},chips={cfg.chips_per_lane}")
+        else:
+            push(S.KIND_HEADER, f"lanes={n_content}")
+        frame_bc = bc
+        if cfg.trigger_period:
+            push(S.KIND_TRIG, f"cont=0,bc={bc},int=1")
+            bc += cfg.trigger_period
+        else:
+            push(S.KIND_TRIG, f"cont=0,bc={bc}")
+            bc += 1 + (hs >> 8) % 50
         if hs % 5 == 0:
             push(S.KIND_CALIB, "idx=0")
         frame_refs: set[str] = set()
         for c in range(n_content):
             hc = splitmix64(hs + 31 * (c + 1))
-            if hc % 4 == 0:
+            if cfg.lane_layer:
+                # lanes ascend 0..n-1; chip ids strictly increasing per
+                # lane; cbc equal across the frame's lanes (clean)
+                chips = ";".join(str(c * 8 + j)
+                                 for j in range(cfg.chips_per_lane))
+                push(S.KIND_TEXT, f"lane={c},chips={chips},cbc={frame_bc}")
+            elif hc % 4 == 0:
                 # linear-probe away from refs already used in this frame
                 # (duplicate ref within a frame is the E703 violation —
                 # clean docs must not produce it by collision)
@@ -213,6 +253,76 @@ def _mutate(spans: list[dict], mut: int, h: int, cfg: CorpusConfig) -> list[dict
         idx = next(k for k, s in enumerate(spans) if s["kind"] == S.KIND_HEADER)
         declared = int(spans[idx]["text"].split("=")[1])
         spans[idx]["text"] = f"lanes={declared + 1 + h % 3}"
+    elif mut == MUT_BAD_PERIOD:
+        # bump the 2nd internal trig's bc by 1..7 (< any sane period, so
+        # monotonicity holds and ONLY the period checks fire: one E45 at
+        # this trig and one at the next, if any — both deterministic)
+        trigs = [k for k, s in enumerate(spans)
+                 if s["kind"] == S.KIND_TRIG and "int=1" in s["text"]]
+        if len(trigs) >= 2:
+            parts = dict(p.split("=", 1) for p in spans[trigs[1]]["text"].split(","))
+            bumped = int(parts["bc"]) + 1 + h % 7
+            spans[trigs[1]]["text"] = f"cont={parts['cont']},bc={bumped},int=1"
+    elif mut in (MUT_LANE_UNDECLARED, MUT_CHIP_COUNT, MUT_CHIP_ORDER,
+                 MUT_CHIP_BC, MUT_FATAL_LANE):
+        lanes_idx = [k for k, s in enumerate(spans)
+                     if s["text"].startswith("lane=")]
+        if lanes_idx:
+            if mut == MUT_LANE_UNDECLARED:
+                # LAST lane span of the first frame -> undeclared id (and
+                # larger than any declared, so E705 order stays quiet)
+                first_frame = [k for k in lanes_idx
+                               if all(spans[j]["kind"] != S.KIND_TRAILER
+                                      for j in range(lanes_idx[0], k))]
+                k = first_frame[-1]
+                parts = dict(p.split("=", 1) for p in spans[k]["text"].split(","))
+                parts["lane"] = str(9 + h % 3)
+                spans[k]["text"] = (f"lane={parts['lane']},chips={parts['chips']},"
+                                    f"cbc={parts['cbc']}")
+            elif mut == MUT_CHIP_COUNT:
+                k = lanes_idx[0]
+                parts = dict(p.split("=", 1) for p in spans[k]["text"].split(","))
+                chips = parts["chips"].split(";")[:-1] or ["0"]
+                spans[k]["text"] = (f"lane={parts['lane']},"
+                                    f"chips={';'.join(chips)},cbc={parts['cbc']}")
+            elif mut == MUT_CHIP_ORDER:
+                k = lanes_idx[0]
+                parts = dict(p.split("=", 1) for p in spans[k]["text"].split(","))
+                chips = list(reversed(parts["chips"].split(";")))
+                spans[k]["text"] = (f"lane={parts['lane']},"
+                                    f"chips={';'.join(chips)},cbc={parts['cbc']}")
+            elif mut == MUT_CHIP_BC:
+                k = lanes_idx[0]
+                parts = dict(p.split("=", 1) for p in spans[k]["text"].split(","))
+                spans[k]["text"] = (f"lane={parts['lane']},chips={parts['chips']},"
+                                    f"cbc={int(parts['cbc']) + 1}")
+            else:  # MUT_FATAL_LANE: first frame's lane 0 goes FATAL; its
+                # spans vanish from LATER frames — with correct A8
+                # propagation the later frames' E702 stays quiet
+                k = lanes_idx[0]
+                parts = dict(p.split("=", 1) for p in spans[k]["text"].split(","))
+                fatal_lane = parts["lane"]
+                spans[k]["text"] = (f"lane={fatal_lane},chips=x;y,"
+                                    f"cbc={parts['cbc']}")
+                first_trailer = next(j for j in range(k, len(spans))
+                                     if spans[j]["kind"] == S.KIND_TRAILER)
+                spans = [s for j, s in enumerate(spans)
+                         if j <= first_trailer
+                         or not s["text"].startswith(f"lane={fatal_lane},")]
+                for k2, s in enumerate(spans):
+                    s["offset"] = k2
+    elif mut == MUT_LANE_ORDER:
+        # swap the text payloads of the first two lane spans in one frame
+        # (chips/cbc travel with the lane -> ONLY the order check fires)
+        lanes_idx = [k for k, s in enumerate(spans)
+                     if s["text"].startswith("lane=")]
+        for a, b in zip(lanes_idx, lanes_idx[1:]):
+            adjacent = all(spans[j]["kind"] != S.KIND_TRAILER
+                           for j in range(a, b))
+            if adjacent:
+                spans[a]["text"], spans[b]["text"] = (spans[b]["text"],
+                                                      spans[a]["text"])
+                break
     elif mut == MUT_DUP_REF:
         # duplicate a media ref within its frame (or convert the first
         # text span); the lanes count is bumped so only E703 fires
@@ -238,7 +348,10 @@ def gen_doc(i: int, cfg: CorpusConfig) -> tuple[str, list[dict], int]:
     h = splitmix64(cfg.seed * 0xA5A5 + i * 3 + 1)
     mut = -1
     if cfg.corrupt_per_mille and (h % 1000) < cfg.corrupt_per_mille:
-        mut = splitmix64(h) % N_MUTATIONS
+        # default rotation = classes 0..13 (indexing unchanged since v1,
+        # so pre-lane-layer corpora stay byte-identical)
+        classes = cfg.mutation_classes or tuple(range(N_MUTATIONS))
+        mut = classes[splitmix64(h) % len(classes)]
         spans = _mutate(spans, mut, h, cfg)
     return f"doc{i:010d}", spans, mut
 

@@ -1,0 +1,226 @@
+"""Grammar v2: trigger-period (E45), lane-identity (E704/E705), the chip
+nesting level (E9003/E9004/E9005) and FATAL lane propagation (E9006).
+
+Reference analogues: tdh.rs:60-109 (trigger period, driven from
+cdp_running.rs:400-427), words/its/status_words/util.rs:184-189 (lane
+membership), alpide_readout_frame.rs:94-130 (legal lane groupings),
+lane_alpide_frame_analyzer.rs:91-320 (per-lane chip decode + E9003/4/5),
+readout_frame.rs:40-50 (fatal-lane exclusion).
+"""
+
+import pytest
+
+from fastpasta_spark import schema as S
+from fastpasta_spark.functions.fsm import validate_spans
+from fastpasta_spark.sources import fixtures as FX
+from fastpasta_spark.sources import synth
+
+
+def span(kind, text="", ref="", off=0):
+    return (kind, text, ref, off)
+
+
+def _codes(viols):
+    return [v[2] for v in viols]
+
+
+# ---------------------------------------------------------------------------
+# E45 trigger period (pure FSM)
+# ---------------------------------------------------------------------------
+
+
+def _period_doc(bcs, period=None):
+    doc, off = [], 0
+    for bc in bcs:
+        doc.append(span("header", "lanes=1", off=off))
+        doc.append(span("trig", f"cont=0,bc={bc},int=1", off=off + 1))
+        doc.append(span("text", "a", off=off + 2))
+        doc.append(span("trailer", "done=1", off=off + 3))
+        off += 4
+    return validate_spans(doc, trigger_period=period)
+
+
+def test_trigger_period_clean():
+    assert _period_doc([10, 208, 406], period=198) == []
+
+
+def test_trigger_period_off_by_default():
+    # no period configured -> E45 never fires (reference: only with
+    # --its-trigger-period)
+    assert _period_doc([10, 11, 12]) == []
+
+
+def test_trigger_period_mismatch():
+    viols = _period_doc([10, 208, 500], period=198)
+    assert _codes(viols) == [S.E45_TRIGGER_PERIOD]
+    assert viols[0][0] == 9  # the third trig's span index
+
+
+def test_trigger_period_wraps_mod_3564():
+    # 3500 -> 134 is exactly 198 forward with the bc wraparound; the
+    # wrap also decreases bc, which the separate E440 check reports
+    viols = _period_doc([3302, 3500, 134], period=198)
+    assert _codes(viols) == [S.E440_BC_NOT_MONOTONE]
+
+
+def test_trigger_period_ignores_external_trigs():
+    doc = [
+        span("header", "lanes=1", off=0),
+        span("trig", "cont=0,bc=10,int=1", off=1),
+        span("text", "a", off=2),
+        span("trailer", "done=1", off=3),
+        span("header", "lanes=1", off=4),
+        span("trig", "cont=0,bc=50", off=5),  # external: not in the chain
+        span("text", "b", off=6),
+        span("trailer", "done=1", off=7),
+        span("header", "lanes=1", off=8),
+        span("trig", "cont=0,bc=208,int=1", off=9),  # 10 + 198
+        span("text", "c", off=10),
+        span("trailer", "done=1", off=11),
+    ]
+    assert validate_spans(doc, trigger_period=198) == []
+
+
+# ---------------------------------------------------------------------------
+# lane identity + chip layer (pure FSM)
+# ---------------------------------------------------------------------------
+
+
+def _lane_doc(lane_texts, header="lanes=2,lane_ids=0;1,chips=2"):
+    doc = [span("header", header, off=0), span("trig", "cont=0,bc=1", off=1)]
+    for i, t in enumerate(lane_texts):
+        doc.append(span("text", t, off=2 + i))
+    doc.append(span("trailer", "done=1", off=2 + len(lane_texts)))
+    return validate_spans(doc)
+
+
+def test_lane_layer_clean():
+    assert _lane_doc(["lane=0,chips=0;1,cbc=7", "lane=1,chips=8;9,cbc=7"]) == []
+
+
+def test_lane_not_declared():
+    viols = _lane_doc(["lane=0,chips=0;1,cbc=7", "lane=5,chips=8;9,cbc=7"])
+    assert _codes(viols) == [S.E704_LANE_NOT_DECLARED]
+
+
+def test_lane_order():
+    viols = _lane_doc(["lane=1,chips=8;9,cbc=7", "lane=0,chips=0;1,cbc=7"])
+    assert _codes(viols) == [S.E705_LANE_ORDER]
+    assert viols[0][0] == 3  # the second (out-of-order) lane span
+
+
+def test_chip_count():
+    viols = _lane_doc(["lane=0,chips=0,cbc=7", "lane=1,chips=8;9,cbc=7"])
+    assert _codes(viols) == [S.E9004_CHIP_COUNT]
+
+
+def test_chip_order_only_checked_when_count_ok():
+    # count wrong AND order wrong -> only E9004 (reference checks order
+    # only if the count is valid, lane_alpide_frame_analyzer.rs:191-205)
+    viols = _lane_doc(["lane=0,chips=5;3;1,cbc=7", "lane=1,chips=8;9,cbc=7"])
+    assert _codes(viols) == [S.E9004_CHIP_COUNT]
+    viols = _lane_doc(["lane=0,chips=1;0,cbc=7", "lane=1,chips=8;9,cbc=7"])
+    assert _codes(viols) == [S.E9005_CHIP_ORDER]
+
+
+def test_chip_bc_mismatch_reported_on_trailer():
+    viols = _lane_doc(["lane=0,chips=0;1,cbc=7", "lane=1,chips=8;9,cbc=8"])
+    assert _codes(viols) == [S.E9003_CHIP_BC_MISMATCH]
+    assert viols[0][0] == 4  # the closing trailer
+
+
+def test_non_participating_text_untouched():
+    # free text that happens inside a lane_ids frame is NOT a lane span
+    assert _lane_doc(["lane=0,chips=0;1,cbc=7", "plain words here"]) == []
+
+
+def test_fatal_lane_propagation():
+    # frame 1: lane 0's chip stream is undecodable -> E9006 FATAL; the
+    # frame still expects 2 lanes (snapshot at open). frame 2 ships only
+    # lane 1 and must NOT get E702 (expected drops to 1).
+    doc = [
+        span("header", "lanes=2,lane_ids=0;1,chips=2", off=0),
+        span("trig", "cont=0,bc=1", off=1),
+        span("text", "lane=0,chips=x;y,cbc=7", off=2),
+        span("text", "lane=1,chips=8;9,cbc=7", off=3),
+        span("trailer", "done=1", off=4),
+        span("header", "lanes=2,lane_ids=0;1,chips=2", off=5),
+        span("trig", "cont=0,bc=2", off=6),
+        span("text", "lane=1,chips=8;9,cbc=7", off=7),
+        span("trailer", "done=1", off=8),
+    ]
+    viols = validate_spans(doc)
+    assert _codes(viols) == [S.E9006_LANE_FATAL]
+    assert viols[0][3] == S.SEV_FATAL
+    # WITHOUT propagation the second frame would be an E702: prove the
+    # counter-factual by sending a non-fatal first frame
+    doc_nofatal = [s if s[3] != 2 else span("text", "lane=0,chips=0;1,cbc=7", off=2)
+                   for s in doc]
+    assert S.E702_LANE_COUNT in _codes(validate_spans(doc_nofatal))
+
+
+def test_fatal_lane_still_expected_in_its_own_frame():
+    # the fatal set is snapshotted at frame open: dropping the fatal
+    # lane's span from the SAME frame is still a count violation
+    doc = [
+        span("header", "lanes=2,lane_ids=0;1,chips=2", off=0),
+        span("trig", "cont=0,bc=1", off=1),
+        span("text", "lane=1,chips=8;9,cbc=7", off=2),
+        span("trailer", "done=1", off=3),
+    ]
+    assert _codes(validate_spans(doc)) == [S.E702_LANE_COUNT]
+
+
+# ---------------------------------------------------------------------------
+# engine (mapInArrow) twin parity on the new fixture families
+# ---------------------------------------------------------------------------
+
+
+_FAMS = [
+    ("bad_trigger_period", FX._PERIOD_CFG, synth.MUT_BAD_PERIOD, 198),
+    ("bad_lane_ids", FX._LANE_CFG, synth.MUT_LANE_UNDECLARED, None),
+    ("bad_lane_order", FX._LANE_CFG, synth.MUT_LANE_ORDER, None),
+    ("bad_chip_count", FX._LANE_CFG, synth.MUT_CHIP_COUNT, None),
+    ("bad_chip_order", FX._LANE_CFG, synth.MUT_CHIP_ORDER, None),
+    ("bad_chip_bc", FX._LANE_CFG, synth.MUT_CHIP_BC, None),
+    ("fatal_lanes", FX._LANE_CFG, synth.MUT_FATAL_LANE, None),
+]
+
+
+@pytest.mark.parametrize("name,cfg,mut,tp", _FAMS, ids=[f[0] for f in _FAMS])
+def test_engine_matches_oracle_on_lane_families(spark, name, cfg, mut, tp):
+    from fastpasta_spark.operators.sequence import (
+        sequence_pass,
+        split_sequence_output,
+    )
+
+    n = 60
+    df = FX._mutated(spark, mut, n, cfg=cfg)
+    viol, _ = split_sequence_output(sequence_pass(df, trigger_period=tp))
+    engine = sorted(
+        (r.doc_id, r.span_idx, r.offset, r.check_code, r.severity, r.message)
+        for r in viol.collect()
+    )
+    oracle = []
+    for i in range(n):
+        spans = synth._doc_spans(i, cfg)
+        h = synth.splitmix64(cfg.seed * 0xA5A5 + i * 3 + 1)
+        spans = synth._mutate([dict(s) for s in spans], mut, h, cfg)
+        tuples = [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in spans]
+        for v in validate_spans(tuples, trigger_period=tp):
+            oracle.append((f"doc{i:010d}", *v))
+    assert engine == sorted(oracle)
+    assert len(engine) >= n  # every doc is mutated -> at least one row each
+
+
+def test_check_all_trigger_period_end_to_end(spark):
+    from fastpasta_spark.plans.check_all import check_all
+
+    docs = FX.bad_trigger_period(spark, 80)
+    res = check_all(docs, trigger_period=198)
+    codes = {r.check_code for r in res.violations.collect()}
+    assert S.E45_TRIGGER_PERIOD in codes
+    # same corpus without the config: E45 must NOT fire (opt-in check)
+    res_off = check_all(docs)
+    codes_off = {r.check_code for r in res_off.violations.collect()}
+    assert S.E45_TRIGGER_PERIOD not in codes_off
