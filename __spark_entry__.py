@@ -295,6 +295,27 @@ _SQL_BITFLAG_HIST = "SELECT " + ", ".join(
 ) + " FROM events"
 
 
+def _q_masked_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Masked bitwise equality filter (P3 / --filter-link analogue):
+    events whose low 3 bits of user_id equal 0b101."""
+    from fastpasta_spark.operators.bitmask import masked_filter
+
+    e = _read(spark, sf_dir, "events")
+    return (
+        masked_filter(e, "user_id", 0x7, 0x5)
+        .orderBy("event_id")
+        .limit(200)
+        .select(F.col("event_id").cast("long").alias("event_id"),
+                F.col("user_id").cast("long").alias("user_id"))
+    )
+
+
+_SQL_MASKED_FILTER = """
+SELECT event_id, user_id FROM events
+WHERE (user_id & 7) = 5 ORDER BY event_id LIMIT 200
+"""
+
+
 def _q_dup_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact content-dedup groups (uniqueness at content level); the
     first 5 docs re-appended as copies so dup groups provably surface."""
@@ -582,19 +603,11 @@ FROM documents GROUP BY source ORDER BY source
 
 def _q_textstats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis: token count, quality score, rolling fingerprint,
-    language-ID — all portable formulas (functions/hashing.py)."""
-    from fastpasta_spark.operators.textstats import (
-        fingerprint,
-        language_id,
-        quality_score,
-        token_count,
-    )
+    language-ID — all portable formulas (functions/hashing.py), fused
+    into one single-tokenization expression (with_textstats)."""
+    from fastpasta_spark.operators.textstats import with_textstats
 
-    d = _read_spread(spark, sf_dir, "documents")
-    d = token_count(d)
-    d = quality_score(d)
-    d = fingerprint(d)
-    d = language_id(d)
+    d = with_textstats(_read_spread(spark, sf_dir, "documents"))
     return d.select(F.col("doc_id").cast("long").alias("doc_id"),
                     F.col("n_tokens").cast("long").alias("n_tokens"),
                     F.col("quality").cast("double").alias("quality"),
@@ -659,15 +672,20 @@ def _q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_minhash_signatures() -> str:
+    from fastpasta_spark.functions.hashing import MIX_MOD, mix_constants
+
     tk = duckdb_tokens("text")
     shingles = (
         f"list_distinct(CASE WHEN len({tk}) < 3 THEN [array_to_string({tk}, ' ')] "
         f"ELSE list_transform(range(0, len({tk}) - 2), "
         f"i -> array_to_string(({tk})[i+1:i+3], ' ')) END)"
     )
+    # same one-md5 + affine-mix family as minhash_signature (DuckDB is
+    # free to recompute the md5 per permutation — oracle cost is moot)
     mh = ", ".join(
-        f"list_min(list_transform(sh, s -> {duckdb_md5_hash('s', seed=j)})) AS mh_{j}"
-        for j in range(8)
+        f"list_min(list_transform(sh, s -> "
+        f"(({duckdb_md5_hash('s')} % {MIX_MOD}) * {a} + {b}) % {MIX_MOD})) AS mh_{j}"
+        for j, (a, b) in enumerate(mix_constants(8))
     )
     return f"SELECT doc_id, {mh} FROM (SELECT doc_id, {shingles} AS sh FROM documents) t"
 
@@ -820,6 +838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_chi2": _q_drift_chi2,
         "drift_ks": _q_drift_ks,
         "bitflag_hist": _q_bitflag_hist,
+        "masked_filter": _q_masked_filter,
         "dup_content": _q_dup_content,
         "uniqueness_totals": _q_uniqueness_totals,
         "span_fsm": _q_span_fsm,
@@ -854,6 +873,7 @@ def oracle_sql() -> dict[str, str]:
         "drift_chi2": _SQL_DRIFT_CHI2,
         "drift_ks": _SQL_DRIFT_KS,
         "bitflag_hist": _SQL_BITFLAG_HIST,
+        "masked_filter": _SQL_MASKED_FILTER,
         "dup_content": _SQL_DUP_CONTENT,
         "uniqueness_totals": _SQL_UNIQUENESS_TOTALS,
         "q1_pricing_summary": _SQL_Q1,

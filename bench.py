@@ -38,6 +38,7 @@ HEADLINE_QUERIES = [
     "cosine_topk",
     "sessionize",
     "running_check",
+    "trigger_period",
     "lsh_ann",
 ]
 

@@ -44,6 +44,10 @@ def main(argv: list[str] | None = None) -> int:
     chk.add_argument("--trigger-period", type=int, default=None,
                      help="expected bc period between internal triggers "
                           "(E45 check; reference --its-trigger-period)")
+    chk.add_argument("-w", "--show-only-errors-with-codes", nargs="+",
+                     default=None, metavar="CODE",
+                     help="display only these error codes, e.g. -w E45 702 "
+                          "(reference stats/err_printer.rs:27-81)")
     chk.add_argument("--output-stats", default=None)
     chk.add_argument("--input-stats-file", default=None)
     chk.add_argument("--checkpoint", default=None,
@@ -100,10 +104,19 @@ def main(argv: list[str] | None = None) -> int:
     docs = _load_docs(spark, args.input)
     media = spark.read.parquet(args.media) if args.media else None
 
+    def code_filter(viol):
+        """-w display filter; accepts codes with or without the E prefix
+        (the reference parses [E\\d+] codes the same way)."""
+        if not args.show_only_errors_with_codes:
+            return viol
+        codes = [c if c.upper().startswith("E") else f"E{c}"
+                 for c in args.show_only_errors_with_codes]
+        return viol.filter(F.col("check_code").isin(codes))
+
     if args.mode == "sanity":
         from fastpasta_spark.operators.sanity import sanity_violations
 
-        violations = sanity_violations(docs).orderBy("doc_id", "offset")
+        violations = code_filter(sanity_violations(docs)).orderBy("doc_id", "offset")
         if args.max_errors is not None:
             violations = violations.limit(args.max_errors)
         # take(50) for display + count() for the total: an unbounded
@@ -127,7 +140,7 @@ def main(argv: list[str] | None = None) -> int:
     res = check_all(docs, media, max_errors=args.max_errors,
                     trigger_period=args.trigger_period)
     exit_code = 0
-    for r in res.violations.take(50):
+    for r in code_filter(res.violations).take(50):
         print(f"{r.doc_id}:{r.offset}: [{r.check_code}] {r.message}")
     metrics = metrics_to_dict(res.metrics)
     print(format_report(metrics))

@@ -89,8 +89,8 @@ def parse_kv(text: str) -> dict[str, str]:
     if not text:
         return out
     for part in text.split(","):
-        if "=" in part:
-            k, _, v = part.partition("=")
+        k, sep, v = part.partition("=")
+        if sep:
             out[k.strip()] = v.strip()
     return out
 

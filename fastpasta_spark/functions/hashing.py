@@ -35,6 +35,27 @@ def py_md5_hash(value: str, seed: int | None = None) -> int:
     return int(hashlib.md5(inp.encode()).hexdigest()[:15], 16)
 
 
+# MinHash permutation family: ONE md5 per shingle, then k cheap affine
+# mixes mod a 30-bit prime — identical arithmetic in Spark SQL, DuckDB
+# SQL and Python, and overflow-safe under Spark 4 ANSI mode:
+# (h % MOD) * a + b <= ~2^60 < 2^63.
+MIX_MOD = 1_000_000_007
+
+
+def mix_constants(k: int) -> list[tuple[int, int]]:
+    """Deterministic per-permutation (a, b) affine constants, themselves
+    derived from md5 so every implementation regenerates the same family."""
+    return [
+        (py_md5_hash(f"mh:a:{j}") % (MIX_MOD - 1) + 1,
+         py_md5_hash(f"mh:b:{j}") % MIX_MOD)
+        for j in range(k)
+    ]
+
+
+def py_mix(h: int, a: int, b: int) -> int:
+    return ((h % MIX_MOD) * a + b) % MIX_MOD
+
+
 def spark_tokens(col: str = "text") -> str:
     """SQL expr: distinct-preserving token array of lowercased text."""
     return (

@@ -15,7 +15,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from fastpasta_spark.functions.hashing import spark_md5_hash, spark_tokens
+from fastpasta_spark.functions.hashing import (
+    MIX_MOD,
+    mix_constants,
+    spark_md5_hash,
+    spark_tokens,
+)
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -23,19 +28,26 @@ from fastpasta_spark.functions.hashing import spark_md5_hash, spark_tokens
 
 
 def exact_duplicates(df: DataFrame, id_col: str = "doc_id",
-                     text_col: str = "text") -> DataFrame:
+                     text_col: str = "text", max_ids: int = 100) -> DataFrame:
     """Exact content duplicates via content-hash groupBy.
 
     Scale: only (hash, id) shuffles — map-side partial agg collapses
     per-partition duplicates first; text never leaves the scan stage.
+    The id list is capped at max_ids (first in sort order): a hot
+    content hash (empty/boilerplate text duplicated millions of times)
+    must not emit one giant array from a single reducer — dup_count
+    stays exact, the list is a sample. max_ids=None keeps full lists.
     Returns (content_hash, dup_count, doc_ids sorted).
     """
+    ids = F.array_sort(F.collect_list(id_col))
+    if max_ids is not None:
+        ids = F.slice(ids, 1, max_ids)
     return (
         df.select(F.col(id_col), F.md5(F.col(text_col)).alias("content_hash"))
         .groupBy("content_hash")
         .agg(
             F.count(F.lit(1)).alias("dup_count"),
-            F.array_sort(F.collect_list(id_col)).alias("doc_ids"),
+            ids.alias("doc_ids"),
         )
         .filter(F.col("dup_count") > 1)
     )
@@ -63,22 +75,32 @@ def minhash_signature(df: DataFrame, k: int = 32, shingle_col: str = "shingles",
                       out_col: str = "minhash") -> DataFrame:
     """k-permutation MinHash signature over the shingle set.
 
-    Each permutation j is min over shingles of the portable seeded hash
-    md5('<j>:' || shingle). ONE nested-lambda expression — the seed j
-    comes from the outer transform variable, so the (expensive) shingle
-    array is referenced once; k separate expressions would make
-    ProjectionCollapse inline and recompute the tokenize+shingle chain
-    k times (measured ~8x slower). No UDF, no shuffle.
+    ONE md5 per shingle, then k affine mixes mod a 30-bit prime
+    (functions/hashing.py mix family) — round 1 paid k md5+conv
+    evaluations per shingle, which dominated the query's cost. The inner
+    1-element `aggregate(array(md5hash(s)), ...)` is a let-binding: SQL
+    lambdas can't name intermediates, and inlining the md5 expression
+    into the per-permutation loop would re-evaluate it k times. ONE
+    nested expression tree, so ProjectionCollapse can't re-inline the
+    (expensive) shingle chain either. No UDF, no shuffle.
     """
-    seeded = ("cast(conv(substr(md5(concat(cast(j as string), ':', s)), 1, 15), "
-              "16, 10) as bigint)")
-    return df.withColumn(
-        out_col,
-        F.expr(
-            f"transform(sequence(0, {k - 1}), j -> "
-            f"array_min(transform({shingle_col}, s -> {seeded})))"
-        ),
+    consts = mix_constants(k)
+    a_arr = "array(" + ", ".join(f"{a}L" for a, _ in consts) + ")"
+    b_arr = "array(" + ", ".join(f"{b}L" for _, b in consts) + ")"
+    M = MIX_MOD
+    h = spark_md5_hash("s")
+    expr = (
+        f"IF(size({shingle_col}) = 0, "
+        f"array_repeat(cast(null as bigint), {k}), "
+        f"aggregate({shingle_col}, "
+        f"array_repeat(cast({M} as bigint), {k}), "
+        f"(acc, s) -> aggregate(array({h}), acc, "
+        f"(a2, h) -> transform(sequence(0, {k - 1}), j -> "
+        f"least(element_at(a2, j + 1), "
+        f"pmod((h % {M}) * element_at({a_arr}, j + 1) "
+        f"+ element_at({b_arr}, j + 1), {M}))))))"
     )
+    return df.withColumn(out_col, F.expr(expr))
 
 
 def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id", bands: int = 8,
@@ -91,15 +113,18 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id", bands: int = 8,
     Scale levers (all applied):
       * buckets larger than max_bucket are dropped BEFORE the self-join —
         a giant bucket means a band of near-universal shingles
-        (boilerplate); its pairs are noise and would cost |bucket|^2
+        (boilerplate); its pairs are noise and would cost |bucket|^2.
+        The hot-bucket set comes from a groupBy+count (map-side partial
+        agg) and is anti-joined back BROADCAST: the hot set is tiny by
+        definition, so the exploded index is never window-sorted — a
+        Window.partitionBy(bucket) here would shuffle AND sort every
+        (bucket, doc) row just to compute a count
       * the similarity estimate is computed IN the join projection so
         only (doc_a, doc_b, est) ever shuffles afterwards
       * cross-band duplicates collapse via groupBy, not dropDuplicates
         over signature arrays
     Returns (doc_a, doc_b, est_jaccard) with doc_a < doc_b.
     """
-    from pyspark.sql import Window as W
-
     band_exprs = [
         F.md5(F.concat_ws(",", F.lit(b), F.expr(
             f"concat_ws(',', slice({minhash_col}, {b * rows_per_band + 1}, "
@@ -107,13 +132,11 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id", bands: int = 8,
         ))).alias("bucket")
         for b in range(bands)
     ]
-    buckets = (
-        df.select(F.col(id_col), F.col(minhash_col),
-                  F.explode(F.array(*band_exprs)).alias("bucket"))
-        .withColumn("_bsz", F.count(F.lit(1)).over(W.partitionBy("bucket")))
-        .filter(F.col("_bsz") <= max_bucket)
-        .drop("_bsz")
-    )
+    exploded = df.select(F.col(id_col), F.col(minhash_col),
+                         F.explode(F.array(*band_exprs)).alias("bucket"))
+    hot = (exploded.groupBy("bucket").agg(F.count(F.lit(1)).alias("_bsz"))
+           .filter(F.col("_bsz") > max_bucket).select("bucket"))
+    buckets = exploded.join(F.broadcast(hot), "bucket", "left_anti")
     a = buckets.alias("a")
     b = buckets.alias("b")
     est = F.expr(
@@ -183,14 +206,20 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
         *( [F.col(within_col)] if within_col else [] ),
         F.explode("shingles").alias("shingle"),
     )
+    # materialization boundary: the index feeds the df-cap groupBy AND
+    # both self-join sides — without it each consumer recomputes the
+    # tokenize+shingle+explode chain. At cluster scale, write it to a
+    # table bucketed by shingle instead (same boundary, co-located join).
+    inv = inv.persist()
     if max_df is not None:
-        from pyspark.sql import Window as W
-
-        inv = (
-            inv.withColumn("_df", F.count(F.lit(1)).over(W.partitionBy("shingle")))
-            .filter(F.col("_df") <= max_df)
-            .drop("_df")
-        )
+        # shingles over the df cap are FEW by definition -> compute them
+        # with a groupBy (map-side partial agg) and broadcast-anti-join
+        # them away; the previous Window.partitionBy(shingle) shuffled
+        # AND sorted the entire exploded (shingle, doc) index just to
+        # count group sizes
+        hot = (inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+               .filter(F.col("_df") > max_df).select("shingle"))
+        inv = inv.join(F.broadcast(hot), "shingle", "left_anti")
     a, b = inv.alias("a"), inv.alias("b")
     cond = (F.col("a.shingle") == F.col("b.shingle")) & (
         F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
@@ -242,10 +271,14 @@ def simhash(df: DataFrame, text_col: str = "text", bits: int = 32,
 
 def simhash_duplicates(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", bits: int = 32,
-                       max_hamming: int = 3, bands: int = 4) -> DataFrame:
+                       max_hamming: int = 3, bands: int = 4,
+                       max_bucket: int = 200) -> DataFrame:
     """Near-dups by SimHash: band the fingerprint into `bands` chunks;
     pairs within hamming distance < bands must share >=1 exact band
-    (pigeonhole) -> band-bucket join, then exact hamming filter."""
+    (pigeonhole) -> band-bucket join, then exact hamming filter.
+
+    max_bucket drops boilerplate band-buckets before the self-join (the
+    |bucket|^2 killer), same lever as lsh_candidate_pairs."""
     # persist: the fingerprint expr is referenced by `bands` band exprs +
     # both join sides — same ProjectionCollapse inlining hazard as minhash
     h = simhash(df, text_col, bits).select(id_col, "simhash").persist()
@@ -259,6 +292,10 @@ def simhash_duplicates(df: DataFrame, id_col: str = "doc_id",
     ]
     buckets = h.select(F.col(id_col), F.col("simhash"),
                        F.explode(F.array(*band_cols)).alias("bucket"))
+    if max_bucket is not None:
+        hot = (buckets.groupBy("bucket").agg(F.count(F.lit(1)).alias("_bsz"))
+               .filter(F.col("_bsz") > max_bucket).select("bucket"))
+        buckets = buckets.join(F.broadcast(hot), "bucket", "left_anti")
     a, b2 = buckets.alias("a"), buckets.alias("b")
     pairs = (
         a.join(b2, (F.col("a.bucket") == F.col("b.bucket"))

@@ -280,6 +280,22 @@ def _fsm_over_codes(codes, offs, kv, refs, n_spans, kind_name,
     return viol
 
 
+def _parse_kv_spans(kv_idx: np.ndarray, kv_codes: np.ndarray,
+                    text_c: pa.Array) -> dict[int, dict]:
+    """flat span index -> parsed fields dict, for all kv-carrying spans.
+
+    Measured note: a vectorized Arrow RE2 extract_regex fast path was
+    tried here and was ~15% SLOWER than parse_kv end-to-end (the struct
+    to_pylist + per-row dict assembly costs more than the simple
+    split/partition loop on these short texts) — keep the one obvious
+    implementation, which is also the oracle's.
+    """
+    if not len(kv_idx):
+        return {}
+    kv_texts = pc.take(text_c, pa.array(kv_idx)).to_pylist()
+    return {int(j): pyfsm.parse_kv(t or "") for j, t in zip(kv_idx, kv_texts)}
+
+
 def _make_arrow_pass(fused: bool, trigger_period: int | None = None):
     def arrow_pass(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
@@ -486,9 +502,7 @@ def _make_arrow_pass(fused: bool, trigger_period: int | None = None):
                                        ).to_numpy(zero_copy_only=False)
             kv_mask |= ((codes == _K_TEXT) | (codes == _K_MEDIA)) & lane_pref
             kv_idx = np.nonzero(kv_mask)[0]
-            kv_texts = pc.take(text_c, pa.array(kv_idx)).to_pylist() if len(kv_idx) else []
-            kv_flat = {int(j): pyfsm.parse_kv(t or "")
-                       for j, t in zip(kv_idx, kv_texts)}
+            kv_flat = _parse_kv_spans(kv_idx, codes[kv_idx], text_c)
             ref_idx = np.nonzero((codes == _K_MEDIA) & ~ref_empty)[0]
             ref_vals = (pc.take(ref_c, pa.array(ref_idx)).to_pylist()
                         if len(ref_idx) else [])
@@ -497,19 +511,32 @@ def _make_arrow_pass(fused: bool, trigger_period: int | None = None):
             f_doc, f_span, f_off, f_code, f_sev, f_msg = [], [], [], [], [], []
             codes_l = codes.tolist()
             offs_l = offs.tolist()
-            _kind_py_cache: list = [None]
 
             def _kind_at(j: int) -> str | None:
-                if _kind_py_cache[0] is None:
-                    _kind_py_cache[0] = kind_c.to_pylist()
-                return _kind_py_cache[0][j]
+                # element-wise: only E60 messages need the kind string —
+                # converting the whole kind array to_pylist for a handful
+                # of lookups dominated the loop in profiling
+                return kind_c[j].as_py()
+
+            # group kv/refs by doc ONCE — O(|kv|), not O(total spans):
+            # probing `j in kv_flat` for every span of every doc was a
+            # measured hot spot
+            kv_by_doc: dict[int, dict] = {}
+            for j, fields in kv_flat.items():
+                d = int(parent[j])
+                kv_by_doc.setdefault(d, {})[j - int(bounds[d])] = fields
+            refs_by_doc: dict[int, dict] = {}
+            for j, v in ref_flat.items():
+                d = int(parent[j])
+                refs_by_doc.setdefault(d, {})[j - int(bounds[d])] = v
+            _EMPTY: dict = {}
 
             for d in range(n_docs):
                 lo, hi = int(bounds[d]), int(bounds[d + 1])
                 if lo == hi:
                     continue
-                kv = {j - lo: kv_flat[j] for j in range(lo, hi) if j in kv_flat}
-                refs = {j - lo: ref_flat[j] for j in range(lo, hi) if j in ref_flat}
+                kv = kv_by_doc.get(d, _EMPTY)
+                refs = refs_by_doc.get(d, _EMPTY)
                 for i, off, code, sev, msg in _fsm_over_codes(
                         codes_l[lo:hi], offs_l[lo:hi], kv, refs, hi - lo,
                         lambda i, _lo=lo: _kind_at(_lo + i),

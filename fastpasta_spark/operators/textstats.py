@@ -97,6 +97,59 @@ def fingerprint(df: DataFrame, text_col: str = "text",
     return df.withColumn(out_col, F.expr(expr))
 
 
+def with_textstats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """All four stats (n_tokens, quality, fingerprint, lang_pred) in ONE
+    expression — same math as the individual operators above (for
+    non-null text), but the token array and the four stopword ratios are
+    each computed exactly once.
+
+    Why: the chained-withColumn form collapses into a single Project
+    where every reference re-inlines the tokenize expression, and
+    lambda-bearing subtrees (filter/aggregate) are NOT subexpression-
+    eliminated by codegen — the round-1 bench paid ~10 tokenizations per
+    row. SQL lambdas have no let-binding, so a 1-element `aggregate`
+    plays that role twice: once to bind `toks`, once to bind the ratio
+    vector `rs`.
+    """
+    langs = list(STOPWORDS)
+
+    def ratio(lg: str) -> str:
+        words = ", ".join(f"'{w}'" for w in STOPWORDS[lg])
+        return (f"CAST(size(filter(toks, t -> t IN ({words}))) AS DOUBLE) / "
+                "greatest(size(toks), 1)")
+
+    rs_arr = "array(" + ", ".join(ratio(lg) for lg in langs) + ")"
+    rs = {lg: f"element_at(rs, {i + 1})" for i, lg in enumerate(langs)}
+    best = "greatest(" + ", ".join(rs.values()) + ")"
+    pick = "CASE " + "".join(
+        f"WHEN {rs[lg]} = {best} AND {best} > 0 THEN '{lg}' " for lg in langs
+    ) + "ELSE 'unk' END"
+
+    tc = f"coalesce({text_col}, '')"
+    n_chars = f"length({tc})"
+    mean_wl = f"CAST({n_chars} AS DOUBLE) / greatest(size(toks), 1)"
+    alpha = (f"CAST(length(regexp_replace(lower({tc}), '[^a-z]', '')) AS DOUBLE)"
+             f" / greatest({n_chars}, 1)")
+    quality = (
+        f"round((IF({n_chars} BETWEEN 50 AND 5000, 0.25, 0.0) + "
+        f"IF({mean_wl} BETWEEN 3.0 AND 12.0, 0.25, 0.0) + "
+        f"0.25 * least({alpha} * 1.25, 1.0) + "
+        f"0.25 * least({rs['en']} * 5.0, 1.0)), 6)"
+    )
+    fp = ("aggregate(toks, 7L, (acc2, t) -> pmod(acc2 * 1000003 + "
+          "cast(conv(substr(md5(t), 1, 12), 16, 10) as bigint), 2147483647))")
+    struct = (f"named_struct('n_tokens', size(toks), 'quality', {quality}, "
+              f"'fingerprint', {fp}, 'lang_pred', {pick})")
+    zero = ("named_struct('n_tokens', 0, 'quality', CAST(0 AS DOUBLE), "
+            "'fingerprint', 0L, 'lang_pred', '')")
+    expr = (f"aggregate(array({spark_tokens(text_col)}), {zero}, "
+            f"(acc, toks) -> aggregate(array({rs_arr}), acc, "
+            f"(a2, rs) -> {struct}))")
+    out = df.withColumn("_ts", F.expr(expr))
+    return out.select("*", "_ts.n_tokens", "_ts.quality", "_ts.fingerprint",
+                      "_ts.lang_pred").drop("_ts")
+
+
 def profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-corpus text profile (one row): counts, null rate, length
     stats — the doc-table face of the reference's stats report."""

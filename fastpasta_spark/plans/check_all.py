@@ -171,7 +171,20 @@ def check_all(
         F.count(F.lit(1)).cast("double").alias("value")
     ).select(F.lit("total_errors").alias("name"), "value")
 
-    metrics = stats.unionByName(uniq_metrics).unionByName(code_counts).unionByName(total)
+    # per-key error attribution (error_stats.rs:13-55 "staves with
+    # errors" analogue): how many distinct docs carry a real error, and
+    # how many distinct codes fired
+    attrib = violations.filter(F.col("severity") != S.SEV_WARNING).agg(
+        F.countDistinct(F.coalesce(F.col("doc_id"), F.lit("\x00"))
+                        ).cast("double").alias("d"),
+        F.countDistinct("check_code").cast("double").alias("c"),
+    ).selectExpr(
+        "stack(2, 'docs_with_errors', d, 'error_codes_distinct', c)"
+        " AS (name, value)"
+    )
+
+    metrics = (stats.unionByName(uniq_metrics).unionByName(code_counts)
+               .unionByName(total).unionByName(attrib))
 
     # per-doc verdict: docs with no ERROR/FATAL violation pass. NULL
     # doc_ids coalesce to a sentinel for the join — a NULL key never

@@ -28,16 +28,31 @@ def metrics_to_dict(metrics: DataFrame) -> dict[str, float]:
 
 
 def write_stats(metrics: DataFrame, path: str) -> None:
-    """Serialize metrics to a golden-stats JSON file (S6 analogue)."""
+    """Serialize metrics to a golden-stats file (S6 analogue). Format by
+    extension: .toml writes TOML, anything else JSON — the reference
+    supports both (stats_collector.rs:161-175)."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    d = metrics_to_dict(metrics)
     with open(path, "w") as f:
-        json.dump(metrics_to_dict(metrics), f, indent=2, sort_keys=True)
+        if path.endswith(".toml"):
+            # flat float table; keys quoted so error_count_E45 etc. are
+            # legal bare TOML keys regardless of characters
+            for k in sorted(d):
+                f.write(f'"{k}" = {float(d[k])!r}\n')
+        else:
+            json.dump(d, f, indent=2, sort_keys=True)
 
 
 def read_stats(spark: SparkSession, path: str) -> DataFrame:
-    """Golden-stats source (S7 analogue)."""
-    with open(path) as f:
-        d = json.load(f)
+    """Golden-stats source (S7 analogue); reads JSON or TOML."""
+    if path.endswith(".toml"):
+        import tomllib
+
+        with open(path, "rb") as f:
+            d = tomllib.load(f)
+    else:
+        with open(path) as f:
+            d = json.load(f)
     return spark.createDataFrame(
         [(k, float(v)) for k, v in sorted(d.items())], schema=S.METRICS_SCHEMA
     )
@@ -115,7 +130,8 @@ def format_report(metrics: dict[str, float], max_width: int = 60) -> str:
     lines = ["fastpasta_spark report", "=" * max_width]
     for section, pred in [
         ("totals", lambda k: k in ("docs_seen", "spans_seen", "total_errors",
-                                   "rows_total")),
+                                   "rows_total", "docs_with_errors",
+                                   "error_codes_distinct")),
         ("kinds", lambda k: k.startswith("kind_count_")),
         ("errors", lambda k: k.startswith("error_count_")),
         ("text stats", lambda k: k.startswith("text_len")),

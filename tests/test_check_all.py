@@ -104,3 +104,13 @@ def test_max_errors_cap(spark):
     cfg = CorpusConfig(n_docs=200, corrupt_per_mille=400)
     res = check_all(corpus_df(spark, cfg), media_df(spark, cfg), max_errors=5)
     assert res.violations.count() == 5
+
+
+def test_error_attribution_metrics(result):
+    # per-key attribution (error_stats.rs:13-55 analogue): docs_with_errors
+    # equals the distinct error-carrying doc set; codes_distinct matches
+    docs, _, res = result
+    m = {r.name: r.value for r in res.metrics.collect()}
+    rows = res.violations.filter("severity <> 'WARNING'").collect()
+    assert m["docs_with_errors"] == len({r.doc_id for r in rows})
+    assert m["error_codes_distinct"] == len({r.check_code for r in rows})

@@ -76,3 +76,30 @@ def test_resumable_via_cli(fixture_paths, capsys):
                "--checkpoint", ckpt])
     assert rc == 2
     assert "run_id=" in capsys.readouterr().out
+
+
+def test_code_filter_flag(fixture_paths, capsys):
+    # -w restricts the DISPLAYED errors to the given codes (prefix
+    # optional, like the reference's --show-only-errors-with-codes)
+    rc = main(["check", "all", str(fixture_paths / "docs"),
+               "--media", str(fixture_paths / "media"),
+               "-w", "70"])
+    assert rc == 2
+    out = capsys.readouterr().out
+    shown = [ln for ln in out.splitlines() if ": [E" in ln]
+    assert shown and all("[E70]" in ln for ln in shown)
+
+
+def test_stats_toml_roundtrip(fixture_paths, capsys):
+    stats = str(fixture_paths / "stats.toml")
+    rc = main(["check", "all", str(fixture_paths / "docs"),
+               "--media", str(fixture_paths / "media"),
+               "--output-stats", stats])
+    assert rc == 2
+    import tomllib
+    with open(stats, "rb") as f:
+        assert tomllib.load(f)["total_errors"] > 0
+    rc = main(["check", "all", str(fixture_paths / "docs"),
+               "--media", str(fixture_paths / "media"),
+               "--input-stats-file", stats])
+    assert "golden stats: all fields match" in capsys.readouterr().out

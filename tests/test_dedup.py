@@ -39,15 +39,32 @@ def test_exact_duplicates(spark, documents):
 
 
 def test_minhash_matches_python(spark, documents):
+    from fastpasta_spark.functions.hashing import mix_constants, py_mix
+
     rows = documents.limit(20).collect()
     sig_df = dedup.minhash_signature(
         dedup.with_shingles(documents.limit(20)), k=8
     ).select("doc_id", "minhash").collect()
     got = {r.doc_id: r.minhash for r in sig_df}
+    consts = mix_constants(8)
     for r in rows:
-        sh = _py_shingles(r.text)
-        expected = [min(py_md5_hash(s, seed=j) for s in sh) for j in range(8)]
+        hs = [py_md5_hash(s) for s in _py_shingles(r.text)]
+        expected = [min(py_mix(h, a, b) for h in hs) for a, b in consts]
         assert got[r.doc_id] == expected, r.doc_id
+
+
+def test_exact_duplicates_hot_hash_capped(spark):
+    # one text duplicated 20k times: dup_count exact, id list capped —
+    # the reducer for the hot content hash must not build a giant array
+    hot = spark.range(0, 20_000).selectExpr(
+        "concat('h', id) AS doc_id", "'same boilerplate text' AS text")
+    other = spark.range(0, 50).selectExpr(
+        "concat('u', id) AS doc_id", "concat('unique ', id) AS text")
+    got = dedup.exact_duplicates(hot.unionByName(other), max_ids=25).collect()
+    assert len(got) == 1
+    assert got[0].dup_count == 20_000
+    assert len(got[0].doc_ids) == 25
+    assert got[0].doc_ids == sorted(got[0].doc_ids)
 
 
 def test_jaccard_pairs_match_python(spark, documents):

@@ -112,3 +112,33 @@ def test_dedup_shuffles_hashes_not_text(spark):
     assert re.search(r"Arguments: hashpartitioning\(content_hash", plan)
     # collect_list makes it an ObjectHashAggregate; partial + final
     assert len(re.findall(r"\n\(\d+\) (?:Object)?HashAggregate", plan)) >= 2
+
+
+def test_period_check_single_shuffle_and_pushdown(spark):
+    # the flat-table trigger-period check is ONE keyed exchange (the lag
+    # window); the event_type filter reaches the parquet scan
+    from pyspark.sql import functions as F
+
+    from fastpasta_spark.operators.running import period_violations
+
+    e = spark.read.parquet("/root/testdata/sf0.001/events.parquet").filter(
+        F.col("event_type") == "click")
+    out = period_violations(
+        e.withColumn("bc", F.pmod(F.col("event_id"), F.lit(3564))),
+        key="user_id", order=["event_id"], bc_col="bc", period=17)
+    plan = plan_of(out)
+    assert n_exchanges(plan) == 1
+    assert "PushedFilters" in plan and "event_type" in plan
+
+
+def test_jaccard_cap_has_no_window_over_index(spark):
+    # the df cap is a groupBy + broadcast anti-join, NOT a Window sort
+    # over the exploded (shingle, doc) index
+    from fastpasta_spark.operators.dedup import jaccard_pairs
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text", "source")
+    out = jaccard_pairs(d, threshold=0.1, within_col="source", max_df=50)
+    plan = plan_of(out)
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan

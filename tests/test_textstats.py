@@ -63,3 +63,21 @@ def test_profile(documents):
     assert p.docs == documents.count()
     assert p.null_texts == 0
     assert p.min_len > 0 and p.max_len >= p.min_len
+
+
+def test_with_textstats_equals_individual_ops(spark, documents):
+    from fastpasta_spark.operators.textstats import (
+        fingerprint,
+        language_id,
+        quality_score,
+        token_count,
+        with_textstats,
+    )
+
+    d = documents.limit(80)
+    fused = with_textstats(d).select(
+        "doc_id", "n_tokens", "quality", "fingerprint", "lang_pred")
+    chained = language_id(fingerprint(quality_score(token_count(d)))).select(
+        "doc_id", "n_tokens", "quality", "fingerprint", "lang_pred")
+    assert sorted(map(tuple, fused.collect())) == \
+        sorted(map(tuple, chained.collect()))
