@@ -417,6 +417,50 @@ GROUP BY n_name ORDER BY n_name
 """
 
 
+def _q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-shaped profit rollup: lineitem x (filtered part) x
+    supplier x nation x orders, grouped by nation and order year. The
+    three dimensions broadcast; only the two fact tables shuffle (on the
+    join key), which is the plan that survives a 100x fact scale-up."""
+    li = _read(spark, sf_dir, "lineitem")
+    p = _read(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    s = _read(spark, sf_dir, "supplier")
+    n = _read(spark, sf_dir, "nation")
+    o = _read(spark, sf_dir, "orders")
+    # decimal accumulation: the subtraction makes this sum cancellation-
+    # heavy, so double addition order (partition-dependent) flips the
+    # 2dp rounding — per-row cast to DECIMAL then exact decimal sum is
+    # order-independent and matches the oracle bit-for-bit
+    amount = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
+              - F.col("p_retailprice") * F.col("l_quantity") * 0.1
+              ).cast("decimal(30,6)")
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(F.col("n_name").alias("nation"),
+                 F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(F.round(F.sum(amount).cast("double"), 2).alias("profit"),
+             F.count(F.lit(1)).cast("long").alias("n_items"))
+    )
+
+
+_SQL_Q9_PROFIT = """
+SELECT n_name AS nation, year(o_orderdate)::BIGINT AS o_year,
+       round(sum(CAST(l_extendedprice * (1 - l_discount)
+                 - p_retailprice * l_quantity * 0.1 AS DECIMAL(30,6)))::DOUBLE,
+             2) AS profit,
+       count(*) AS n_items
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN orders   ON l_orderkey = o_orderkey
+GROUP BY n_name, year(o_orderdate)
+"""
+
+
 def _q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 lineitems per supplier by price (window top-k pattern)."""
     from pyspark.sql import Window as W
@@ -828,6 +872,30 @@ def _q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_ann_topk(emb, queries, dim=64, k=5, n_planes=4, n_tables=8)
 
 
+def _q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate nearest neighbors (rows-only check; recall vs
+    brute force verified in pytest)."""
+    from fastpasta_spark.operators.similarity import ivf_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return ivf_topk(emb, queries, k=5, n_lists=16, nprobe=4)
+
+
+def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs over LSH candidates; ten
+    exact copies injected so duplicate pairs provably surface
+    (rows-only check; pair exactness verified in pytest)."""
+    from fastpasta_spark.operators.similarity import embedding_near_duplicates
+
+    emb = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    copies = emb.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding")
+    return embedding_near_duplicates(
+        emb.unionByName(copies), threshold=0.999, dim=64,
+        n_planes=6, n_tables=6)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # validation engine (SURVEY §2.3-2.7, north_rule)
@@ -845,6 +913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # relational coverage (§2.2, 2.6, 2.9)
         "q1_pricing_summary": _q1_pricing_summary,
         "join_revenue": _q_join_revenue,
+        "q9_profit": _q9_profit,
         "topk_per_group": _q_topk_per_group,
         "error_filter_limit": _q_error_filter_limit,
         "rollup_agg": _q_rollup,
@@ -861,6 +930,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_meta": _q_media_meta,
         "lsh_near_dup": _q_lsh_near_dup,
         "lsh_ann": _q_lsh_ann,
+        "ivf_ann": _q_ivf_ann,
+        "embedding_near_dup": _q_embedding_near_dup,
     }
 
 
@@ -878,6 +949,7 @@ def oracle_sql() -> dict[str, str]:
         "uniqueness_totals": _SQL_UNIQUENESS_TOTALS,
         "q1_pricing_summary": _SQL_Q1,
         "join_revenue": _SQL_JOIN_REVENUE,
+        "q9_profit": _SQL_Q9_PROFIT,
         "topk_per_group": _SQL_TOPK_PER_GROUP,
         "error_filter_limit": _SQL_ERROR_FILTER_LIMIT,
         "rollup_agg": _SQL_ROLLUP,

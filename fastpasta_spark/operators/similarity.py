@@ -115,6 +115,150 @@ def with_lsh_buckets(
     return df.withColumn(out_col, F.explode(F.expr(f"array({exprs})")))
 
 
+def embedding_near_duplicates(
+    df: DataFrame,
+    threshold: float = 0.95,
+    dim: int = 64,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    max_bucket: int = 500,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: LSH buckets generate
+    candidates, the EXACT cosine filters them (so reported pairs are
+    never false positives; recall vs the brute-force pair set is what
+    n_tables buys). Returns (id_a, id_b, sim) with id_a < id_b.
+
+    Scale: the self-join runs within buckets only; buckets larger than
+    max_bucket are dropped via groupBy + broadcast anti-join (the same
+    |bucket|^2 lever as dedup.lsh_candidate_pairs — a giant bucket means
+    a degenerate projection region, its pairs are overwhelmingly
+    below-threshold noise).
+    """
+    b = with_lsh_buckets(
+        df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")),
+        dim, n_planes, n_tables, vec_col="_vec", out_col="bucket",
+    ).persist()
+    hot = (b.groupBy("bucket").agg(F.count(F.lit(1)).alias("_bsz"))
+           .filter(F.col("_bsz") > max_bucket).select("bucket"))
+    b = b.join(F.broadcast(hot), "bucket", "left_anti")
+    x, y = b.alias("x"), b.alias("y")
+    sim = F.expr(COSINE_EXPR.format(a="x._vec", b="y._vec"))
+    return (
+        x.join(y, (F.col("x.bucket") == F.col("y.bucket"))
+               & (F.col("x._id") < F.col("y._id")))
+        .select(F.col("x._id").alias("id_a"), F.col("y._id").alias("id_b"),
+                F.round(sim, 6).alias("sim"))
+        .filter(F.col("sim") >= threshold)
+        .groupBy("id_a", "id_b")
+        .agg(F.first("sim").alias("sim"))
+    )
+
+
+def ivf_centroids(corpus: DataFrame, n_lists: int,
+                  id_col: str = "vec_id", vec_col: str = "embedding"
+                  ) -> DataFrame:
+    """Deterministic coarse quantizer: the n_lists corpus vectors with
+    the smallest portable hash of their id become the centroids (a
+    seeded sample — the IVF analogue of k-means init; at 100 TB you
+    would train real k-means on a sample, same downstream shape).
+    Returns (list_id, centroid). orderBy+limit plans as a distributed
+    TakeOrderedAndProject — per-partition top-n then a tiny driver
+    merge, never a single-partition global sort."""
+    h = F.expr("cast(conv(substr(md5(cast(_id as string)), 1, 15), "
+               "16, 10) as bigint)")
+    top = (
+        corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("centroid"))
+        .withColumn("_h", h)
+        .orderBy(F.col("_h").asc(), F.col("_id").asc())
+        .limit(n_lists)
+    )
+    from pyspark.sql import Window as W
+
+    # rank the n_lists survivors (tiny) into stable 0-based list ids
+    w = W.orderBy(F.col("_h").asc(), F.col("_id").asc())
+    return (
+        top.withColumn("list_id", F.row_number().over(w) - 1)
+        .select("list_id", "centroid")
+    )
+
+
+def _assign_lists(df: DataFrame, centroids: list, nprobe: int,
+                  vec_col: str) -> DataFrame:
+    """Attach the nprobe nearest list_ids to every row.
+
+    The centroid table (bounded: n_lists rows, collected once on the
+    driver like any quantizer codebook) is inlined as a literal
+    array-of-arrays, so the per-row argmin is a pure codegen expression
+    — NO shuffle and no per-row join. A window-rank formulation here
+    would exchange the whole corpus just to rank n_lists candidates per
+    row.
+    """
+    cent_lit = ", ".join(
+        "array(" + ", ".join(f"CAST({v!r} AS DOUBLE)" for v in vec) + ")"
+        for _, vec in centroids
+    )
+    ranked = (
+        "slice(array_sort(transform(array({cents}), (c, i) -> "
+        "named_struct('negsim', -({cos}), 'list_id', i))), 1, {nprobe})"
+    ).format(cents=cent_lit, cos=COSINE_EXPR.format(a=vec_col, b="c"),
+             nprobe=nprobe)
+    if nprobe == 1:
+        return df.withColumn(
+            "list_id", F.expr(f"element_at({ranked}, 1).list_id"))
+    return df.withColumn(
+        "list_id", F.explode(F.expr(f"transform({ranked}, s -> s.list_id)")))
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_lists: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors are inverted-listed under
+    their nearest centroid; each query scans only its nprobe nearest
+    lists. The scale path to brute force's full cross product — the
+    candidate set shrinks ~n_lists/nprobe-fold, and on a real deployment
+    the corpus assignment is written once as a list_id-partitioned table
+    (queries then prune partitions). Recall vs cosine_topk is measured
+    in tests.
+    """
+    from pyspark.sql import Window as W
+
+    # the codebook is tiny and bounded (n_lists rows) — collecting it is
+    # the standard quantizer step, not a data-dependent driver pull
+    cent = sorted(
+        ((r.list_id, list(r.centroid))
+         for r in ivf_centroids(corpus, n_lists, id_col, vec_col).collect()),
+    )  # literal position i == list_id (0-based by construction)
+    c = _assign_lists(
+        corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("c_vec")),
+        cent, nprobe=1, vec_col="c_vec")
+    q = _assign_lists(
+        queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("q_vec")),
+        cent, nprobe=nprobe, vec_col="q_vec")
+    sim = F.expr(COSINE_EXPR.format(a="q_vec", b="c_vec"))
+    scored = (
+        c.join(F.broadcast(q), (c["list_id"] == q["list_id"])
+               & (F.col("query_id") != F.col("neighbor_id")))
+        .select("query_id", "neighbor_id", F.round(sim, 6).alias("sim"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
 def lsh_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,

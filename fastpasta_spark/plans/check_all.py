@@ -42,13 +42,21 @@ class CheckResult:
 
 
 def _uniqueness_branch(keys: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """'k' rows -> (E100 violations, uniqueness metrics)."""
-    dups = (
+    """'k' rows -> (E100 violations, uniqueness metrics).
+
+    ONE shuffle serves everything: the per-key groupBy (map-side partial
+    agg) is persisted, then dup violations filter it, the exact distinct
+    is its row count, and the HLL sketches its keys (same estimate
+    domain). Round-2 profiling showed the previous shape — a groupBy for
+    dups PLUS an independent countDistinct agg — paid the key shuffle
+    twice and was the largest non-pass cost at 16 cores.
+    """
+    grouped = (
         keys.groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("dup_count"))
-        .filter(F.col("dup_count") > 1)
+        .persist()
     )
-    viol = dups.select(
+    viol = grouped.filter(F.col("dup_count") > 1).select(
         "doc_id",
         F.lit(None).cast("int").alias("span_idx"),
         F.lit(-1).alias("offset"),
@@ -58,10 +66,10 @@ def _uniqueness_branch(keys: DataFrame) -> tuple[DataFrame, DataFrame]:
                  F.lit(" times")).alias("message"),
     )
     # HLL over a 64-bit pre-hash: rsd<=0.01 directly on strings takes the
-    # slow high-precision path (~10x slower one-time codegen, measured); hashing first
-    # keeps the sketch fast AND tightened the estimate on 2e5 keys
-    metrics = keys.agg(
-        F.countDistinct("doc_id").alias("exact"),
+    # slow high-precision path (~10x slower one-time codegen, measured);
+    # hashing first keeps the sketch fast AND tightened the estimate
+    metrics = grouped.agg(
+        F.count(F.lit(1)).alias("exact"),
         F.approx_count_distinct(F.xxhash64("doc_id"), rsd=0.02).alias("hll"),
     ).selectExpr(
         "stack(2, 'doc_id_distinct_exact', CAST(exact AS DOUBLE), "

@@ -121,6 +121,9 @@ def test_period_check_single_shuffle_and_pushdown(spark):
 
     from fastpasta_spark.operators.running import period_violations
 
+    # another module caches events.parquet; the pushdown assertion needs
+    # the real parquet scan in the plan, not an InMemoryRelation hit
+    spark.catalog.clearCache()
     e = spark.read.parquet("/root/testdata/sf0.001/events.parquet").filter(
         F.col("event_type") == "click")
     out = period_violations(

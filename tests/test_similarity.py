@@ -70,3 +70,44 @@ def test_lsh_bucket_deterministic(spark, embeddings):
     assert ra == rb
     n_buckets = len({x[1] for x in ra})
     assert n_buckets > 8  # buckets actually spread
+
+
+def test_ivf_ann_recall(spark, embeddings):
+    from pyspark.sql import functions as F
+
+    queries = embeddings.filter(F.col("vec_id") < 15)
+    exact = similarity.cosine_topk(embeddings, queries, k=5).collect()
+    approx = similarity.ivf_topk(embeddings, queries, k=5,
+                                 n_lists=8, nprobe=4).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5, recall  # nprobe=4 of 8 lists
+    # approx sims are EXACT cosines (never fabricated)
+    exact_sims = {(r.query_id, r.neighbor_id): r.sim for r in exact}
+    for r in approx:
+        if (r.query_id, r.neighbor_id) in exact_sims:
+            assert r.sim == exact_sims[(r.query_id, r.neighbor_id)]
+
+
+def test_ivf_centroids_deterministic(spark, embeddings):
+    a = similarity.ivf_centroids(embeddings, 8).collect()
+    b = similarity.ivf_centroids(embeddings.repartition(7), 8).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_embedding_near_duplicates(spark, embeddings):
+    from pyspark.sql import functions as F
+
+    # inject exact copies of 10 vectors -> sim 1.0 pairs must surface
+    copies = embeddings.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding")
+    df = embeddings.select("vec_id", "embedding").unionByName(copies)
+    pairs = similarity.embedding_near_duplicates(
+        df, threshold=0.999, dim=64, n_planes=6, n_tables=6).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    expected = {(i, i + 1_000_000) for i in range(10)}
+    # LSH with 6 tables on identical vectors: identical vectors share
+    # every bucket, so ALL injected pairs must be found
+    assert expected <= found
+    assert all(r.sim >= 0.999 for r in pairs)
