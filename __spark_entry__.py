@@ -771,6 +771,201 @@ FROM pairs WHERE round(shared::DOUBLE / (n_a + n_b - shared), 6) >= 0.1
 """
 
 
+# crafted duplicate family appended on BOTH sides (same pattern as
+# _BAD_DOCS): three exact copies (-> a 2-edge PATH in the pair graph),
+# one near-dup linked only by jaccard, and a separate 2-copy cluster —
+# so the query provably exercises multi-hop label propagation and
+# exact+near edge fusion regardless of how many dups the sf data has
+_DUP_FAMILY = [
+    (980001, "the quick brown fox jumps over the lazy dog today", "en", "srcX"),
+    (980002, "the quick brown fox jumps over the lazy dog today", "en", "srcX"),
+    (980003, "the quick brown fox jumps over the lazy dog today", "en", "srcX"),
+    (980004, "the quick brown fox jumps over the lazy cat today", "en", "srcX"),
+    (980005, "completely different content lives in this family", "en", "srcX"),
+    (980006, "completely different content lives in this family", "en", "srcX"),
+]
+
+
+def _q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution (pairs -> connected components).
+
+    Edge set = exact-duplicate PATH edges (consecutive doc_ids within a
+    content-hash group — deliberately a path, not a clique, so label
+    propagation must traverse multiple hops) UNION the df-capped Jaccard
+    near-dup pairs. Output: every node's cluster label (= min reachable
+    id), cluster size, and the deterministic keeper flag.
+    """
+    from pyspark.sql import Window
+
+    from fastpasta_spark.operators.dedup import jaccard_pairs
+    from fastpasta_spark.operators.graph import duplicate_clusters
+
+    d = _read_spread(spark, sf_dir, "documents").withColumn(
+        "doc_id", F.col("doc_id").cast("long")).select(
+        "doc_id", "text", "source")
+    fam = spark.createDataFrame(
+        [(i, t, s) for i, t, _lg, s in _DUP_FAMILY],
+        "doc_id long, text string, source string")
+    d = d.unionByName(fam)
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    exact = (
+        d.select(F.lag("doc_id").over(w).alias("doc_a"),
+                 F.col("doc_id").alias("doc_b"))
+        .filter(F.col("doc_a").isNotNull())
+    )
+    jac = jaccard_pairs(d, threshold=0.1, within_col="source",
+                        max_df=200).select("doc_a", "doc_b")
+    res = duplicate_clusters(exact.unionByName(jac))
+    return res.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("cluster").cast("long").alias("cluster"),
+        F.col("csize").cast("long").alias("csize"),
+        F.col("is_keeper"),
+    )
+
+
+def _sql_dup_clusters() -> str:
+    tk = duckdb_tokens("text")
+    shingles = (
+        f"list_distinct(CASE WHEN len({tk}) < 3 THEN [array_to_string({tk}, ' ')] "
+        f"ELSE list_transform(range(0, len({tk}) - 2), "
+        f"i -> array_to_string(({tk})[i+1:i+3], ' ')) END)"
+    )
+    fam_values = ", ".join(f"({i}, '{t}', '{s}')" for i, t, _lg, s in _DUP_FAMILY)
+    # transitive closure via recursive CTE (exact but quadratic — oracle
+    # cost at sf0.01 is moot; the engine side is the iterative hash-min)
+    return f"""
+WITH RECURSIVE
+docs2 AS (
+  SELECT doc_id, text, source FROM documents
+  UNION ALL
+  SELECT * FROM (VALUES {fam_values}) v(doc_id, text, source)),
+sh AS (SELECT doc_id, source, {shingles} AS shingles FROM docs2),
+inv0 AS (SELECT doc_id, source, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh),
+inv AS (SELECT * FROM inv0 QUALIFY count(*) OVER (PARTITION BY shingle) <= 200),
+jacp AS (
+  SELECT doc_a, doc_b FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS n_a, b.n_sh AS n_b,
+           count(*) AS shared
+    FROM inv a JOIN inv b
+      ON a.shingle = b.shingle AND a.doc_id < b.doc_id AND a.source = b.source
+    GROUP BY 1, 2, 3, 4)
+  WHERE round(shared::DOUBLE / (n_a + n_b - shared), 6) >= 0.1),
+exactp AS (
+  SELECT lag(doc_id) OVER (PARTITION BY md5(text) ORDER BY doc_id) AS doc_a,
+         doc_id AS doc_b
+  FROM docs2 QUALIFY doc_a IS NOT NULL),
+allp AS (SELECT doc_a, doc_b FROM exactp UNION SELECT doc_a, doc_b FROM jacp),
+edges AS (SELECT doc_a AS u, doc_b AS v FROM allp
+          UNION SELECT doc_b, doc_a FROM allp),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+lbl AS (SELECT u AS node, least(u, min(v)) AS cluster FROM reach GROUP BY u),
+sz AS (SELECT cluster, count(*) AS csize FROM lbl GROUP BY cluster)
+SELECT l.node, l.cluster, s.csize, (l.node = l.cluster) AS is_keeper
+FROM lbl l JOIN sz s USING (cluster)
+"""
+
+
+def _q_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation funnel (plans/curate.py): quality gate ->
+    duplicate-cluster keeper -> exact token budget. Crafted _DUP_FAMILY
+    rows appended on both sides so dedup provably removes documents."""
+    from fastpasta_spark.plans.curate import curate
+
+    d = _read_spread(spark, sf_dir, "documents").withColumn(
+        "doc_id", F.col("doc_id").cast("long")).select("doc_id", "text")
+    fam = spark.createDataFrame(
+        [(i, t) for i, t, _lg, _s in _DUP_FAMILY], "doc_id long, text string")
+    res = curate(d.unionByName(fam), min_quality=0.25,
+                 jaccard_threshold=0.5, max_df=200,
+                 token_budget=20_000, exact_budget=True)
+    return res.kept.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("quality").cast("double").alias("quality"),
+        F.col("lang_pred"),
+    )
+
+
+def _sql_curation() -> str:
+    from fastpasta_spark.operators.textstats import STOPWORDS
+
+    tk = duckdb_tokens("text")
+    n_toks = f"greatest(len({tk}), 1)"
+
+    def sw_ratio(lang: str) -> str:
+        words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+        return (f"(len(list_filter({tk}, t -> t IN ({words})))::DOUBLE / {n_toks})")
+
+    langs = list(STOPWORDS)
+    ratios = {lg: sw_ratio(lg) for lg in langs}
+    best = "greatest(" + ", ".join(ratios.values()) + ")"
+    pick = "CASE " + "".join(
+        f"WHEN {ratios[lg]} = {best} AND {best} > 0 THEN '{lg}' "
+        for lg in langs) + "ELSE 'unk' END"
+    n_chars = "length(coalesce(text, ''))"
+    mean_wl = f"({n_chars}::DOUBLE / {n_toks})"
+    alpha = (f"(length(regexp_replace(lower(coalesce(text, '')), '[^a-z]', '', 'g'))::DOUBLE"
+             f" / greatest({n_chars}, 1))")
+    quality = (
+        f"round((CASE WHEN {n_chars} BETWEEN 50 AND 5000 THEN 0.25 ELSE 0.0 END + "
+        f"CASE WHEN {mean_wl} BETWEEN 3.0 AND 12.0 THEN 0.25 ELSE 0.0 END + "
+        f"0.25 * least({alpha} * 1.25, 1.0) + "
+        f"0.25 * least({sw_ratio('en')} * 5.0, 1.0)), 6)"
+    )
+    shingles = (
+        f"list_distinct(CASE WHEN len({tk}) < 3 THEN [array_to_string({tk}, ' ')] "
+        f"ELSE list_transform(range(0, len({tk}) - 2), "
+        f"i -> array_to_string(({tk})[i+1:i+3], ' ')) END)"
+    )
+    fam_values = ", ".join(f"({i}, '{t}')" for i, t, _lg, _s in _DUP_FAMILY)
+    return f"""
+WITH RECURSIVE
+docs2 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT * FROM (VALUES {fam_values}) v(doc_id, text)),
+gated AS (
+  SELECT doc_id, text, len({tk}) AS n_tokens, {quality} AS quality,
+         {pick} AS lang_pred
+  FROM docs2 WHERE {quality} >= 0.25),
+sh AS (SELECT doc_id, {shingles} AS shingles FROM gated),
+inv0 AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh),
+inv AS (SELECT * FROM inv0 QUALIFY count(*) OVER (PARTITION BY shingle) <= 200),
+jacp AS (
+  SELECT doc_a, doc_b FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS n_a, b.n_sh AS n_b,
+           count(*) AS shared
+    FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2, 3, 4)
+  WHERE round(shared::DOUBLE / (n_a + n_b - shared), 6) >= 0.5),
+exactp AS (
+  SELECT lag(doc_id) OVER (PARTITION BY md5(text) ORDER BY doc_id) AS doc_a,
+         doc_id AS doc_b
+  FROM gated QUALIFY doc_a IS NOT NULL),
+allp AS (SELECT doc_a, doc_b FROM exactp UNION SELECT doc_a, doc_b FROM jacp),
+edges AS (SELECT doc_a AS u, doc_b AS v FROM allp
+          UNION SELECT doc_b, doc_a FROM allp),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+lbl AS (SELECT u AS node, least(u, min(v)) AS cluster FROM reach GROUP BY u),
+uniq AS (
+  SELECT * FROM gated
+  WHERE doc_id NOT IN (SELECT node FROM lbl WHERE node <> cluster)),
+cum AS (
+  SELECT doc_id, n_tokens, quality, lang_pred,
+         sum(n_tokens) OVER (ORDER BY quality DESC, doc_id) AS c
+  FROM uniq)
+SELECT doc_id, n_tokens::BIGINT AS n_tokens, quality, lang_pred
+FROM cum WHERE c <= 20000
+"""
+
+
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprints (32-bit, portable hash family)."""
     from fastpasta_spark.operators.dedup import simhash
@@ -925,6 +1120,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "textstats": _q_textstats,
         "minhash_signatures": _q_minhash_signatures,
         "jaccard_pairs": _q_jaccard_pairs,
+        "dup_clusters": _q_dup_clusters,
+        "curation": _q_curation,
         "simhash": _q_simhash,
         "cosine_topk": _q_cosine_topk,
         "media_meta": _q_media_meta,
@@ -960,6 +1157,8 @@ def oracle_sql() -> dict[str, str]:
         "textstats": _sql_textstats(),
         "minhash_signatures": _sql_minhash_signatures(),
         "jaccard_pairs": _sql_jaccard_pairs(),
+        "dup_clusters": _sql_dup_clusters(),
+        "curation": _sql_curation(),
         "simhash": _sql_simhash(),
         "cosine_topk": _SQL_COSINE_TOPK,
         "media_meta": _SQL_MEDIA_META,

@@ -64,6 +64,20 @@ def main(argv: list[str] | None = None) -> int:
     flt.add_argument("--kind", required=True, help="keep docs containing this span kind")
     flt.add_argument("-o", "--output", required=True)
 
+    cur = sub.add_parser(
+        "curate", help="training-data curation over a flat (doc_id, text) "
+                       "table: quality gate -> dedup clusters -> token budget")
+    cur.add_argument("input")
+    cur.add_argument("-o", "--output", required=True)
+    cur.add_argument("--min-quality", type=float, default=0.25)
+    cur.add_argument("--langs", nargs="+", default=None, metavar="LANG")
+    cur.add_argument("--jaccard-threshold", type=float, default=0.5)
+    cur.add_argument("--token-budget", type=int, default=None)
+    cur.add_argument("--exact-budget", action="store_true",
+                     help="deterministic cumulative-sum budget (single-"
+                          "partition window; default is the distributed "
+                          "quantile-cutoff scale path)")
+
     args = p.parse_args(argv)
 
     from fastpasta_spark.session import get_spark
@@ -87,6 +101,24 @@ def main(argv: list[str] | None = None) -> int:
             F.expr(f"exists(spans, s -> s.kind = '{args.kind}')"))
         kept.write.mode("overwrite").parquet(args.output)
         print(f"wrote {spark.read.parquet(args.output).count()} docs")
+        return 0
+
+    if args.cmd == "curate":
+        from fastpasta_spark.plans.curate import curate
+
+        docs = spark.read.parquet(args.input)
+        if "doc_id" not in docs.columns or "text" not in docs.columns:
+            raise SystemExit(f"curate needs (doc_id, text); got {docs.columns}")
+        res = curate(docs, min_quality=args.min_quality,
+                     langs=tuple(args.langs) if args.langs else None,
+                     jaccard_threshold=args.jaccard_threshold,
+                     token_budget=args.token_budget,
+                     exact_budget=args.exact_budget)
+        res.kept.write.mode("overwrite").parquet(args.output)
+        s = res.summary.first()
+        print(f"input={s['n_input']} gated={s['n_gated']} "
+              f"unique={s['n_unique']} kept={s['n_kept']} "
+              f"kept_tokens={s['kept_tokens']}")
         return 0
 
     # check

@@ -1,0 +1,91 @@
+"""Iterative graph operators: duplicate-cluster resolution.
+
+A dedup pipeline's last step: candidate PAIRS (from exact hashes,
+MinHash-LSH, SimHash or Jaccard — operators/dedup.py) must become
+CLUSTERS so exactly one canonical document per group survives. Pairs
+alone under-delete: A~B and B~C does not list (A, C), so per-pair
+deletion can keep both A and C. The reference's dedup stops at distinct
+key counting (`/root/reference/fastpasta/src/stats/rdh_stats.rs:93-98`);
+clustering is a north_rule/training-pipeline extension.
+
+Algorithm: hash-min label propagation (each node repeatedly adopts the
+minimum label among itself and its neighbours) — converges in
+O(graph diameter) rounds. Near-duplicate clusters are dense and shallow
+(a boilerplate family is almost a clique), so 3-5 rounds is typical.
+For adversarial long-path graphs at 100 TB scale the published
+alternating large-star/small-star algorithm (Kiveris et al., "Connected
+Components in MapReduce and Beyond", SoCC'14) converges in O(log n)
+rounds with the same per-round shuffle shape; hash-min is the simpler
+baseline and is exact regardless — only round COUNT differs.
+
+Scale notes:
+  * per round, ONE shuffle of |E| (node, label) rows + a groupBy min
+    with map-side partial agg; document text never enters the graph
+  * labels are localCheckpoint'ed each round — iterative lineage would
+    otherwise grow the plan (and recompute the whole chain) per round
+  * convergence test is an .isEmpty() on the changed-label set (cheap:
+    |V| rows, early-exits on the first changed row)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(pairs: DataFrame, src: str = "doc_a",
+                         dst: str = "doc_b", max_iter: int = 30) -> DataFrame:
+    """(src, dst) undirected pair table -> (node, cluster) labels, where
+    cluster = the minimum node id reachable from `node` (a deterministic
+    canonical representative). Isolated nodes never appear in `pairs`
+    and keep themselves as implicit singleton clusters.
+    """
+    edges = (
+        pairs.select(F.col(src).alias("_u"), F.col(dst).alias("_v"))
+        .union(pairs.select(F.col(dst).alias("_u"), F.col(src).alias("_v")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("_u").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        # min over neighbours' labels, then min with own label
+        prop = (
+            edges.join(labels, edges["_v"] == labels["node"])
+            .select(F.col("_u").alias("node"), "label")
+            .union(labels)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+        )
+        new_labels = prop.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+        )
+        done = changed.isEmpty()
+        labels = new_labels
+        if done:
+            break
+    edges.unpersist()
+    return labels.select("node", F.col("label").alias("cluster"))
+
+
+def duplicate_clusters(pairs: DataFrame, src: str = "doc_a",
+                       dst: str = "doc_b") -> DataFrame:
+    """Pairs -> (node, cluster, csize, is_keeper): full cluster
+    assignment with the deterministic keeper flag (minimum id). Feed the
+    union of exact-dup pairs and near-dup pairs; delete ``NOT is_keeper``.
+    """
+    cc = connected_components(pairs, src, dst)
+    sizes = cc.groupBy("cluster").agg(F.count(F.lit(1)).alias("csize"))
+    return (
+        cc.join(sizes, "cluster")
+        .select(
+            "node", "cluster", "csize",
+            (F.col("node") == F.col("cluster")).alias("is_keeper"),
+        )
+    )

@@ -217,3 +217,53 @@ def check_all(
     )
 
     return CheckResult(violations=violations_sorted, metrics=metrics, passed=passed)
+
+
+def run_failfast(
+    docs: DataFrame,
+    media: DataFrame | None = None,
+    max_errors: int = 100,
+    n_slices: int = 16,
+    trigger_period: int | None = None,
+) -> tuple[DataFrame, int, int]:
+    """True early-stop (`--max-tolerate-errors` scan-stop semantics,
+    reference controller.rs:229-235): validate deterministic hash-slices
+    of the corpus ONE AT A TIME and stop launching scan jobs once the
+    cumulative error count reaches `max_errors`.
+
+    `check_all(max_errors=...)` caps the RESULT with a LIMIT but still
+    pays the full fused pass over every document; this variant stops the
+    expensive part — the per-doc FSM/stats compute, which dominates at
+    ~30k docs/sec/core vs GB/s parquet scans — after the first slices on
+    corrupt data. Slices are `pmod(xxhash64(doc_id), n_slices)` (pure
+    function of the data, cluster-size independent, same unit as
+    plans/lineage.py). On an Iceberg table bucket-partitioned by doc_id
+    the slice filter also prunes FILES, making the stop an IO stop too;
+    on plain parquet it prunes compute, not scan bytes.
+
+    Returns (violations of the processed slices, slices_processed,
+    total_errors). A clean corpus processes all slices and pays
+    n_slices scans — use this mode when you EXPECT failure (CI gates,
+    quarantine checks), not for routine full validation.
+    """
+    from fastpasta_spark.plans.lineage import BUCKET_COL, with_bucket
+
+    sliced = with_bucket(docs, n_slices)
+    total = 0
+    parts: list[DataFrame] = []
+    done = 0
+    for s in range(n_slices):
+        res = check_all(
+            sliced.filter(F.col(BUCKET_COL) == s).drop(BUCKET_COL),
+            media, trigger_period=trigger_period,
+        )
+        v = res.violations.persist()
+        total += v.count()
+        parts.append(v)
+        done = s + 1
+        if total >= max_errors:
+            break
+    viol = parts[0]
+    for p in parts[1:]:
+        viol = viol.unionByName(p)
+    return viol.orderBy("doc_id", "offset", "check_code"), done, total

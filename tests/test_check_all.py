@@ -106,6 +106,29 @@ def test_max_errors_cap(spark):
     assert res.violations.count() == 5
 
 
+def test_failfast_stops_early_and_matches_full(spark):
+    from fastpasta_spark.plans.check_all import run_failfast
+
+    cfg = CorpusConfig(n_docs=300, corrupt_per_mille=500)
+    docs, media = corpus_df(spark, cfg), media_df(spark, cfg)
+    viol, done, total = run_failfast(docs, media, max_errors=10, n_slices=8)
+    # corrupt corpus: budget exhausted before all slices run
+    assert done < 8 and total >= 10
+    assert viol.count() == total
+    # the processed slices' violations are a subset of the full run's
+    full = {tuple(r) for r in check_all(docs, media).violations.collect()}
+    assert {tuple(r) for r in viol.collect()} <= full
+
+
+def test_failfast_clean_corpus_processes_all(spark):
+    from fastpasta_spark.plans.check_all import run_failfast
+
+    cfg = CorpusConfig(n_docs=60)
+    _, done, total = run_failfast(
+        corpus_df(spark, cfg), media_df(spark, cfg), max_errors=5, n_slices=4)
+    assert done == 4 and total == 0
+
+
 def test_error_attribution_metrics(result):
     # per-key attribution (error_stats.rs:13-55 analogue): docs_with_errors
     # equals the distinct error-carrying doc set; codes_distinct matches

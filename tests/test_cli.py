@@ -103,3 +103,19 @@ def test_stats_toml_roundtrip(fixture_paths, capsys):
                "--media", str(fixture_paths / "media"),
                "--input-stats-file", stats])
     assert "golden stats: all fields match" in capsys.readouterr().out
+
+
+def test_curate_cli(spark, tmp_path, capsys):
+    rows = [(1, "the quick brown fox jumps over the lazy dog and it is "
+                "a fine day for running checks in the data pipeline")] * 3
+    docs = spark.createDataFrame(
+        [(i + 1, t) for i, (_, t) in enumerate(rows)] + [(9, "!!!")],
+        "doc_id long, text string")
+    src = str(tmp_path / "flat")
+    out = str(tmp_path / "curated")
+    docs.write.parquet(src)
+    rc = main(["curate", src, "-o", out, "--min-quality", "0.5"])
+    assert rc == 0
+    assert "kept=1" in capsys.readouterr().out
+    kept = spark.read.parquet(out)
+    assert kept.count() == 1 and kept.first()["doc_id"] == 1
