@@ -966,6 +966,73 @@ FROM cum WHERE c <= 20000
 """
 
 
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-gate stratified sampling (training-mix
+    up/down-weighting): per-lang keep rates, portable md5 gate."""
+    from fastpasta_spark.operators.sampling import sample_stratified
+
+    d = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "lang")
+    rates = {"en": 0.5, "de": 0.25, "fr": 0.1}
+    return sample_stratified(d, "lang", rates, seed=7, default_rate=0.05)
+
+
+def _sql_stratified_sample() -> str:
+    from fastpasta_spark.operators.sampling import DENOM
+
+    h = duckdb_md5_hash("('7:' || doc_id::VARCHAR)")
+    case = ("CASE WHEN lang = 'en' THEN 500000 WHEN lang = 'de' THEN 250000 "
+            "WHEN lang = 'fr' THEN 100000 ELSE 50000 END")
+    return (f"SELECT doc_id, lang FROM documents "
+            f"WHERE ({h} % {DENOM}) < {case}")
+
+
+def _q_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-mix accounting: per (lang_pred, source) doc counts, token
+    sums and token shares — the data-mixing decision table."""
+    from fastpasta_spark.operators.sampling import mix_report
+    from fastpasta_spark.operators.textstats import with_textstats
+
+    d = _read_spread(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text", "source")
+    stats = with_textstats(d).select("source", "lang_pred", "n_tokens")
+    rep = mix_report(stats, strata_cols=("lang_pred", "source"))
+    return rep.select(
+        "lang_pred", "source",
+        F.col("docs").cast("long").alias("docs"),
+        F.col("tokens").cast("long").alias("tokens"),
+        F.col("token_share").cast("double").alias("token_share"),
+    )
+
+
+def _sql_mix_report() -> str:
+    from fastpasta_spark.operators.textstats import STOPWORDS
+
+    tk = duckdb_tokens("text")
+    n_toks = f"greatest(len({tk}), 1)"
+
+    def sw_ratio(lang: str) -> str:
+        words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+        return (f"(len(list_filter({tk}, t -> t IN ({words})))::DOUBLE / {n_toks})")
+
+    langs = list(STOPWORDS)
+    ratios = {lg: sw_ratio(lg) for lg in langs}
+    best = "greatest(" + ", ".join(ratios.values()) + ")"
+    pick = "CASE " + "".join(
+        f"WHEN {ratios[lg]} = {best} AND {best} > 0 THEN '{lg}' "
+        for lg in langs) + "ELSE 'unk' END"
+    return f"""
+WITH ts AS (SELECT source, {pick} AS lang_pred, len({tk}) AS n_tokens
+            FROM documents),
+per AS (SELECT lang_pred, source, count(*)::BIGINT AS docs,
+               sum(n_tokens)::BIGINT AS tokens
+        FROM ts GROUP BY 1, 2)
+SELECT lang_pred, source, docs, tokens,
+       round(tokens::DOUBLE / sum(tokens) OVER (), 6) AS token_share
+FROM per
+"""
+
+
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprints (32-bit, portable hash family)."""
     from fastpasta_spark.operators.dedup import simhash
@@ -1122,6 +1189,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": _q_jaccard_pairs,
         "dup_clusters": _q_dup_clusters,
         "curation": _q_curation,
+        "stratified_sample": _q_stratified_sample,
+        "mix_report": _q_mix_report,
         "simhash": _q_simhash,
         "cosine_topk": _q_cosine_topk,
         "media_meta": _q_media_meta,
@@ -1159,6 +1228,8 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_pairs": _sql_jaccard_pairs(),
         "dup_clusters": _sql_dup_clusters(),
         "curation": _sql_curation(),
+        "stratified_sample": _sql_stratified_sample(),
+        "mix_report": _sql_mix_report(),
         "simhash": _sql_simhash(),
         "cosine_topk": _SQL_COSINE_TOPK,
         "media_meta": _SQL_MEDIA_META,

@@ -16,6 +16,14 @@ Grammar over the span-kind alphabet (FIXTURES.md):
 Running rules:
   * trig.cont=1 is legal only when the previous trailer had done=0 (E41)
   * trig.bc is non-decreasing across trigs within a doc (E440)
+  * opt-in page counter (R1/R3 true form, rdh_running.rs pages-counter +
+    same-fields analogues): a header carrying ``page=N`` must have N = 0
+    for the doc's first counted header and previous+1 after -> E31; when
+    N > 0 its ``lanes=`` declaration must equal the previous header's
+    -> E32
+  * opt-in orbit counter (R2, orbit-change-after-stop): a trig carrying
+    ``orbit=O`` may never decrease O, and may increase it only when the
+    previous trailer had done=1 (stop) -> E441
   * with a user-configured ``trigger_period``: between consecutive trigs
     carrying int=1 (internal trigger), (bc_cur - bc_prev) mod 3564 must
     equal the period -> E45 (tdh.rs:60-109 via cdp_running.rs:400-427)
@@ -184,6 +192,9 @@ def validate_spans(
     prev_trailer_done: int | None = None
     prev_bc: int | None = None
     prev_int_bc: int | None = None        # last bc of an int=1 trig (E45)
+    prev_page: int | None = None          # last header page= (E31/E32)
+    prev_page_lanes: int | None = None    # lanes= of that header (E32)
+    prev_orbit: int | None = None         # last trig orbit= (E441)
     content_in_frame = 0
     noncalib_in_frame = 0
     declared_lanes: int | None = None
@@ -221,6 +232,20 @@ def validate_spans(
             declared_chips = _int_field(fields, "chips")
             if declared_lanes is None:
                 emit(i, off, S.E30_HEADER_SANITY, "header missing integer lanes= field")
+            page = _int_field(fields, "page")
+            if page is not None:
+                expected_page = 0 if prev_page is None else prev_page + 1
+                if page != expected_page:
+                    emit(i, off, S.E31_PAGE_COUNTER,
+                         f"header page {page} != expected {expected_page}")
+                if (page > 0 and prev_page_lanes is not None
+                        and declared_lanes is not None
+                        and declared_lanes != prev_page_lanes):
+                    emit(i, off, S.E32_PAGE_FIELDS,
+                         f"header lanes changed {prev_page_lanes} -> "
+                         f"{declared_lanes} at page {page}")
+                prev_page = page
+                prev_page_lanes = declared_lanes
             if state in (START, CLOSED):
                 state = AWAIT_TRIG
             else:
@@ -251,6 +276,17 @@ def validate_spans(
                              f"trigger period {detected} != specified "
                              f"{trigger_period} (prev bc {prev_int_bc}, bc {bc})")
                 prev_int_bc = bc
+            orbit = _int_field(fields, "orbit")
+            if orbit is not None:
+                if prev_orbit is not None:
+                    if orbit < prev_orbit:
+                        emit(i, off, S.E441_ORBIT_NO_STOP,
+                             f"orbit {orbit} decreased vs previous {prev_orbit}")
+                    elif orbit > prev_orbit and prev_trailer_done == 0:
+                        emit(i, off, S.E441_ORBIT_NO_STOP,
+                             f"orbit changed {prev_orbit} -> {orbit} but "
+                             "previous trailer had done=0 (no stop)")
+                prev_orbit = orbit
             if state == AWAIT_TRIG:
                 if cont == 1:
                     emit(i, off, S.E41_CONTINUATION,

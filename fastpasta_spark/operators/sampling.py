@@ -1,0 +1,80 @@
+"""Deterministic sampling + corpus-mix accounting for training pipelines.
+
+Web-scale pipelines never use rand() sampling: results must be
+reproducible across retries, resumes and cluster sizes, and a document
+must keep/lose membership CONSISTENTLY when the job re-runs. The
+standard primitive is hash-gate sampling — keep a row iff
+``hash(id) mod D < rate * D`` — which this module implements with the
+portable md5-derived hash (functions/hashing.py) so DuckDB oracles and
+any other engine reproduce the exact sample.
+
+Properties worth the name:
+  * pure map — no shuffle, no state, embarrassingly parallel
+  * composable: a 10% sample of a 50% sample equals a 5% sample when
+    seeds differ, and sub-sampling with the SAME seed is a no-op
+    (nested samples are nested sets)
+  * stratified: per-stratum rates via a small broadcast rate table
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from fastpasta_spark.functions.hashing import spark_md5_hash
+
+# denominator of the rate grid: rates are exact multiples of 1/DENOM
+DENOM = 1_000_000
+
+
+def hash_gate(id_col: str, rate: float, seed: int = 0) -> str:
+    """SQL boolean expr: deterministic keep-gate at `rate` (grid 1e-6)."""
+    thresh = int(round(rate * DENOM))
+    h = spark_md5_hash(f"cast({id_col} as string)", seed=seed)
+    return f"pmod({h}, {DENOM}) < {thresh}"
+
+
+def sample_exact(df: DataFrame, id_col: str = "doc_id", rate: float = 0.1,
+                 seed: int = 0) -> DataFrame:
+    """Deterministic hash-gate sample: keeps each row iff its id hashes
+    under the rate threshold. Same input + seed -> same sample, on any
+    cluster, forever."""
+    return df.filter(F.expr(hash_gate(id_col, rate, seed)))
+
+
+def sample_stratified(df: DataFrame, strata_col: str, rates: dict[str, float],
+                      id_col: str = "doc_id", seed: int = 0,
+                      default_rate: float = 0.0) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. up/down-weight sources
+    or languages in a training mix). `rates` maps stratum value -> keep
+    rate; unlisted strata use default_rate.
+
+    Scale: the rate table is inlined as a CASE expression (it is tiny
+    by definition — strata are languages/sources, not documents), so
+    the whole operator stays a shuffle-free map."""
+    h = spark_md5_hash(f"cast({id_col} as string)", seed=seed)
+    case = "CASE " + "".join(
+        f"WHEN {strata_col} = '{k}' THEN {int(round(v * DENOM))} "
+        for k, v in rates.items()
+    ) + f"ELSE {int(round(default_rate * DENOM))} END"
+    return df.filter(F.expr(f"pmod({h}, {DENOM}) < {case}"))
+
+
+def mix_report(df: DataFrame, strata_cols: tuple[str, ...] = ("lang_pred",),
+               token_col: str = "n_tokens") -> DataFrame:
+    """Training-mix accounting: per-stratum doc counts, token sums and
+    corpus shares — the report a data-mixing decision reads. One
+    groupBy over small key columns; token shares computed from a
+    broadcast single-row total."""
+    per = df.groupBy(*strata_cols).agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum(token_col).alias("tokens"),
+    )
+    total = per.agg(F.sum("tokens").alias("_tt"))
+    return (
+        per.crossJoin(F.broadcast(total))
+        .select(
+            *strata_cols, "docs", "tokens",
+            F.round(F.col("tokens") / F.col("_tt"), 6).alias("token_share"),
+        )
+    )

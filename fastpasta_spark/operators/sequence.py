@@ -129,6 +129,9 @@ def _fsm_over_codes(codes, offs, kv, refs, n_spans, kind_name,
     prev_trailer_done = None
     prev_bc = None
     prev_int_bc = None
+    prev_page = None
+    prev_page_lanes = None
+    prev_orbit = None
     noncalib = 0
     declared_lanes = None
     declared_lane_ids = None
@@ -159,6 +162,20 @@ def _fsm_over_codes(codes, offs, kv, refs, n_spans, kind_name,
             if declared_lanes is None:
                 viol.append((i, off, S.E30_HEADER_SANITY, E,
                              "header missing integer lanes= field"))
+            page = pyfsm._int_field(fields, "page")
+            if page is not None:
+                expected_page = 0 if prev_page is None else prev_page + 1
+                if page != expected_page:
+                    viol.append((i, off, S.E31_PAGE_COUNTER, E,
+                                 f"header page {page} != expected {expected_page}"))
+                if (page > 0 and prev_page_lanes is not None
+                        and declared_lanes is not None
+                        and declared_lanes != prev_page_lanes):
+                    viol.append((i, off, S.E32_PAGE_FIELDS, E,
+                                 f"header lanes changed {prev_page_lanes} -> "
+                                 f"{declared_lanes} at page {page}"))
+                prev_page = page
+                prev_page_lanes = declared_lanes
             if state not in (pyfsm.START, pyfsm.CLOSED):
                 viol.append((i, off, S.E990_FSM_UNEXPECTED, E,
                              f"header not legal in state {state}"))
@@ -190,6 +207,17 @@ def _fsm_over_codes(codes, offs, kv, refs, n_spans, kind_name,
                                      f"trigger period {detected} != specified "
                                      f"{trigger_period} (prev bc {prev_int_bc}, bc {bc})"))
                 prev_int_bc = bc
+            orbit = pyfsm._int_field(fields, "orbit")
+            if orbit is not None:
+                if prev_orbit is not None:
+                    if orbit < prev_orbit:
+                        viol.append((i, off, S.E441_ORBIT_NO_STOP, E,
+                                     f"orbit {orbit} decreased vs previous {prev_orbit}"))
+                    elif orbit > prev_orbit and prev_trailer_done == 0:
+                        viol.append((i, off, S.E441_ORBIT_NO_STOP, E,
+                                     f"orbit changed {prev_orbit} -> {orbit} but "
+                                     "previous trailer had done=0 (no stop)"))
+                prev_orbit = orbit
             if state == pyfsm.AWAIT_TRIG:
                 if cont == 1:
                     viol.append((i, off, S.E41_CONTINUATION, E,

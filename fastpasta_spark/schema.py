@@ -137,6 +137,16 @@ E45_TRIGGER_PERIOD = "E45"       # trig bc period != user-specified period betwe
                                  # internal triggers (tdh.rs:60-109, driven from
                                  # cdp_running.rs:400-427; mod-3564 wraparound)
 
+# Running header/trig field checks over opt-in counters (R1-R3 true
+# docs-model form; rdh_running.rs pages-counter / same-fields /
+# orbit-after-stop analogues). Opt-in: only headers carrying page= /
+# trigs carrying orbit= participate, so counter-less corpora are no-ops.
+E31_PAGE_COUNTER = "E31"         # header page= not previous+1 (first must be 0)
+E32_PAGE_FIELDS = "E32"          # header fields (lanes=) changed when page > 0
+E441_ORBIT_NO_STOP = "E441"      # trig orbit= decreased, or changed while the
+                                 # previous trailer had done=0 (orbit may only
+                                 # advance after a stop)
+
 # Sequence / FSM (its_payload_fsm_cont.rs:24-81 analogues)
 E990_FSM_UNEXPECTED = "E990"     # word not legal in current FSM state
 E991_FSM_UNCLOSED = "E991"       # document ended with an open section
@@ -180,7 +190,7 @@ ALL_CODES = [
     E70_INVALID_KIND, E71_TEXT_EMPTY, E72_MEDIA_REF_MISSING, E73_UNEXPECTED_REF,
     E81_CALIB_POSITION, E990_FSM_UNEXPECTED, E991_FSM_UNCLOSED,
     E992_FSM_ORPHAN_CLOSE, E440_BC_NOT_MONOTONE, E41_CONTINUATION,
-    E45_TRIGGER_PERIOD,
+    E45_TRIGGER_PERIOD, E31_PAGE_COUNTER, E32_PAGE_FIELDS, E441_ORBIT_NO_STOP,
     E701_EMPTY_FRAME, E702_LANE_COUNT, E703_DUP_REF_IN_FRAME,
     E704_LANE_NOT_DECLARED, E705_LANE_ORDER,
     E9003_CHIP_BC_MISMATCH, E9004_CHIP_COUNT, E9005_CHIP_ORDER,

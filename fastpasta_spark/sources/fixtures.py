@@ -142,6 +142,29 @@ def fatal_lanes(spark: SparkSession, n_docs: int = 400) -> DataFrame:
     return _mutated(spark, synth.MUT_FATAL_LANE, n_docs, cfg=_LANE_CFG)
 
 
+# page/orbit running-counter corpora (R1-R3 true docs-model form):
+# headers carry page=, trigs orbit=; ≥2 frames so counter mutations
+# always have a second frame to corrupt
+_PAGE_CFG = CorpusConfig(n_docs=400, page_orbit=True, min_frames=2)
+
+
+def bad_page_counter(spark: SparkSession, n_docs: int = 400) -> DataFrame:
+    """Header page counter skips -> E31 (rdh pages-counter analogue)."""
+    return _mutated(spark, synth.MUT_PAGE_SKIP, n_docs, cfg=_PAGE_CFG)
+
+
+def bad_page_fields(spark: SparkSession, n_docs: int = 400) -> DataFrame:
+    """Header lanes= changes at page>0 (content adjusted so only the
+    same-fields check fires) -> E32."""
+    return _mutated(spark, synth.MUT_PAGE_FIELDS, n_docs, cfg=_PAGE_CFG)
+
+
+def bad_orbit(spark: SparkSession, n_docs: int = 400) -> DataFrame:
+    """Orbit advances without a stop (trailer done=0) -> E441
+    (orbit-change-after-stop analogue)."""
+    return _mutated(spark, synth.MUT_ORBIT_NO_STOP, n_docs, cfg=_PAGE_CFG)
+
+
 def drifted(spark: SparkSession, n_docs: int = 500) -> DataFrame:
     """Shifted kind distribution (heavy corruption) for drift checks."""
     return corpus_df(spark, CorpusConfig(n_docs=n_docs, corrupt_per_mille=900))
@@ -168,6 +191,9 @@ FIXTURES = {
     "bad_chip_order": bad_chip_order,
     "bad_chip_bc": bad_chip_bc,
     "fatal_lanes": fatal_lanes,
+    "bad_page_counter": bad_page_counter,
+    "bad_page_fields": bad_page_fields,
+    "bad_orbit": bad_orbit,
     "drifted": drifted,
     "resume_corpus": resume_corpus,
 }
@@ -190,4 +216,7 @@ def expected_dominant_codes() -> dict[str, set[str]]:
         "bad_chip_order": {"E9005"},
         "bad_chip_bc": {"E9003"},
         "fatal_lanes": {"E9006"},
+        "bad_page_counter": {"E31"},
+        "bad_page_fields": {"E32"},
+        "bad_orbit": {"E441"},
     }

@@ -67,7 +67,12 @@ MUT_CHIP_BC = 19          # one lane's cbc differs        -> E9003
 MUT_FATAL_LANE = 20       # undecodable chips -> E9006 FATAL; the lane's
                           # spans vanish from later frames (propagation:
                           # no E702 because expected count drops)
-N_MUTATIONS_ALL = 21
+# page/orbit running-counter classes (corpora with page_orbit=True)
+MUT_PAGE_SKIP = 21        # 2nd header's page= skips ahead      -> E31
+MUT_PAGE_FIELDS = 22      # 2nd header declares different lanes= (frame
+                          # content adjusted to match)          -> E32
+MUT_ORBIT_NO_STOP = 23    # trailer done=0 but orbit advances   -> E441
+N_MUTATIONS_ALL = 24
 
 
 def splitmix64(x: int) -> int:
@@ -97,6 +102,7 @@ class CorpusConfig:
     trigger_period: int | None = None  # trigs get int=1, bc steps by this
     lane_layer: bool = False           # content spans carry lane=/chips=/cbc=
     chips_per_lane: int = 2
+    page_orbit: bool = False           # headers carry page=, trigs orbit=
     # restrict corrupted docs to these mutation classes (None = 0..13)
     mutation_classes: tuple[int, ...] | None = None
 
@@ -119,23 +125,35 @@ def _doc_spans(i: int, cfg: CorpusConfig) -> list[dict]:
     hs = h
     for f in range(n_frames):
         hs = splitmix64(hs + f + 1)
-        n_content = cfg.min_content + (hs >> 16) % (
-            cfg.max_content - cfg.min_content + 1)
+        if cfg.page_orbit:
+            # constant frame width per doc: the same-fields rule (E32)
+            # requires lanes= to be stable across a doc's page sequence
+            n_content = cfg.min_content + (h >> 16) % (
+                cfg.max_content - cfg.min_content + 1)
+        else:
+            n_content = cfg.min_content + (hs >> 16) % (
+                cfg.max_content - cfg.min_content + 1)
         # header declares the frame's content-span count (A1 analogue:
         # expected lanes per readout frame); lane-layer corpora also
         # declare the lane SET + expected chips per lane (R11/A5 analogue)
+        # page_orbit corpora: every header carries the running page
+        # counter, every trig the orbit (advances once per frame — every
+        # clean trailer is a stop, so the advance is always legal)
+        page_sfx = f",page={f}" if cfg.page_orbit else ""
         if cfg.lane_layer:
             ids = ";".join(str(c) for c in range(n_content))
             push(S.KIND_HEADER,
-                 f"lanes={n_content},lane_ids={ids},chips={cfg.chips_per_lane}")
+                 f"lanes={n_content},lane_ids={ids},"
+                 f"chips={cfg.chips_per_lane}{page_sfx}")
         else:
-            push(S.KIND_HEADER, f"lanes={n_content}")
+            push(S.KIND_HEADER, f"lanes={n_content}{page_sfx}")
+        orbit_sfx = f",orbit={h % 97 + f}" if cfg.page_orbit else ""
         frame_bc = bc
         if cfg.trigger_period:
-            push(S.KIND_TRIG, f"cont=0,bc={bc},int=1")
+            push(S.KIND_TRIG, f"cont=0,bc={bc},int=1{orbit_sfx}")
             bc += cfg.trigger_period
         else:
-            push(S.KIND_TRIG, f"cont=0,bc={bc}")
+            push(S.KIND_TRIG, f"cont=0,bc={bc}{orbit_sfx}")
             bc += 1 + (hs >> 8) % 50
         if hs % 5 == 0:
             push(S.KIND_CALIB, "idx=0")
@@ -323,6 +341,40 @@ def _mutate(spans: list[dict], mut: int, h: int, cfg: CorpusConfig) -> list[dict
                 spans[a]["text"], spans[b]["text"] = (spans[b]["text"],
                                                       spans[a]["text"])
                 break
+    elif mut == MUT_PAGE_SKIP:
+        # bump the 2nd header's page= so the counter skips -> E31 there
+        # (and at the following header, if any — both deterministic)
+        hdrs = [k for k, s in enumerate(spans)
+                if s["kind"] == S.KIND_HEADER and ",page=" in s["text"]]
+        if len(hdrs) >= 2:
+            parts = spans[hdrs[1]]["text"].split(",")
+            parts = [f"page={int(p[5:]) + 1 + h % 3}" if p.startswith("page=")
+                     else p for p in parts]
+            spans[hdrs[1]]["text"] = ",".join(parts)
+    elif mut == MUT_PAGE_FIELDS:
+        # 2nd header declares lanes+1 AND its frame gains one text span,
+        # so the count matches and ONLY the same-fields check fires (E32)
+        hdrs = [k for k, s in enumerate(spans)
+                if s["kind"] == S.KIND_HEADER and ",page=" in s["text"]]
+        if len(hdrs) >= 2:
+            k = hdrs[1]
+            parts = spans[k]["text"].split(",")
+            parts = [f"lanes={int(p[6:]) + 1}" if p.startswith("lanes=")
+                     else p for p in parts]
+            spans[k]["text"] = ",".join(parts)
+            t_idx = next(j for j in range(k, len(spans))
+                         if spans[j]["kind"] == S.KIND_TRAILER)
+            spans.insert(t_idx, {"kind": S.KIND_TEXT, "text": "pad span text",
+                                 "media_ref": "", "offset": 0})
+            for k2, s in enumerate(spans):
+                s["offset"] = k2
+    elif mut == MUT_ORBIT_NO_STOP:
+        # first trailer loses its stop bit while the next frame's orbit
+        # still advances -> E441 at that frame's trig
+        trailers = [k for k, s in enumerate(spans)
+                    if s["kind"] == S.KIND_TRAILER]
+        if len(trailers) >= 2:
+            spans[trailers[0]]["text"] = "done=0"
     elif mut == MUT_DUP_REF:
         # duplicate a media ref within its frame (or convert the first
         # text span); the lanes count is bumped so only E703 fires

@@ -1,0 +1,71 @@
+"""Deterministic hash-gate sampling + mix-report tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fastpasta_spark.functions.hashing import py_md5_hash
+from fastpasta_spark.operators.sampling import (
+    DENOM,
+    mix_report,
+    sample_exact,
+    sample_stratified,
+)
+
+
+def _ids(spark, n=2000):
+    return spark.range(n).select(F.col("id").alias("doc_id"))
+
+
+def test_matches_python_twin(spark):
+    got = {r["doc_id"] for r in sample_exact(_ids(spark, 500), rate=0.3,
+                                             seed=9).collect()}
+    expect = {i for i in range(500)
+              if py_md5_hash(str(i), seed=9) % DENOM < 300_000}
+    assert got == expect
+
+
+def test_deterministic_and_partition_independent(spark):
+    a = sample_exact(_ids(spark).coalesce(1), rate=0.2, seed=1)
+    b = sample_exact(_ids(spark).repartition(16), rate=0.2, seed=1)
+    assert sorted(r["doc_id"] for r in a.collect()) == \
+           sorted(r["doc_id"] for r in b.collect())
+
+
+def test_nested_same_seed_is_noop_and_rates_nest(spark):
+    s50 = sample_exact(_ids(spark), rate=0.5, seed=3)
+    again = sample_exact(s50, rate=0.5, seed=3)
+    assert again.count() == s50.count()
+    s10 = {r["doc_id"] for r in sample_exact(_ids(spark), rate=0.1,
+                                             seed=3).collect()}
+    s50set = {r["doc_id"] for r in s50.collect()}
+    assert s10 <= s50set  # smaller rate = subset at the same seed
+
+
+def test_empirical_rate(spark):
+    n = sample_exact(_ids(spark, 20_000), rate=0.25, seed=5).count()
+    assert abs(n / 20_000 - 0.25) < 0.02
+
+
+def test_stratified_rates(spark):
+    df = spark.range(9000).select(
+        F.col("id").alias("doc_id"),
+        F.element_at(F.array(F.lit("en"), F.lit("de"), F.lit("zz")),
+                     (F.col("id") % 3 + 1).cast("int")).alias("lang"))
+    s = sample_stratified(df, "lang", {"en": 0.5, "de": 0.1}, seed=2,
+                          default_rate=0.0)
+    by = {r["lang"]: r["n"] for r in
+          s.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert abs(by["en"] / 3000 - 0.5) < 0.05
+    assert abs(by["de"] / 3000 - 0.1) < 0.04
+    assert "zz" not in by  # default 0 drops unlisted strata
+
+
+def test_mix_report_shares(spark):
+    df = spark.createDataFrame(
+        [("en", 10), ("en", 30), ("de", 60)], "lang_pred string, n_tokens long")
+    rows = mix_report(df).collect()
+    by = {r["lang_pred"]: r for r in rows}
+    assert by["en"]["docs"] == 2 and by["en"]["tokens"] == 40
+    assert abs(by["en"]["token_share"] - 0.4) < 1e-9
+    assert abs(sum(r["token_share"] for r in rows) - 1.0) < 1e-6
