@@ -38,6 +38,11 @@ Running rules:
   * a trailer with no open frame -> E992; doc ending inside a frame -> E991
   * any span after diag -> E60
   * calib after content within a frame -> E81
+  * padding gate (C7, flush-padding sanity analogue): ``pad`` spans are
+    legal only as a trailing run outside any open frame (incl. after
+    diag); a mid-frame pad -> E82 (without poisoning the rest), any
+    non-pad span after legal padding began -> E82, a pad carrying text
+    -> E74 (stateless battery)
 
 Lane-identity + chip layer (the third nesting level; opt-in per span —
 a content span participates iff its text starts with ``lane=``):
@@ -170,6 +175,9 @@ def stateless_doc_checks(
         if kind != S.KIND_MEDIA and ref is not None and ref != "":
             viol.append((i, off, S.E73_UNEXPECTED_REF, S.SEV_ERROR,
                          f"non-media span carries media_ref {ref}"))
+        if kind == S.KIND_PAD and text is not None and text != "":
+            viol.append((i, off, S.E74_PAD_NOT_EMPTY, S.SEV_ERROR,
+                         "pad span with non-empty text"))
     return viol
 
 
@@ -219,8 +227,22 @@ def validate_spans(
         frame_cbcs = set()
         frame_fatal_snapshot = set(fatal_lanes)
 
+    padding_started = False
     for i, (kind, text, media_ref, offset) in enumerate(spans):
         off = offset if offset is not None else -1
+        # padding gate (C7): pad spans are legal only as a trailing run
+        # outside any open frame (incl. after diag); anything after a
+        # legally-placed pad is corrupt. An ILLEGAL (mid-frame) pad is
+        # flagged itself but does not poison the rest of the doc.
+        if kind == S.KIND_PAD:
+            if state in (AWAIT_TRIG, CONTENT):
+                emit(i, off, S.E82_PAD_POSITION, "pad span inside an open frame")
+            else:
+                padding_started = True
+            continue
+        if padding_started:
+            emit(i, off, S.E82_PAD_POSITION,
+                 f"{kind} span after padding began")
         if state == DONE:
             emit(i, off, S.E60_DIAG_SANITY, f"span kind={kind} after diag footer")
             continue

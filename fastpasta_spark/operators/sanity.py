@@ -76,6 +76,11 @@ def sanity_violations(docs: DataFrame) -> DataFrame:
                 "AND s.media_ref <> ''",
                 S.E73_UNEXPECTED_REF,
                 "concat('non-media span carries media_ref ', s.media_ref)"),
+            # padding gate (C7): flush padding must be pure — a pad span
+            # carrying text is corrupt padding (ref case is E73 above)
+            _span_rule(
+                f"s.kind = '{S.KIND_PAD}' AND s.text IS NOT NULL AND s.text <> ''",
+                S.E74_PAD_NOT_EMPTY, "'pad span with non-empty text'"),
         ]
     )
 

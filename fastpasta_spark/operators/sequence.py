@@ -84,6 +84,7 @@ _K_MEDIA = _KINDS.index(S.KIND_MEDIA)
 _K_CALIB = _KINDS.index(S.KIND_CALIB)
 _K_TRAILER = _KINDS.index(S.KIND_TRAILER)
 _K_DIAG = _KINDS.index(S.KIND_DIAG)
+_K_PAD = _KINDS.index(S.KIND_PAD)
 
 # strict anchors (\A..\z) — RE2 supports them and they mean the same in
 # Python/Java, unlike $ (which Python/Java match before a trailing newline)
@@ -146,9 +147,20 @@ def _fsm_over_codes(codes, offs, kv, refs, n_spans, kind_name,
     def emit(i, off, code, msg, sev=E):
         viol.append((i, off, code, sev, msg))
 
+    padding_started = False
     for i in range(n_spans):
         k = codes[i]
         off = offs[i]
+        if k == _K_PAD:
+            if state in (pyfsm.AWAIT_TRIG, pyfsm.CONTENT):
+                viol.append((i, off, S.E82_PAD_POSITION, E,
+                             "pad span inside an open frame"))
+            else:
+                padding_started = True
+            continue
+        if padding_started:
+            viol.append((i, off, S.E82_PAD_POSITION, E,
+                         f"{kind_name(i)} span after padding began"))
         if state == pyfsm.DONE:
             viol.append((i, off, S.E60_DIAG_SANITY, E,
                          f"span kind={kind_name(i)} after diag footer"))
@@ -437,6 +449,9 @@ def _make_arrow_pass(fused: bool, trigger_period: int | None = None):
                     ref_py = ref_c.to_pylist()
                     emit_flat(e73, S.E73_UNEXPECTED_REF,
                               lambda j: f"non-media span carries media_ref {ref_py[j]}")
+                e74 = np.nonzero((codes == _K_PAD) & ~text_empty)[0]
+                emit_flat(e74, S.E74_PAD_NOT_EMPTY,
+                          lambda j: "pad span with non-empty text")
 
                 # doc-level: E10/E13 (doc_id), E12 (spans), E11 (offsets)
                 did_null = pc.is_null(doc_id_arr).to_numpy(zero_copy_only=False)

@@ -33,6 +33,8 @@ KIND_MEDIA = "media"      # data word with media reference
 KIND_CALIB = "calib"      # CDW 0xF8 — only valid at section start
 KIND_TRAILER = "trailer"  # TDT 0xF0 — closes a section
 KIND_DIAG = "diag"        # DDW0 0xE4 — doc footer, only valid last
+KIND_PAD = "pad"          # 0xFF flush padding — only valid as a trailing
+                          # run after the last closed frame / diag
 
 VALID_KINDS = [
     KIND_HEADER,
@@ -42,6 +44,7 @@ VALID_KINDS = [
     KIND_CALIB,
     KIND_TRAILER,
     KIND_DIAG,
+    KIND_PAD,  # appended LAST: existing kind-code indices stay stable
 ]
 
 CONTENT_KINDS = [KIND_TEXT, KIND_MEDIA, KIND_CALIB]
@@ -132,6 +135,12 @@ E71_TEXT_EMPTY = "E71"           # text-kind span with empty/null text
 E72_MEDIA_REF_MISSING = "E72"    # media-kind span with empty media_ref
 E73_UNEXPECTED_REF = "E73"       # non-media span carrying a media_ref
 E81_CALIB_POSITION = "E81"       # calib span not at section start (cdp_running.rs:317-332)
+E74_PAD_NOT_EMPTY = "E74"        # pad span carrying text/media_ref (padding gate:
+                                 # flush padding must be pure 0xFF, lib.rs padding
+                                 # sanity analogue)
+E82_PAD_POSITION = "E82"         # pad span inside an open frame, or a non-pad
+                                 # span after padding began (padding is only
+                                 # legal as a trailing run)
 
 E45_TRIGGER_PERIOD = "E45"       # trig bc period != user-specified period between
                                  # internal triggers (tdh.rs:60-109, driven from
@@ -188,7 +197,8 @@ ALL_CODES = [
     E10_DOC_ID_NULL, E11_OFFSET_SEQUENCE, E12_SPANS_NULL, E13_DOC_ID_FORMAT,
     E30_HEADER_SANITY, E40_TRIG_SANITY, E50_TRAILER_SANITY, E60_DIAG_SANITY,
     E70_INVALID_KIND, E71_TEXT_EMPTY, E72_MEDIA_REF_MISSING, E73_UNEXPECTED_REF,
-    E81_CALIB_POSITION, E990_FSM_UNEXPECTED, E991_FSM_UNCLOSED,
+    E81_CALIB_POSITION, E74_PAD_NOT_EMPTY, E82_PAD_POSITION,
+    E990_FSM_UNEXPECTED, E991_FSM_UNCLOSED,
     E992_FSM_ORPHAN_CLOSE, E440_BC_NOT_MONOTONE, E41_CONTINUATION,
     E45_TRIGGER_PERIOD, E31_PAGE_COUNTER, E32_PAGE_FIELDS, E441_ORBIT_NO_STOP,
     E701_EMPTY_FRAME, E702_LANE_COUNT, E703_DUP_REF_IN_FRAME,

@@ -165,6 +165,20 @@ def bad_orbit(spark: SparkSession, n_docs: int = 400) -> DataFrame:
     return _mutated(spark, synth.MUT_ORBIT_NO_STOP, n_docs, cfg=_PAGE_CFG)
 
 
+# padding-gate corpora (C7): docs end with a trailing pad run
+_PAD_SPANS_CFG = CorpusConfig(n_docs=400, pad_spans=True)
+
+
+def bad_pad_position(spark: SparkSession, n_docs: int = 400) -> DataFrame:
+    """Pad span inside an open frame -> E82 (padding gate)."""
+    return _mutated(spark, synth.MUT_PAD_INSIDE, n_docs, cfg=_PAD_SPANS_CFG)
+
+
+def bad_pad_content(spark: SparkSession, n_docs: int = 400) -> DataFrame:
+    """Trailing pad carrying text -> E74 (corrupt flush padding)."""
+    return _mutated(spark, synth.MUT_PAD_DIRTY, n_docs, cfg=_PAD_SPANS_CFG)
+
+
 def drifted(spark: SparkSession, n_docs: int = 500) -> DataFrame:
     """Shifted kind distribution (heavy corruption) for drift checks."""
     return corpus_df(spark, CorpusConfig(n_docs=n_docs, corrupt_per_mille=900))
@@ -194,6 +208,8 @@ FIXTURES = {
     "bad_page_counter": bad_page_counter,
     "bad_page_fields": bad_page_fields,
     "bad_orbit": bad_orbit,
+    "bad_pad_position": bad_pad_position,
+    "bad_pad_content": bad_pad_content,
     "drifted": drifted,
     "resume_corpus": resume_corpus,
 }
@@ -219,4 +235,6 @@ def expected_dominant_codes() -> dict[str, set[str]]:
         "bad_page_counter": {"E31"},
         "bad_page_fields": {"E32"},
         "bad_orbit": {"E441"},
+        "bad_pad_position": {"E82"},
+        "bad_pad_content": {"E74"},
     }

@@ -72,7 +72,10 @@ MUT_PAGE_SKIP = 21        # 2nd header's page= skips ahead      -> E31
 MUT_PAGE_FIELDS = 22      # 2nd header declares different lanes= (frame
                           # content adjusted to match)          -> E32
 MUT_ORBIT_NO_STOP = 23    # trailer done=0 but orbit advances   -> E441
-N_MUTATIONS_ALL = 24
+# padding-gate classes (corpora with pad_spans=True)
+MUT_PAD_INSIDE = 24       # pad span inside an open frame       -> E82
+MUT_PAD_DIRTY = 25        # trailing pad carries text           -> E74
+N_MUTATIONS_ALL = 26
 
 
 def splitmix64(x: int) -> int:
@@ -103,6 +106,7 @@ class CorpusConfig:
     lane_layer: bool = False           # content spans carry lane=/chips=/cbc=
     chips_per_lane: int = 2
     page_orbit: bool = False           # headers carry page=, trigs orbit=
+    pad_spans: bool = False            # docs end with a trailing pad run
     # restrict corrupted docs to these mutation classes (None = 0..13)
     mutation_classes: tuple[int, ...] | None = None
 
@@ -181,6 +185,9 @@ def _doc_spans(i: int, cfg: CorpusConfig) -> list[dict]:
         push(S.KIND_TRAILER, "done=1")
     if h % 3 == 0:
         push(S.KIND_DIAG, "ok")
+    if cfg.pad_spans:
+        for _ in range(1 + h % 2):
+            push(S.KIND_PAD)
     return spans
 
 
@@ -375,6 +382,21 @@ def _mutate(spans: list[dict], mut: int, h: int, cfg: CorpusConfig) -> list[dict
                     if s["kind"] == S.KIND_TRAILER]
         if len(trailers) >= 2:
             spans[trailers[0]]["text"] = "done=0"
+    elif mut == MUT_PAD_INSIDE:
+        # pad span right after the first trig -> one E82 (mid-frame pad)
+        t_idx = next((k for k, s in enumerate(spans)
+                      if s["kind"] == S.KIND_TRIG), None)
+        if t_idx is not None:
+            spans.insert(t_idx + 1, {"kind": S.KIND_PAD, "text": "",
+                                     "media_ref": "", "offset": 0})
+            for k2, s in enumerate(spans):
+                s["offset"] = k2
+    elif mut == MUT_PAD_DIRTY:
+        # first trailing pad carries text -> E74 (stateless battery)
+        p_idx = next((k for k, s in enumerate(spans)
+                      if s["kind"] == S.KIND_PAD), None)
+        if p_idx is not None:
+            spans[p_idx]["text"] = "deadbeef"
     elif mut == MUT_DUP_REF:
         # duplicate a media ref within its frame (or convert the first
         # text span); the lanes count is bumped so only E703 fires
