@@ -1,0 +1,94 @@
+"""Incremental (streaming) exact dedup — first-seen-wins across batches.
+
+A continuously-ingesting pipeline cannot re-run global dedup per batch;
+it needs each arriving micro-batch deduplicated against EVERYTHING seen
+so far. Pattern: ``foreachBatch`` + an accumulating content-hash state
+table —
+
+  1. within-batch keeper: min doc_id per content hash (deterministic)
+  2. cross-batch: broadcast-free left_anti join of the batch's hashes
+     against the state table (at scale: an Iceberg table bucketed by
+     hash, so the anti-join co-locates; here plain parquet)
+  3. append kept docs + their hashes, both partitioned by epoch_id with
+     DYNAMIC overwrite — so a crashed epoch re-runs idempotently
+
+Exactly-once detail: a re-run of epoch N must not anti-join against
+hashes its own failed attempt already wrote, or every doc of the batch
+would vanish — the state read EXCLUDES rows of the current epoch.
+
+The batch twin is operators/dedup.exact_duplicates; the FIRST-seen
+keeper rule matches duplicate_clusters' min-id keeper.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+STREAM_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType(), True),
+    T.StructField("text", T.StringType(), True),
+])
+
+
+def _dedup_batch(batch_df: DataFrame, state: DataFrame | None) -> DataFrame:
+    """Keep first-seen contents: within-batch min-doc_id keeper, then
+    drop hashes already in `state` (hashes seen by EARLIER epochs)."""
+    hashed = batch_df.withColumn("content_hash", F.md5(F.col("text")))
+    keeper = (
+        hashed.groupBy("content_hash")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    kept = hashed.join(keeper, ["content_hash", "doc_id"])
+    if state is not None:
+        kept = kept.join(state.select("content_hash"), "content_hash",
+                         "left_anti")
+    return kept
+
+
+def incremental_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 8,
+) -> StreamingQuery:
+    """readStream(parquet docs) -> first-seen dedup per micro-batch ->
+    out_dir/docs (kept rows) + out_dir/state (hash ledger)."""
+    stream = (
+        spark.readStream.schema(STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        sp = batch_df.sparkSession
+        try:
+            state = (sp.read.parquet(f"{out_dir}/state")
+                     .filter(F.col("epoch_id") < epoch_id))
+        except Exception:
+            state = None
+        kept = _dedup_batch(batch_df, state).persist()
+
+        prev = sp.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        sp.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (kept.withColumn("epoch_id", F.lit(epoch_id))
+             .write.mode("overwrite").partitionBy("epoch_id")
+             .parquet(f"{out_dir}/docs"))
+            (kept.select("content_hash").distinct()
+             .withColumn("epoch_id", F.lit(epoch_id))
+             .write.mode("overwrite").partitionBy("epoch_id")
+             .parquet(f"{out_dir}/state"))
+        finally:
+            sp.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        kept.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
