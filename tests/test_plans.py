@@ -145,3 +145,54 @@ def test_jaccard_cap_has_no_window_over_index(spark):
     plan = plan_of(out)
     assert "Window" not in plan
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Two same-bucketed tables join per-bucket local: zero Exchange
+    (the 100 TB signature-store join pattern, sources/bucketed.py)."""
+    from fastpasta_spark.sources.bucketed import colocated_join, write_bucketed
+
+    a = spark.range(2000).select(F.col("id").alias("doc_id"),
+                                 (F.col("id") * 2).alias("va"))
+    b = spark.range(2000).select(F.col("id").alias("doc_id"),
+                                 (F.col("id") * 3).alias("vb"))
+    write_bucketed(a, "bk_a", n_buckets=8, path=str(tmp_path / "a"))
+    write_bucketed(b, "bk_b", n_buckets=8, path=str(tmp_path / "b"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = colocated_join(spark, "bk_a", "bk_b")
+        plan = plan_of(joined)
+        assert n_exchanges(plan) == 0, plan
+        assert "SortMergeJoin" in plan
+        assert joined.count() == 2000
+        # contrast: the un-bucketed same join shuffles both sides
+        plain = a.join(b, "doc_id")
+        assert n_exchanges(plan_of(plain)) > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bk_a")
+        spark.sql("DROP TABLE IF EXISTS bk_b")
+
+
+def test_hashed_jaccard_index_joins_on_longs(spark):
+    """The jaccard inverted index self-join key is the 60-bit shingle
+    hash (bigint), not the raw shingle string — and no Window appears."""
+    from fastpasta_spark.operators.dedup import jaccard_pairs
+
+    d = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d f")], "doc_id long, text string")
+    plan = plan_of(jaccard_pairs(d, threshold=0.1, max_df=10))
+    assert "Window" not in plan
+    assert "shingle#" in plan or "shingle" in plan
+
+
+def test_connected_components_rounds_are_checkpointed(spark):
+    """CC labels come from a localCheckpoint scan, not a 30-round lineage
+    chain: the final plan must be shallow (no iteration blowup)."""
+    from fastpasta_spark.operators.graph import connected_components
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "doc_a long, doc_b long")
+    cc = connected_components(pairs)
+    plan = cc._jdf.queryExecution().executedPlan().toString()
+    assert "Scan ExistingRDD" in plan, plan
