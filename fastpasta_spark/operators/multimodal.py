@@ -138,6 +138,49 @@ def extract_features(blobs: DataFrame, feat_dim: int = 8) -> DataFrame:
     )
 
 
+def resize_images(blobs: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize stage for image blobs — mapInPandas over the binary column,
+    returning the same BLOB_SCHEMA with updated payload + meta.
+
+    STUB CODEC: rewrites the FPSK header to the target dims and
+    nearest-neighbor subsamples the payload bytes to the proportional
+    size (vectorized numpy index take — the same batch shape and memory
+    behavior as a real resample). A real deployment swaps the body for
+    PIL.Image.resize when REAL_CODECS_AVAILABLE. Non-image rows and
+    undecodable blobs pass through untouched.
+    """
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, mtype, data, meta in zip(
+                    pdf["media_id"], pdf["mtype"], pdf["data"], pdf["meta"]):
+                if mtype != "image" or data is None:
+                    rows.append((mid, mtype, data, meta))
+                    continue
+                try:
+                    old_w, old_h = _fake_decode(bytes(data))
+                except ValueError:
+                    rows.append((mid, mtype, data, meta))
+                    continue
+                body = np.frombuffer(bytes(data), dtype=np.uint8)[8:]
+                scale = (width * height) / max(old_w * old_h, 1)
+                n_out = max(int(len(body) * min(scale, 1.0)), 1)
+                idx = np.linspace(0, len(body) - 1, n_out).astype(np.int64)
+                new_body = body[idx] if len(body) else body
+                new_data = (b"FPSK" + width.to_bytes(2, "big")
+                            + height.to_bytes(2, "big") + new_body.tobytes())
+                new_meta = dict(meta) if meta is not None else {}
+                new_meta.update({"width": width, "height": height})
+                rows.append((mid, mtype, new_data, new_meta))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "mtype", "data", "meta"])
+
+    return blobs.select("media_id", "mtype", "data", "meta").mapInPandas(
+        run, schema=BLOB_SCHEMA)
+
+
 def frame_sample(blobs: DataFrame, every: int = 32, frame_bytes: int = 16) -> DataFrame:
     """Frame/chunk sampling over video/audio blobs — pure Column exprs:
     slice the binary every `every` bytes into frame_bytes chunks.

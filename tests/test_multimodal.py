@@ -55,3 +55,26 @@ def test_blob_stats(blobs):
     assert set(s) == {"image", "audio", "video"}
     assert all(r.total_bytes > 0 for r in s.values())
     assert s["image"].null_sample_rate == s["image"].n  # images: no sample rate
+
+
+def test_resize_images(spark):
+    from fastpasta_spark.operators.multimodal import (
+        _fake_decode,
+        resize_images,
+        synth_blobs,
+    )
+
+    blobs = synth_blobs(spark, n=12)
+    out = resize_images(blobs, 64, 48)
+    rows = {r["media_id"]: r for r in out.collect()}
+    assert len(rows) == 12
+    for r in rows.values():
+        if r["mtype"] == "image":
+            assert _fake_decode(bytes(r["data"])) == (64, 48)
+            assert r["meta"]["width"] == 64 and r["meta"]["height"] == 48
+    # non-image rows pass through byte-identical
+    orig = {r["media_id"]: r for r in blobs.collect()}
+    for mid, r in rows.items():
+        if r["mtype"] != "image":
+            assert bytes(r["data"]) == bytes(orig[mid]["data"])
+            assert r["meta"] == orig[mid]["meta"]
