@@ -9,9 +9,15 @@ from hypothesis import strategies as st
 from fastpasta_spark import schema as S
 from fastpasta_spark.functions.fsm import stateless_doc_checks, validate_spans
 
-KINDS = [*S.VALID_KINDS, "junk", "x", None]
+KINDS = [*S.VALID_KINDS, "junk", "x", None]  # VALID_KINDS includes 'pad'
 TEXTS = ["", "lanes=3", "cont=0,bc=5", "cont=1,bc=2", "done=0", "done=1",
-         "garbage", "bc=9", "hello world", None, "lanes=x", "cont=2,bc=1"]
+         "garbage", "bc=9", "hello world", None, "lanes=x", "cont=2,bc=1",
+         # page/orbit running counters (E31/E32/E441)
+         "lanes=2,page=0", "lanes=2,page=1", "lanes=3,page=2", "lanes=1,page=x",
+         "cont=0,bc=5,orbit=7", "cont=0,bc=6,orbit=6", "cont=0,bc=7,orbit=5",
+         # lane/chip layer (E704/E705/E9003-9006)
+         "lanes=2,lane_ids=0;1,chips=2", "lane=0,chips=0;1,cbc=5",
+         "lane=1,chips=8;9,cbc=5", "lane=9,chips=x;y,cbc=6", "lane=1,chips=3,cbc=7"]
 REFS = ["", "m1", "missing_9", None]
 
 span_st = st.tuples(
