@@ -1033,6 +1033,44 @@ FROM per
 """
 
 
+def _q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document (paragraph-style) dedup: 10-token segments, corpus-
+    wide first-seen-wins, cleaned text rebuilt per doc."""
+    from fastpasta_spark.operators.dedup import segment_dedup
+
+    d = _read_spread(spark, sf_dir, "documents").withColumn(
+        "doc_id", F.col("doc_id").cast("long")).select("doc_id", "text")
+    return segment_dedup(d, seg_tokens=10).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("clean_text"),
+        F.col("n_kept").cast("long").alias("n_kept"),
+        F.col("n_total").cast("long").alias("n_total"),
+    )
+
+
+def _sql_segment_dedup() -> str:
+    tk = duckdb_tokens("text")
+    chunks = (
+        f"list_transform(range(0, ceil(len({tk}) / 10.0)::BIGINT), "
+        f"i -> array_to_string(({tk})[i*10+1 : i*10+10], ' '))"
+    )
+    return f"""
+WITH segs AS (
+  SELECT doc_id, u.seg_idx, u.seg FROM (
+    SELECT doc_id, unnest(list_transform({chunks},
+             (s, j) -> {{'seg_idx': j - 1, 'seg': s}})) AS u
+    FROM documents)),
+kept AS (
+  SELECT doc_id, seg_idx, seg FROM segs
+  QUALIFY row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) = 1),
+totals AS (SELECT doc_id, len({chunks})::BIGINT AS n_total FROM documents)
+SELECT k.doc_id, string_agg(k.seg, ' ' ORDER BY k.seg_idx) AS clean_text,
+       count(*)::BIGINT AS n_kept, any_value(t.n_total) AS n_total
+FROM kept k JOIN totals t ON k.doc_id = t.doc_id
+GROUP BY k.doc_id
+"""
+
+
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprints (32-bit, portable hash family)."""
     from fastpasta_spark.operators.dedup import simhash
@@ -1189,6 +1227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": _q_jaccard_pairs,
         "dup_clusters": _q_dup_clusters,
         "curation": _q_curation,
+        "segment_dedup": _q_segment_dedup,
         "stratified_sample": _q_stratified_sample,
         "mix_report": _q_mix_report,
         "simhash": _q_simhash,
@@ -1228,6 +1267,7 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_pairs": _sql_jaccard_pairs(),
         "dup_clusters": _sql_dup_clusters(),
         "curation": _sql_curation(),
+        "segment_dedup": _sql_segment_dedup(),
         "stratified_sample": _sql_stratified_sample(),
         "mix_report": _sql_mix_report(),
         "simhash": _sql_simhash(),

@@ -256,6 +256,66 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
 
 
 # ---------------------------------------------------------------------------
+# segment-level dedup (paragraph dedup, CCNet/Dolma-style)
+# ---------------------------------------------------------------------------
+
+
+def segment_dedup(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", seg_tokens: int = 20) -> DataFrame:
+    """Sub-document dedup: split each doc into consecutive ``seg_tokens``-
+    token segments, keep only the corpus-wide FIRST occurrence of each
+    segment (by (doc_id, seg_idx) order), and rebuild the cleaned text.
+
+    The paragraph-dedup operator of web-corpus pipelines, generalized to
+    fixed token windows (the corpus here has no paragraph breaks);
+    removes boilerplate repeated ACROSS documents that whole-doc dedup
+    cannot touch.
+
+    Scale shape: segments shuffle as (60-bit hash, doc_id, seg_idx) —
+    the segment TEXT stays with its row and never joins; the keeper set
+    comes from a groupBy min (map-side partial agg), NOT a window over
+    the exploded corpus; rebuild is one groupBy(doc_id). Docs whose
+    every segment was seen earlier drop out entirely (n_kept = 0 rows
+    are not emitted).
+
+    Returns (doc_id, clean_text, n_kept, n_total).
+    """
+    toks = spark_tokens(text_col)
+    # empty-token guard: sequence(0, -1) would yield [0, -1] (descending)
+    chunks = (
+        f"CASE WHEN size({toks}) = 0 THEN CAST(array() AS array<string>) "
+        f"ELSE transform(sequence(0, int(ceil(size({toks}) / {seg_tokens}.0)) - 1), "
+        f"i -> concat_ws(' ', slice({toks}, i * {seg_tokens} + 1, {seg_tokens}))) END"
+    )
+    segs = (
+        df.select(F.col(id_col), F.posexplode(F.expr(chunks))
+                  .alias("seg_idx", "seg"))
+        .withColumn("h", F.expr(spark_md5_hash("seg")))
+    )
+    keepers = segs.groupBy("h").agg(
+        F.min(F.struct(id_col, "seg_idx")).alias("k"))
+    kept = segs.join(
+        keepers,
+        (segs["h"] == keepers["h"])
+        & (F.struct(segs[id_col], segs["seg_idx"]) == keepers["k"]),
+    ).select(segs[id_col], "seg_idx", "seg")
+    n_total = df.select(
+        F.col(id_col),
+        F.expr(f"size({chunks})").alias("n_total"))
+    rebuilt = (
+        kept.groupBy(id_col)
+        .agg(
+            F.expr("array_join(transform(array_sort(collect_list("
+                   "struct(seg_idx, seg))), x -> x.seg), ' ')")
+            .alias("clean_text"),
+            F.count(F.lit(1)).alias("n_kept"),
+        )
+    )
+    return rebuilt.join(n_total, id_col).select(
+        id_col, "clean_text", "n_kept", "n_total")
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

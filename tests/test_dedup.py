@@ -113,3 +113,25 @@ def test_simhash_deterministic_and_near(spark, documents):
     h1 = dedup.simhash(df).select("doc_id", "simhash").collect()
     h2 = dedup.simhash(df.repartition(5)).select("doc_id", "simhash").collect()
     assert sorted(map(tuple, h1)) == sorted(map(tuple, h2))
+
+
+def test_segment_dedup_first_seen_wins(spark):
+    from fastpasta_spark.operators.dedup import segment_dedup
+
+    w = lambda a, b: " ".join(f"w{i}" for i in range(a, b))
+    docs = spark.createDataFrame(
+        [
+            (1, w(0, 25)),            # 3 segments (10, 10, 5)
+            (2, w(0, 25)),            # exact copy -> vanishes entirely
+            (3, w(0, 10) + " " + w(100, 115)),  # shares seg 0 with doc 1
+            (4, ""),                  # no tokens -> no segments -> dropped
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in segment_dedup(docs, seg_tokens=10).collect()}
+    assert set(rows) == {1, 3}
+    assert rows[1]["n_kept"] == 3 and rows[1]["n_total"] == 3
+    assert rows[1]["clean_text"] == w(0, 25)
+    # doc 3 lost its first (shared) segment, kept its unique tail
+    assert rows[3]["n_kept"] == 2 and rows[3]["n_total"] == 3
+    assert rows[3]["clean_text"].startswith("w100")
