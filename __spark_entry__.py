@@ -1033,6 +1033,58 @@ FROM per
 """
 
 
+# crafted rows so the pattern census provably fires (testdata text has
+# no emails/urls/digit runs) — appended on BOTH sides, _BAD_DOCS pattern
+_PII_DOCS = [
+    (970001, "contact me at alice@example.com or bob@test.org today"),
+    (970002, "see https://example.com/path and http://foo.bar/x now"),
+    (970003, "card 1234567890123456 phone 55512345678 ok"),
+    (970004, "spam spam spam spam spam spam spam"),
+]
+
+
+def _q_text_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation signals: intra-doc repetition ratio (duplicate-bigram
+    fraction, Gopher-style) + PII-ish pattern census (emails, urls,
+    long digit runs)."""
+    from fastpasta_spark.operators.textstats import pattern_counts, repetition_ratio
+
+    d = _read(spark, sf_dir, "documents").withColumn(
+        "doc_id", F.col("doc_id").cast("long")).select("doc_id", "text")
+    fam = spark.createDataFrame(_PII_DOCS, "doc_id long, text string")
+    d = d.unionByName(fam)
+    out = pattern_counts(repetition_ratio(d, n=2))
+    return out.select(
+        "doc_id", F.col("rep_ratio").cast("double"),
+        F.col("n_emails").cast("long").alias("n_emails"),
+        F.col("n_urls").cast("long").alias("n_urls"),
+        F.col("n_long_numbers").cast("long").alias("n_long_numbers"),
+    )
+
+
+def _sql_text_patterns() -> str:
+    from fastpasta_spark.operators.textstats import PATTERNS
+
+    tk = duckdb_tokens("text")
+    grams = (
+        f"CASE WHEN len({tk}) < 2 THEN [] "
+        f"ELSE list_transform(range(0, len({tk}) - 1), "
+        f"i -> array_to_string(({tk})[i+1:i+2], ' ')) END"
+    )
+    rep = (f"round(CASE WHEN len({grams}) = 0 THEN 0.0 "
+           f"ELSE 1.0 - len(list_distinct({grams}))::DOUBLE / len({grams}) END, 6)")
+    counts = ", ".join(
+        f"len(regexp_extract_all(coalesce(text, ''), '{pat}'))::BIGINT AS n_{name}"
+        for name, pat in PATTERNS.items())
+    fam = ", ".join(f"({i}, '{t}')" for i, t in _PII_DOCS)
+    return f"""
+WITH docs2 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT * FROM (VALUES {fam}) v(doc_id, text))
+SELECT doc_id, {rep} AS rep_ratio, {counts} FROM docs2
+"""
+
+
 def _q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sub-document (paragraph-style) dedup: 10-token segments, corpus-
     wide first-seen-wins, cleaned text rebuilt per doc."""
@@ -1228,6 +1280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_clusters": _q_dup_clusters,
         "curation": _q_curation,
         "segment_dedup": _q_segment_dedup,
+        "text_patterns": _q_text_patterns,
         "stratified_sample": _q_stratified_sample,
         "mix_report": _q_mix_report,
         "simhash": _q_simhash,
@@ -1268,6 +1321,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_clusters": _sql_dup_clusters(),
         "curation": _sql_curation(),
         "segment_dedup": _sql_segment_dedup(),
+        "text_patterns": _sql_text_patterns(),
         "stratified_sample": _sql_stratified_sample(),
         "mix_report": _sql_mix_report(),
         "simhash": _sql_simhash(),

@@ -150,6 +150,49 @@ def with_textstats(df: DataFrame, text_col: str = "text") -> DataFrame:
                       "_ts.lang_pred").drop("_ts")
 
 
+def repetition_ratio(df: DataFrame, text_col: str = "text", n: int = 2,
+                     out_col: str = "rep_ratio") -> DataFrame:
+    """Intra-document repetition: 1 - distinct/total word n-grams — the
+    Gopher/FineWeb-style duplicate-n-gram quality gate (a doc repeating
+    itself scores near 1). Pure Column exprs; 0 when fewer than n
+    tokens (a single gram cannot repeat)."""
+    toks = spark_tokens(text_col)
+    grams = (
+        f"CASE WHEN size({toks}) < {n} THEN CAST(array() AS array<string>) "
+        f"ELSE transform(sequence(0, size({toks}) - {n}), "
+        f"i -> concat_ws(' ', slice({toks}, i + 1, {n}))) END"
+    )
+    expr = (
+        f"round(IF(size({grams}) = 0, CAST(0 AS DOUBLE), "
+        f"1.0 - CAST(size(array_distinct({grams})) AS DOUBLE) / size({grams})), 6)"
+    )
+    return df.withColumn(out_col, F.expr(expr))
+
+
+# simple shared-regex PII/pattern census — identical RE semantics in
+# Java (Spark) and RE2 (DuckDB): character classes + quantifiers only
+PATTERNS = {
+    "emails": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "urls": r"https?://[^\s]+",
+    "long_numbers": r"[0-9]{8,}",
+}
+
+
+def pattern_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc counts of PII-ish patterns (emails, URLs, long digit
+    runs) — the redaction/filter census step of a curation pipeline.
+    `regexp_count` is JVM-side; patterns avoid constructs where Java
+    and RE2 semantics diverge (no backrefs, no lookaround)."""
+    out = df
+    for name, pat in PATTERNS.items():
+        # lit pattern, not an expr-embedded literal: SQL string escaping
+        # would silently eat regex backslashes
+        out = out.withColumn(
+            f"n_{name}",
+            F.regexp_count(F.coalesce(F.col(text_col), F.lit("")), F.lit(pat)))
+    return out
+
+
 def profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-corpus text profile (one row): counts, null rate, length
     stats — the doc-table face of the reference's stats report."""

@@ -81,3 +81,24 @@ def test_with_textstats_equals_individual_ops(spark, documents):
         "doc_id", "n_tokens", "quality", "fingerprint", "lang_pred")
     assert sorted(map(tuple, fused.collect())) == \
         sorted(map(tuple, chained.collect()))
+
+
+def test_repetition_ratio_and_patterns(spark):
+    from fastpasta_spark.operators.textstats import pattern_counts, repetition_ratio
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),        # 3 bigrams, 1 distinct
+            (2, "all words here are unique"),  # 0 repetition
+            (3, "hi"),                         # < n tokens -> 0
+            (4, "mail a@b.co and http://x.y/z plus 123456789"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r
+            for r in pattern_counts(repetition_ratio(docs)).collect()}
+    assert abs(rows[1]["rep_ratio"] - (1 - 1 / 3)) < 1e-6
+    assert rows[2]["rep_ratio"] == 0.0
+    assert rows[3]["rep_ratio"] == 0.0
+    assert (rows[4]["n_emails"], rows[4]["n_urls"], rows[4]["n_long_numbers"]) \
+        == (1, 1, 1)
