@@ -1205,13 +1205,52 @@ def _q_span_fsm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-duplicate candidate pairs (rows-only check;
-    exactness vs jaccard verified in pytest)."""
+    """MinHash-LSH near-duplicate candidate pairs. Fully deterministic
+    (portable md5 band buckets), so it carries an exact DuckDB oracle —
+    banding included, not just the signatures."""
     from fastpasta_spark.operators.dedup import minhash_near_duplicates
 
     d = _read_spread(spark, sf_dir, "documents").withColumn(
         "doc_id", F.col("doc_id").cast("long"))
     return minhash_near_duplicates(d, threshold=0.3)
+
+
+def _sql_lsh_near_dup() -> str:
+    from fastpasta_spark.functions.hashing import MIX_MOD, mix_constants
+
+    tk = duckdb_tokens("text")
+    shingles = (
+        f"list_distinct(CASE WHEN len({tk}) < 3 THEN [array_to_string({tk}, ' ')] "
+        f"ELSE list_transform(range(0, len({tk}) - 2), "
+        f"i -> array_to_string(({tk})[i+1:i+3], ' ')) END)"
+    )
+    mh = ", ".join(
+        f"list_min(list_transform(sh, s -> "
+        f"(({duckdb_md5_hash('s')} % {MIX_MOD}) * {a} + {b}) % {MIX_MOD}))"
+        for a, b in mix_constants(32)
+    )
+    # band b's bucket: md5('b,mh[4b+1],...,mh[4b+4]') — byte-identical to
+    # the Spark side's concat_ws(',', b, slice(minhash, ...)) input
+    bucket = ("md5(b::VARCHAR || ',' || "
+              "array_to_string(mh[b*4+1 : b*4+4], ','))")
+    return f"""
+WITH sig AS (
+  SELECT doc_id, [{mh}] AS mh
+  FROM (SELECT doc_id, {shingles} AS sh FROM documents)),
+bands AS (
+  SELECT doc_id, mh, {bucket} AS bucket
+  FROM sig, (SELECT unnest(range(0, 8)) AS b)),
+ok AS (SELECT * FROM bands
+       QUALIFY count(*) OVER (PARTITION BY bucket) <= 200),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.mh AS ma, b.mh AS mb
+  FROM ok a JOIN ok b ON a.bucket = b.bucket AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b,
+       len(list_filter(range(1, 33), i -> ma[i] = mb[i]))::DOUBLE / 32
+         AS est_jaccard
+FROM pairs
+WHERE len(list_filter(range(1, 33), i -> ma[i] = mb[i]))::DOUBLE / 32 >= 0.3
+"""
 
 
 def _q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1222,6 +1261,59 @@ def _q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _read(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20)
     return lsh_ann_topk(emb, queries, dim=64, k=5, n_planes=4, n_tables=8)
+
+
+def _duckdb_dot(a: str, b: str, dim: int = 64) -> str:
+    """Sequential-fold dot product — replays Spark's aggregate(zip_with)
+    addition ORDER bit-for-bit (list_reduce folds left like aggregate),
+    so sign decisions and rounded cosines agree exactly."""
+    return (f"list_reduce(list_prepend(0.0::DOUBLE, "
+            f"list_transform(range(1, {dim + 1}), "
+            f"d -> ({a})[d]::DOUBLE * ({b})[d]::DOUBLE)), (x, v) -> x + v)")
+
+
+def _duckdb_cosine(a: str, b: str, dim: int = 64) -> str:
+    return (f"({_duckdb_dot(a, b, dim)} / "
+            f"(sqrt({_duckdb_dot(a, a, dim)}) * sqrt({_duckdb_dot(b, b, dim)})))")
+
+
+def _sql_lsh_ann() -> str:
+    from fastpasta_spark.operators.similarity import _projection_matrix
+
+    def bucket(vec: str, table: int, n_planes: int = 4) -> str:
+        terms = []
+        for p, row in enumerate(_projection_matrix(64, n_planes, table)):
+            lits = ", ".join(f"{v:.9f}::DOUBLE" for v in row)
+            dot = (f"list_reduce(list_prepend(0.0::DOUBLE, "
+                   f"list_transform(range(1, 65), "
+                   f"d -> ([{lits}])[d] * ({vec})[d]::DOUBLE)), (x, v) -> x + v)")
+            terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END)")
+        return f"({table * (1 << n_planes)} + " + " + ".join(terms) + ")"
+
+    c_buckets = ", ".join(bucket("embedding", t) for t in range(8))
+    cos = _duckdb_cosine("q_vec", "c_vec")
+    return f"""
+WITH cb AS (
+  SELECT vec_id AS neighbor_id, embedding AS c_vec,
+         unnest([{c_buckets}]) AS bucket
+  FROM embeddings),
+qb AS (
+  SELECT vec_id AS query_id, embedding AS q_vec,
+         unnest([{c_buckets}]) AS bucket
+  FROM embeddings WHERE vec_id < 20),
+cand AS (
+  SELECT DISTINCT query_id, neighbor_id, q_vec, c_vec
+  FROM cb JOIN qb USING (bucket)
+  WHERE query_id <> neighbor_id),
+scored AS (
+  SELECT query_id, neighbor_id, round({cos}, 6) AS sim FROM cand)
+SELECT query_id, neighbor_id, rank, sim FROM (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id) AS rank
+  FROM scored) t
+WHERE rank <= 5
+"""
 
 
 def _q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1246,6 +1338,74 @@ def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_duplicates(
         emb.unionByName(copies), threshold=0.999, dim=64,
         n_planes=6, n_tables=6)
+
+
+def _sql_embedding_near_dup() -> str:
+    from fastpasta_spark.operators.similarity import _projection_matrix
+
+    def bucket(vec: str, table: int, n_planes: int = 6) -> str:
+        terms = []
+        for p, row in enumerate(_projection_matrix(64, n_planes, table)):
+            lits = ", ".join(f"{v:.9f}::DOUBLE" for v in row)
+            dot = (f"list_reduce(list_prepend(0.0::DOUBLE, "
+                   f"list_transform(range(1, 65), "
+                   f"d -> ([{lits}])[d] * ({vec})[d]::DOUBLE)), (x, v) -> x + v)")
+            terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END)")
+        return f"({table * (1 << n_planes)} + " + " + ".join(terms) + ")"
+
+    buckets = ", ".join(bucket("embedding", t) for t in range(6))
+    cos = _duckdb_cosine("va", "vb")
+    return f"""
+WITH base AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id < 10),
+b AS (
+  SELECT vec_id AS _id, embedding AS _vec, unnest([{buckets}]) AS bucket
+  FROM base),
+ok AS (SELECT * FROM b QUALIFY count(*) OVER (PARTITION BY bucket) <= 500),
+pairs AS (
+  SELECT DISTINCT x._id AS id_a, y._id AS id_b, x._vec AS va, y._vec AS vb
+  FROM ok x JOIN ok y ON x.bucket = y.bucket AND x._id < y._id)
+SELECT id_a, id_b, round({cos}, 6) AS sim FROM pairs
+WHERE round({cos}, 6) >= 0.999
+"""
+
+
+def _sql_ivf_ann() -> str:
+    h = duckdb_md5_hash("vec_id::VARCHAR")
+    cos_ec = _duckdb_cosine("e.embedding", "c.centroid")
+    cos_qc = _duckdb_cosine("q.q_vec", "c.c_vec")
+    return f"""
+WITH cents AS (
+  SELECT row_number() OVER (ORDER BY {h}, vec_id) - 1 AS list_id,
+         embedding AS centroid
+  FROM embeddings
+  QUALIFY row_number() OVER (ORDER BY {h}, vec_id) <= 16),
+c_assign AS (
+  SELECT neighbor_id, c_vec, list_id FROM (
+    SELECT e.vec_id AS neighbor_id, e.embedding AS c_vec, c.list_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {cos_ec} DESC, c.list_id) AS rn
+    FROM embeddings e CROSS JOIN cents c) t WHERE rn = 1),
+q_assign AS (
+  SELECT query_id, q_vec, list_id FROM (
+    SELECT e.vec_id AS query_id, e.embedding AS q_vec, c.list_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {cos_ec} DESC, c.list_id) AS rn
+    FROM embeddings e CROSS JOIN cents c WHERE e.vec_id < 20) t
+  WHERE rn <= 4),
+scored AS (
+  SELECT DISTINCT query_id, neighbor_id, round({cos_qc}, 6) AS sim
+  FROM c_assign c JOIN q_assign q USING (list_id)
+  WHERE query_id <> neighbor_id)
+SELECT query_id, neighbor_id, rank, sim FROM (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id) AS rank
+  FROM scored) t
+WHERE rank <= 5
+"""
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1327,5 +1487,11 @@ def oracle_sql() -> dict[str, str]:
         "simhash": _sql_simhash(),
         "cosine_topk": _SQL_COSINE_TOPK,
         "media_meta": _SQL_MEDIA_META,
-        # span_fsm, lsh_near_dup, lsh_ann: non-SQL-expressible -> rows-only
+        "lsh_near_dup": _sql_lsh_near_dup(),
+        "lsh_ann": _sql_lsh_ann(),
+        "embedding_near_dup": _sql_embedding_near_dup(),
+        "ivf_ann": _sql_ivf_ann(),
+        # span_fsm: the one genuinely non-SQL operator (grammar FSM) —
+        # rows-only at the driver; pytest pins it row-for-row against
+        # the pure-Python oracle, a golden snapshot and Hypothesis
     }
