@@ -53,6 +53,9 @@ def main(argv: list[str] | None = None) -> int:
     chk.add_argument("--checkpoint", default=None,
                      help="lineage dir: resumable run")
     chk.add_argument("--violations-out", default=None)
+    chk.add_argument("--passed-out", default=None,
+                     help="write only docs with verdict PASS here "
+                          "(quarantine composition: validate -> keep clean)")
 
     vw = sub.add_parser("view", help="read-only views")
     vw.add_argument("what", choices=["docs", "frames"])
@@ -180,6 +183,10 @@ def main(argv: list[str] | None = None) -> int:
         exit_code = 2
     if args.violations_out:
         res.violations.write.mode("overwrite").parquet(args.violations_out)
+    if args.passed_out:
+        ok = res.passed.filter(F.col("verdict") == "PASS").select("doc_id")
+        docs.join(ok, "doc_id", "left_semi").write.mode(
+            "overwrite").parquet(args.passed_out)
     if args.output_stats:
         write_stats(res.metrics, args.output_stats)
     if args.input_stats_file:

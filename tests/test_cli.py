@@ -119,3 +119,18 @@ def test_curate_cli(spark, tmp_path, capsys):
     assert "kept=1" in capsys.readouterr().out
     kept = spark.read.parquet(out)
     assert kept.count() == 1 and kept.first()["doc_id"] == 1
+
+
+def test_passed_out_quarantine(fixture_paths, spark, tmp_path):
+    out = str(tmp_path / "passed")
+    rc = main(["check", "all", str(fixture_paths / "docs"),
+               "--media", str(fixture_paths / "media"),
+               "--passed-out", out])
+    assert rc == 2
+    kept = spark.read.parquet(out)
+    n_all = spark.read.parquet(str(fixture_paths / "docs")).count()
+    assert 0 < kept.count() < n_all
+    # a second check over the kept docs is clean (no media table ->
+    # referential skipped, matching what PASS asserted)
+    rc2 = main(["check", "all", out, "--media", str(fixture_paths / "media")])
+    assert rc2 == 0
