@@ -25,6 +25,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 BENCH_DOCS = int(os.environ.get("BENCH_DOCS", 500_000))
+# best-of-N per timing (hyperfine-min analogue): the shared host has
+# neighbor bursts that can inflate ONE query 10x in a single-shot run
+BENCH_REPS = int(os.environ.get("BENCH_REPS", 2))
 
 HEADLINE_QUERIES = [
     "span_fsm",
@@ -79,11 +82,18 @@ def main() -> None:
     warm.violations.count(); warm.metrics.collect()
     spark.catalog.clearCache()
 
-    t0 = time.perf_counter()
-    res = check_all(docs, media)
-    n_viol = res.violations.count()
-    res.metrics.collect()
-    t_validate = time.perf_counter() - t0
+    def best_of(fn) -> tuple[float, object]:
+        best, out = float("inf"), None
+        for _ in range(max(BENCH_REPS, 1)):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            out = fn()
+            best = min(best, time.perf_counter() - t0)
+        return best, out
+
+    t_validate, n_viol = best_of(lambda: (
+        lambda r: (r.violations.count(), r.metrics.collect())[0]
+    )(check_all(docs, media)))
     n_docs = docs.count()
 
     timings: dict[str, float] = {"check_all_validation": round(t_validate, 3)}
@@ -91,9 +101,8 @@ def main() -> None:
     # --- headline queries at SF_DIR --------------------------------------
     qs = entrymod.queries()
     for name in HEADLINE_QUERIES:
-        t0 = time.perf_counter()
-        qs[name](spark, SF_DIR).collect()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        t, _ = best_of(lambda name=name: qs[name](spark, SF_DIR).collect())
+        timings[name] = round(t, 3)
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
