@@ -659,7 +659,10 @@ def _q_textstats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "lang_pred")
 
 
-def _sql_textstats() -> str:
+def _duckdb_text_quality_exprs() -> tuple[str, str]:
+    """(quality, lang_pick) DuckDB exprs over a `text` column — ONE
+    definition shared by the textstats/curation/mix_report oracles (a
+    drifted copy would silently break one oracle's parity)."""
     from fastpasta_spark.operators.textstats import STOPWORDS
 
     tk = duckdb_tokens("text")
@@ -672,22 +675,25 @@ def _sql_textstats() -> str:
     langs = list(STOPWORDS)
     ratios = {lg: sw_ratio(lg) for lg in langs}
     best = "greatest(" + ", ".join(ratios.values()) + ")"
-    pick = "CASE "
-    for lg in langs:
-        pick += f"WHEN {ratios[lg]} = {best} AND {best} > 0 THEN '{lg}' "
-    pick += "ELSE 'unk' END"
-
+    pick = "CASE " + "".join(
+        f"WHEN {ratios[lg]} = {best} AND {best} > 0 THEN '{lg}' "
+        for lg in langs) + "ELSE 'unk' END"
     n_chars = "length(coalesce(text, ''))"
     mean_wl = f"({n_chars}::DOUBLE / {n_toks})"
     alpha = (f"(length(regexp_replace(lower(coalesce(text, '')), '[^a-z]', '', 'g'))::DOUBLE"
              f" / greatest({n_chars}, 1))")
-    sw_en = sw_ratio("en")
     quality = (
         f"round((CASE WHEN {n_chars} BETWEEN 50 AND 5000 THEN 0.25 ELSE 0.0 END + "
         f"CASE WHEN {mean_wl} BETWEEN 3.0 AND 12.0 THEN 0.25 ELSE 0.0 END + "
         f"0.25 * least({alpha} * 1.25, 1.0) + "
-        f"0.25 * least({sw_en} * 5.0, 1.0)), 6)"
+        f"0.25 * least({sw_ratio('en')} * 5.0, 1.0)), 6)"
     )
+    return quality, pick
+
+
+def _sql_textstats() -> str:
+    tk = duckdb_tokens("text")
+    quality, pick = _duckdb_text_quality_exprs()
     fp = (f"list_reduce(list_prepend(7::BIGINT, list_transform({tk}, "
           f"t -> ('0x' || substr(md5(t), 1, 12))::BIGINT)), "
           "(acc, h) -> (acc * 1000003 + h) % 2147483647)")
@@ -891,31 +897,8 @@ def _q_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_curation() -> str:
-    from fastpasta_spark.operators.textstats import STOPWORDS
-
     tk = duckdb_tokens("text")
-    n_toks = f"greatest(len({tk}), 1)"
-
-    def sw_ratio(lang: str) -> str:
-        words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
-        return (f"(len(list_filter({tk}, t -> t IN ({words})))::DOUBLE / {n_toks})")
-
-    langs = list(STOPWORDS)
-    ratios = {lg: sw_ratio(lg) for lg in langs}
-    best = "greatest(" + ", ".join(ratios.values()) + ")"
-    pick = "CASE " + "".join(
-        f"WHEN {ratios[lg]} = {best} AND {best} > 0 THEN '{lg}' "
-        for lg in langs) + "ELSE 'unk' END"
-    n_chars = "length(coalesce(text, ''))"
-    mean_wl = f"({n_chars}::DOUBLE / {n_toks})"
-    alpha = (f"(length(regexp_replace(lower(coalesce(text, '')), '[^a-z]', '', 'g'))::DOUBLE"
-             f" / greatest({n_chars}, 1))")
-    quality = (
-        f"round((CASE WHEN {n_chars} BETWEEN 50 AND 5000 THEN 0.25 ELSE 0.0 END + "
-        f"CASE WHEN {mean_wl} BETWEEN 3.0 AND 12.0 THEN 0.25 ELSE 0.0 END + "
-        f"0.25 * least({alpha} * 1.25, 1.0) + "
-        f"0.25 * least({sw_ratio('en')} * 5.0, 1.0)), 6)"
-    )
+    quality, pick = _duckdb_text_quality_exprs()
     shingles = (
         f"list_distinct(CASE WHEN len({tk}) < 3 THEN [array_to_string({tk}, ' ')] "
         f"ELSE list_transform(range(0, len({tk}) - 2), "
@@ -1006,21 +989,8 @@ def _q_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_mix_report() -> str:
-    from fastpasta_spark.operators.textstats import STOPWORDS
-
     tk = duckdb_tokens("text")
-    n_toks = f"greatest(len({tk}), 1)"
-
-    def sw_ratio(lang: str) -> str:
-        words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
-        return (f"(len(list_filter({tk}, t -> t IN ({words})))::DOUBLE / {n_toks})")
-
-    langs = list(STOPWORDS)
-    ratios = {lg: sw_ratio(lg) for lg in langs}
-    best = "greatest(" + ", ".join(ratios.values()) + ")"
-    pick = "CASE " + "".join(
-        f"WHEN {ratios[lg]} = {best} AND {best} > 0 THEN '{lg}' "
-        for lg in langs) + "ELSE 'unk' END"
+    _quality, pick = _duckdb_text_quality_exprs()
     return f"""
 WITH ts AS (SELECT source, {pick} AS lang_pred, len({tk}) AS n_tokens
             FROM documents),
@@ -1049,7 +1019,7 @@ def _q_text_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     long digit runs)."""
     from fastpasta_spark.operators.textstats import pattern_counts, repetition_ratio
 
-    d = _read(spark, sf_dir, "documents").withColumn(
+    d = _read_spread(spark, sf_dir, "documents").withColumn(
         "doc_id", F.col("doc_id").cast("long")).select("doc_id", "text")
     fam = spark.createDataFrame(_PII_DOCS, "doc_id long, text string")
     d = d.unionByName(fam)
@@ -1277,20 +1247,24 @@ def _duckdb_cosine(a: str, b: str, dim: int = 64) -> str:
             f"(sqrt({_duckdb_dot(a, a, dim)}) * sqrt({_duckdb_dot(b, b, dim)})))")
 
 
-def _sql_lsh_ann() -> str:
+def _duckdb_lsh_bucket(vec: str, table: int, n_planes: int) -> str:
+    """DuckDB twin of similarity._bucket_expr — SAME projection literals
+    (one definition here; a drifted copy would silently break parity)."""
     from fastpasta_spark.operators.similarity import _projection_matrix
 
-    def bucket(vec: str, table: int, n_planes: int = 4) -> str:
-        terms = []
-        for p, row in enumerate(_projection_matrix(64, n_planes, table)):
-            lits = ", ".join(f"{v:.9f}::DOUBLE" for v in row)
-            dot = (f"list_reduce(list_prepend(0.0::DOUBLE, "
-                   f"list_transform(range(1, 65), "
-                   f"d -> ([{lits}])[d] * ({vec})[d]::DOUBLE)), (x, v) -> x + v)")
-            terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END)")
-        return f"({table * (1 << n_planes)} + " + " + ".join(terms) + ")"
+    terms = []
+    for p, row in enumerate(_projection_matrix(64, n_planes, table)):
+        lits = ", ".join(f"{v:.9f}::DOUBLE" for v in row)
+        dot = (f"list_reduce(list_prepend(0.0::DOUBLE, "
+               f"list_transform(range(1, 65), "
+               f"d -> ([{lits}])[d] * ({vec})[d]::DOUBLE)), (x, v) -> x + v)")
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END)")
+    return f"({table * (1 << n_planes)} + " + " + ".join(terms) + ")"
 
-    c_buckets = ", ".join(bucket("embedding", t) for t in range(8))
+
+def _sql_lsh_ann() -> str:
+    c_buckets = ", ".join(
+        _duckdb_lsh_bucket("embedding", t, n_planes=4) for t in range(8))
     cos = _duckdb_cosine("q_vec", "c_vec")
     return f"""
 WITH cb AS (
@@ -1341,19 +1315,8 @@ def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_embedding_near_dup() -> str:
-    from fastpasta_spark.operators.similarity import _projection_matrix
-
-    def bucket(vec: str, table: int, n_planes: int = 6) -> str:
-        terms = []
-        for p, row in enumerate(_projection_matrix(64, n_planes, table)):
-            lits = ", ".join(f"{v:.9f}::DOUBLE" for v in row)
-            dot = (f"list_reduce(list_prepend(0.0::DOUBLE, "
-                   f"list_transform(range(1, 65), "
-                   f"d -> ([{lits}])[d] * ({vec})[d]::DOUBLE)), (x, v) -> x + v)")
-            terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END)")
-        return f"({table * (1 << n_planes)} + " + " + ".join(terms) + ")"
-
-    buckets = ", ".join(bucket("embedding", t) for t in range(6))
+    buckets = ", ".join(
+        _duckdb_lsh_bucket("embedding", t, n_planes=6) for t in range(6))
     cos = _duckdb_cosine("va", "vb")
     return f"""
 WITH base AS (

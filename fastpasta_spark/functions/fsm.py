@@ -304,10 +304,12 @@ def validate_spans(
                     if orbit < prev_orbit:
                         emit(i, off, S.E441_ORBIT_NO_STOP,
                              f"orbit {orbit} decreased vs previous {prev_orbit}")
-                    elif orbit > prev_orbit and prev_trailer_done == 0:
+                    elif orbit > prev_orbit and prev_trailer_done != 1:
+                        # != 1, not == 0: an orbit advance with NO trailer
+                        # seen yet (None) is also a change without a stop
                         emit(i, off, S.E441_ORBIT_NO_STOP,
-                             f"orbit changed {prev_orbit} -> {orbit} but "
-                             "previous trailer had done=0 (no stop)")
+                             f"orbit changed {prev_orbit} -> {orbit} "
+                             "without a stop (previous trailer done!=1)")
                 prev_orbit = orbit
             if state == AWAIT_TRIG:
                 if cont == 1:

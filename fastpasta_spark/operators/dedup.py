@@ -287,10 +287,14 @@ def segment_dedup(df: DataFrame, id_col: str = "doc_id",
         f"ELSE transform(sequence(0, int(ceil(size({toks}) / {seg_tokens}.0)) - 1), "
         f"i -> concat_ws(' ', slice({toks}, i * {seg_tokens} + 1, {seg_tokens}))) END"
     )
+    # persist the exploded segments: they feed the keeper agg, the join
+    # back AND the per-doc totals — without the boundary each consumer
+    # re-runs the tokenize+chunk chain over the full text column
     segs = (
         df.select(F.col(id_col), F.posexplode(F.expr(chunks))
                   .alias("seg_idx", "seg"))
         .withColumn("h", F.expr(spark_md5_hash("seg")))
+        .persist()
     )
     keepers = segs.groupBy("h").agg(
         F.min(F.struct(id_col, "seg_idx")).alias("k"))
@@ -299,9 +303,7 @@ def segment_dedup(df: DataFrame, id_col: str = "doc_id",
         (segs["h"] == keepers["h"])
         & (F.struct(segs[id_col], segs["seg_idx"]) == keepers["k"]),
     ).select(segs[id_col], "seg_idx", "seg")
-    n_total = df.select(
-        F.col(id_col),
-        F.expr(f"size({chunks})").alias("n_total"))
+    n_total = segs.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_total"))
     rebuilt = (
         kept.groupBy(id_col)
         .agg(

@@ -34,11 +34,17 @@ from pyspark.sql import functions as F
 
 
 def connected_components(pairs: DataFrame, src: str = "doc_a",
-                         dst: str = "doc_b", max_iter: int = 30) -> DataFrame:
+                         dst: str = "doc_b", max_iter: int = 50) -> DataFrame:
     """(src, dst) undirected pair table -> (node, cluster) labels, where
     cluster = the minimum node id reachable from `node` (a deterministic
     canonical representative). Isolated nodes never appear in `pairs`
     and keep themselves as implicit singleton clusters.
+
+    Raises RuntimeError if labels have not converged after max_iter
+    rounds (component diameter > max_iter) — silently returning partial
+    labels would split one duplicate family into several keepers. Feed
+    STAR-shaped exact-dup edges (plans/curate.exact_dup_star_edges,
+    diameter 2) rather than long paths when families can be large.
     """
     edges = (
         pairs.select(F.col(src).alias("_u"), F.col(dst).alias("_v"))
@@ -51,6 +57,7 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(max_iter):
         # min over neighbours' labels, then min with own label
         prop = (
@@ -66,11 +73,16 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
             .join(labels.alias("o"), "node")
             .filter(F.col("n.label") != F.col("o.label"))
         )
-        done = changed.isEmpty()
+        converged = changed.isEmpty()
         labels = new_labels
-        if done:
+        if converged:
             break
     edges.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(component diameter too large) — raise max_iter or feed "
+            "star-shaped exact-dup edges (diameter 2) instead of paths")
     return labels.select("node", F.col("label").alias("cluster"))
 
 

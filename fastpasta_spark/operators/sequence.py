@@ -225,10 +225,10 @@ def _fsm_over_codes(codes, offs, kv, refs, n_spans, kind_name,
                     if orbit < prev_orbit:
                         viol.append((i, off, S.E441_ORBIT_NO_STOP, E,
                                      f"orbit {orbit} decreased vs previous {prev_orbit}"))
-                    elif orbit > prev_orbit and prev_trailer_done == 0:
+                    elif orbit > prev_orbit and prev_trailer_done != 1:
                         viol.append((i, off, S.E441_ORBIT_NO_STOP, E,
-                                     f"orbit changed {prev_orbit} -> {orbit} but "
-                                     "previous trailer had done=0 (no stop)"))
+                                     f"orbit changed {prev_orbit} -> {orbit} "
+                                     "without a stop (previous trailer done!=1)"))
                 prev_orbit = orbit
             if state == pyfsm.AWAIT_TRIG:
                 if cont == 1:

@@ -110,9 +110,11 @@ def check_all(
     partitioned by row_type (the scalable path — each branch reads only
     its partition). None -> persist() for small/test runs.
 
-    max_errors: cap the violation table (the reference's
-    --max-tolerate-errors early stop, controller.rs:229-235 — here a
-    LIMIT that AQE short-circuits rather than a cross-task stop flag).
+    max_errors: cap the RETURNED violation table (the reference's
+    --max-tolerate-errors display cap, controller.rs:229-235 — here a
+    LIMIT that AQE short-circuits rather than a cross-task stop flag;
+    see run_failfast for true scan-stop). Metrics and per-doc verdicts
+    are always computed from the UNCAPPED set.
 
     trigger_period: enable the E45 internal-trigger period check
     (reference --its-trigger-period, cdp_running.rs:400-427).
@@ -165,8 +167,11 @@ def check_all(
     violations = violations.persist()
     violations_sorted = violations.orderBy("doc_id", "offset", "check_code")
     if max_errors is not None:
+        # the cap limits the RETURNED TABLE only; metrics and verdicts
+        # below stay on the uncapped set — otherwise a doc whose
+        # violations sort after the cap would be reported PASS and a
+        # --passed-out quarantine would keep corrupt documents
         violations_sorted = violations_sorted.limit(max_errors)
-        violations = violations_sorted
 
     # error rollup (G6 analogue: error_stats.rs:96-121 — total, per-code)
     code_counts = violations.groupBy("check_code").agg(
@@ -266,4 +271,11 @@ def run_failfast(
     viol = parts[0]
     for p in parts[1:]:
         viol = viol.unionByName(p)
-    return viol.orderBy("doc_id", "offset", "check_code"), done, total
+    # localCheckpoint the (small) union so the per-slice persists can be
+    # released immediately — otherwise every call leaks n_slices cached
+    # tables into executor storage for the session's lifetime
+    viol = viol.orderBy("doc_id", "offset", "check_code").localCheckpoint(
+        eager=True)
+    for p in parts:
+        p.unpersist()
+    return viol, done, total

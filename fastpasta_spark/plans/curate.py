@@ -21,8 +21,9 @@ Scale notes:
     deterministic cumulative-sum-over-global-order (ONE-partition
     window — correct and oracle-matchable, fine up to ~10^8 survivor
     rows of 3 small columns, wrong at 10^12); the default scale path
-    picks a QUALITY CUTOFF via distributed approxQuantile so no global
-    sort ever happens, then filters — budget met approximately, plan
+    picks a TOKEN-WEIGHTED quality cutoff from a 1000-bin quality
+    histogram (one shuffle of <=1001 tiny rows, cumulative walk on the
+    driver) — budget met to bin granularity, no global sort, plan
     stays embarrassingly parallel
 """
 
@@ -44,15 +45,16 @@ class CurateResult:
     summary: DataFrame   # one row: funnel counts
 
 
-def exact_dup_path_edges(df: DataFrame, id_col: str = "doc_id",
+def exact_dup_star_edges(df: DataFrame, id_col: str = "doc_id",
                          text_col: str = "text") -> DataFrame:
-    """Exact-duplicate PAIR edges: consecutive ids within a content-hash
-    group (a path, so a group of n dups costs n-1 edges, not n^2)."""
-    w = Window.partitionBy(F.md5(text_col)).orderBy(id_col)
+    """Exact-duplicate PAIR edges as a STAR: every member of a
+    content-hash group links to the group's minimum id. n-1 edges per
+    group (like a path) but diameter 2 — a 10^6-copy boilerplate family
+    converges in two label-propagation rounds instead of 10^6."""
+    hub = F.min(id_col).over(Window.partitionBy(F.md5(text_col)))
     return (
-        df.select(F.lag(id_col).over(w).alias("doc_a"),
-                  F.col(id_col).alias("doc_b"))
-        .filter(F.col("doc_a").isNotNull())
+        df.select(hub.alias("doc_a"), F.col(id_col).alias("doc_b"))
+        .filter(F.col("doc_a") != F.col("doc_b"))
     )
 
 
@@ -74,7 +76,7 @@ def curate(
         gated = gated.filter(F.col("lang_pred").isin(*langs))
     gated = gated.persist()
 
-    pairs = exact_dup_path_edges(gated, id_col, text_col).unionByName(
+    pairs = exact_dup_star_edges(gated, id_col, text_col).unionByName(
         jaccard_pairs(gated, id_col, text_col,
                       threshold=jaccard_threshold, max_df=max_df)
         .select("doc_a", "doc_b")
@@ -99,10 +101,27 @@ def curate(
         else:
             total = unique.agg(F.sum("n_tokens")).first()[0] or 0
             if total > token_budget:
-                # distributed quantile -> quality cutoff; no global sort
-                frac = 1.0 - token_budget / total
-                (cut,) = unique.approxQuantile("quality", [frac], 0.01)
-                kept = unique.filter(F.col("quality") >= cut)
+                # TOKEN-weighted quality cutoff, not a doc-count quantile
+                # (when length correlates with quality a doc quantile can
+                # overshoot the token budget arbitrarily): bucketize
+                # quality into 1000 bins, aggregate token mass per bin
+                # (<=1001 rows collected), walk the cumulative sum from
+                # the top. One shuffle of tiny (bin, tokens) rows; no
+                # global sort of documents.
+                bins = (
+                    unique.groupBy(
+                        F.floor(F.col("quality") * 1000).alias("_qb"))
+                    .agg(F.sum("n_tokens").alias("_t"))
+                    .collect()
+                )
+                cum, cut_bin = 0, None
+                for r in sorted(bins, key=lambda r: -r["_qb"]):
+                    cum += r["_t"]
+                    cut_bin = r["_qb"]
+                    if cum >= token_budget:
+                        break
+                kept = unique.filter(
+                    F.floor(F.col("quality") * 1000) >= cut_bin)
 
     summary = (
         docs.select(F.count(F.lit(1)).alias("n_input"))

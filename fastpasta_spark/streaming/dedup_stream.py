@@ -64,12 +64,27 @@ def incremental_dedup(
     )
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
         sp = batch_df.sparkSession
         try:
-            state = (sp.read.parquet(f"{out_dir}/state")
-                     .filter(F.col("epoch_id") < epoch_id))
-        except Exception:
-            state = None
+            state_all = sp.read.parquet(f"{out_dir}/state")
+        except AnalysisException:
+            # ONLY a missing state dir (first epoch ever) may fall
+            # through — any other read failure must abort the epoch, or
+            # duplicates of previously-seen content would leak into the
+            # output AND poison the ledger
+            state_all = None
+        if state_all is not None and epoch_id == 0 and not (
+                state_all.limit(1).isEmpty()):
+            raise RuntimeError(
+                f"{out_dir}/state already has epochs but this stream is "
+                "at epoch 0 — a fresh checkpoint_dir against an existing "
+                "out_dir would re-keep seen documents and overwrite old "
+                "epoch partitions; reuse the original checkpoint_dir or "
+                "point at a fresh out_dir")
+        state = (state_all.filter(F.col("epoch_id") < epoch_id)
+                 if state_all is not None else None)
         kept = _dedup_batch(batch_df, state).persist()
 
         prev = sp.conf.get("spark.sql.sources.partitionOverwriteMode", "static")

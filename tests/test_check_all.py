@@ -137,3 +137,15 @@ def test_error_attribution_metrics(result):
     rows = res.violations.filter("severity <> 'WARNING'").collect()
     assert m["docs_with_errors"] == len({r.doc_id for r in rows})
     assert m["error_codes_distinct"] == len({r.check_code for r in rows})
+
+
+def test_max_errors_does_not_flip_verdicts(spark):
+    # the cap limits the RETURNED table only; verdicts (and so any
+    # --passed-out quarantine) must come from the uncapped set
+    cfg = CorpusConfig(n_docs=200, corrupt_per_mille=400)
+    docs, media = corpus_df(spark, cfg), media_df(spark, cfg)
+    full = check_all(docs, media)
+    capped = check_all(docs, media, max_errors=3)
+    assert capped.violations.count() == 3
+    assert sorted(map(tuple, capped.passed.collect())) == \
+           sorted(map(tuple, full.passed.collect()))

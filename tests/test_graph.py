@@ -89,3 +89,14 @@ def test_dup_clusters_dedup_semantics(spark):
     res = duplicate_clusters(pairs)
     assert res.filter(F.col("is_keeper")).count() == 1
     assert res.filter(~F.col("is_keeper")).count() == 3
+
+
+def test_nonconvergence_raises(spark):
+    import pytest
+
+    # a 12-node path needs 11 propagation rounds; max_iter=3 must FAIL
+    # LOUDLY rather than return split clusters
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "doc_a long, doc_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iter=3)
