@@ -144,23 +144,25 @@ def main(argv: list[str] | None = None) -> int:
         (the reference parses [E\\d+] codes the same way)."""
         if not args.show_only_errors_with_codes:
             return viol
-        codes = [c if c.upper().startswith("E") else f"E{c}"
+        codes = [c.upper() if c.upper().startswith("E") else f"E{c}"
                  for c in args.show_only_errors_with_codes]
         return viol.filter(F.col("check_code").isin(codes))
 
     if args.mode == "sanity":
         from fastpasta_spark.operators.sanity import sanity_violations
 
-        violations = code_filter(sanity_violations(docs)).orderBy("doc_id", "offset")
+        violations = sanity_violations(docs).orderBy("doc_id", "offset")
         if args.max_errors is not None:
             violations = violations.limit(args.max_errors)
+        # -w filters the DISPLAYED rows only — the total and the exit
+        # code come from the unfiltered set (matching check-all mode;
+        # otherwise `-w E13` on an E10-only corpus would exit 0).
         # take(50) for display + count() for the total: an unbounded
         # collect() here is a driver OOM at scale (the violation table
         # can be as large as the input)
-        shown = violations.take(50)
-        for r in shown:
+        for r in code_filter(violations).take(50):
             print(f"{r.doc_id}:{r.offset}: [{r.check_code}] {r.message}")
-        n = len(shown) if len(shown) < 50 else violations.count()
+        n = violations.count()
         print(f"total errors: {n}")
         return 2 if n else 0
 

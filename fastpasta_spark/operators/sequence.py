@@ -320,8 +320,7 @@ def _fsm_over_codes(codes, offs, kv, refs, n_spans, kind_name,
     return viol
 
 
-def _parse_kv_spans(kv_idx: np.ndarray, kv_codes: np.ndarray,
-                    text_c: pa.Array) -> dict[int, dict]:
+def _parse_kv_spans(kv_idx: np.ndarray, text_c: pa.Array) -> dict[int, dict]:
     """flat span index -> parsed fields dict, for all kv-carrying spans.
 
     Measured note: a vectorized Arrow RE2 extract_regex fast path was
@@ -545,7 +544,7 @@ def _make_arrow_pass(fused: bool, trigger_period: int | None = None):
                                        ).to_numpy(zero_copy_only=False)
             kv_mask |= ((codes == _K_TEXT) | (codes == _K_MEDIA)) & lane_pref
             kv_idx = np.nonzero(kv_mask)[0]
-            kv_flat = _parse_kv_spans(kv_idx, codes[kv_idx], text_c)
+            kv_flat = _parse_kv_spans(kv_idx, text_c)
             ref_idx = np.nonzero((codes == _K_MEDIA) & ~ref_empty)[0]
             ref_vals = (pc.take(ref_c, pa.array(ref_idx)).to_pylist()
                         if len(ref_idx) else [])

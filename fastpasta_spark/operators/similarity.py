@@ -166,8 +166,9 @@ def ivf_centroids(corpus: DataFrame, n_lists: int,
     Returns (list_id, centroid). orderBy+limit plans as a distributed
     TakeOrderedAndProject — per-partition top-n then a tiny driver
     merge, never a single-partition global sort."""
-    h = F.expr("cast(conv(substr(md5(cast(_id as string)), 1, 15), "
-               "16, 10) as bigint)")
+    from fastpasta_spark.functions.hashing import spark_md5_hash
+
+    h = F.expr(spark_md5_hash("cast(_id as string)"))
     top = (
         corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("centroid"))
         .withColumn("_h", h)

@@ -69,7 +69,10 @@ def _uniqueness_branch(keys: DataFrame) -> tuple[DataFrame, DataFrame]:
     # slow high-precision path (~10x slower one-time codegen, measured);
     # hashing first keeps the sketch fast AND tightened the estimate
     metrics = grouped.agg(
-        F.count(F.lit(1)).alias("exact"),
+        # count(col), not count(*): the NULL-doc_id group must not count
+        # as a distinct id (countDistinct semantics; keeps golden-stats
+        # files stable across the groupBy-based rewrite)
+        F.count("doc_id").alias("exact"),
         F.approx_count_distinct(F.xxhash64("doc_id"), rsd=0.02).alias("hll"),
     ).selectExpr(
         "stack(2, 'doc_id_distinct_exact', CAST(exact AS DOUBLE), "

@@ -134,3 +134,23 @@ def test_passed_out_quarantine(fixture_paths, spark, tmp_path):
     # referential skipped, matching what PASS asserted)
     rc2 = main(["check", "all", out, "--media", str(fixture_paths / "media")])
     assert rc2 == 0
+
+
+def test_sanity_w_filter_is_display_only(spark, tmp_path, capsys):
+    # docs whose only sanity violations are E71 (empty text)
+    docs = spark.createDataFrame(
+        [("d1", [("text", "", "", 0)]), ("d2", [("text", "ok", "", 0)])],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>")
+    p = str(tmp_path / "docs")
+    docs.write.parquet(p)
+    # -w for a code that never fires: display empty, but total/exit
+    # still reflect the real violations (and lowercase codes match)
+    rc = main(["check", "sanity", p, "-w", "e13"])
+    out = capsys.readouterr().out
+    assert rc == 2
+    assert "total errors: 1" in out
+    assert ": [E" not in out  # nothing displayed
+    rc = main(["check", "sanity", p, "-w", "e71"])
+    out = capsys.readouterr().out
+    assert rc == 2 and "[E71]" in out  # lowercase -w matches
