@@ -177,11 +177,18 @@ def check_all(
         violations_sorted = violations_sorted.limit(max_errors)
 
     # error rollup (G6 analogue: error_stats.rs:96-121 — total, per-code)
+    # two rows per code: total occurrences AND distinct docs affected —
+    # the per-key attribution the reference keeps per stave
+    # (error_stats.rs:13-55 unique_error_codes + staves_with_errors)
     code_counts = violations.groupBy("check_code").agg(
-        F.count(F.lit(1)).alias("n")
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct(F.coalesce(F.col("doc_id"), F.lit("\x00"))
+                        ).alias("docs_affected"),
     ).select(
-        F.concat(F.lit("error_count_"), F.col("check_code")).alias("name"),
-        F.col("n").cast("double").alias("value"),
+        F.expr("stack(2, "
+               "concat('error_count_', check_code), CAST(n AS DOUBLE), "
+               "concat('error_docs_', check_code), "
+               "CAST(docs_affected AS DOUBLE)) AS (name, value)")
     )
     total = violations.agg(
         F.count(F.lit(1)).cast("double").alias("value")

@@ -134,6 +134,8 @@ def format_report(metrics: dict[str, float], max_width: int = 60) -> str:
                                    "error_codes_distinct")),
         ("kinds", lambda k: k.startswith("kind_count_")),
         ("errors", lambda k: k.startswith("error_count_")),
+        ("error attribution (docs affected)",
+         lambda k: k.startswith("error_docs_")),
         ("text stats", lambda k: k.startswith("text_len")),
         ("uniqueness", lambda k: k.startswith("doc_id_distinct")),
     ]:

@@ -137,6 +137,16 @@ def test_error_attribution_metrics(result):
     rows = res.violations.filter("severity <> 'WARNING'").collect()
     assert m["docs_with_errors"] == len({r.doc_id for r in rows})
     assert m["error_codes_distinct"] == len({r.check_code for r in rows})
+    # per-code form: error_docs_X counts each doc once however many
+    # times code X fired in it (includes WARNING-severity codes — the
+    # rollup is over the full violation table like error_count_X)
+    all_rows = res.violations.collect()
+    by_code: dict[str, set] = {}
+    for r in all_rows:
+        by_code.setdefault(r.check_code, set()).add(r.doc_id)
+    for code, doc_set in by_code.items():
+        assert m[f"error_docs_{code}"] == len(doc_set), code
+        assert m[f"error_docs_{code}"] <= m[f"error_count_{code}"]
 
 
 def test_max_errors_does_not_flip_verdicts(spark):
