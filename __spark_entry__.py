@@ -645,6 +645,41 @@ FROM documents GROUP BY source ORDER BY source
 """
 
 
+def _q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (concat-and-chunk): lay documents end-to-end in
+    doc_id order, cut the token stream into 256-token packs, split
+    straddlers. Distributed exclusive prefix sum under the hood
+    (operators/packing.py — range repartition + per-partition window,
+    never a single-partition global window)."""
+    from fastpasta_spark.operators.packing import pack_documents_table
+
+    return pack_documents_table(_read(spark, sf_dir, "documents"),
+                                budget=256)
+
+
+def _sql_pack_chunks() -> str:
+    tk = duckdb_tokens("text")
+    return f"""
+WITH n AS (
+  SELECT doc_id, len({tk})::BIGINT AS n_tokens FROM documents
+), nz AS (SELECT * FROM n WHERE n_tokens > 0),
+c AS (
+  SELECT doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS s
+  FROM nz
+)
+SELECT c.doc_id, p.pack_id,
+       greatest(0, p.pack_id * 256 - c.s)::BIGINT AS tok_start,
+       least(c.n_tokens, (p.pack_id + 1) * 256 - c.s)::BIGINT AS tok_end,
+       c.n_tokens
+FROM c, LATERAL (
+  SELECT unnest(generate_series(c.s // 256,
+                                (c.s + c.n_tokens - 1) // 256))::BIGINT
+         AS pack_id) p
+"""
+
+
 def _q_textstats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis: token count, quality score, rolling fingerprint,
     language-ID — all portable formulas (functions/hashing.py), fused
@@ -1397,6 +1432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": _q_asof_join,
         "trigger_period": _q_trigger_period,
         # training-data pipeline ops
+        "pack_chunks": _q_pack_chunks,
         "textstats": _q_textstats,
         "minhash_signatures": _q_minhash_signatures,
         "jaccard_pairs": _q_jaccard_pairs,
@@ -1438,6 +1474,7 @@ def oracle_sql() -> dict[str, str]:
         "source_uniformity": _SQL_SOURCE_UNIFORMITY,
         "asof_join": _SQL_ASOF_JOIN,
         "trigger_period": _SQL_TRIGGER_PERIOD,
+        "pack_chunks": _sql_pack_chunks(),
         "textstats": _sql_textstats(),
         "minhash_signatures": _sql_minhash_signatures(),
         "jaccard_pairs": _sql_jaccard_pairs(),
