@@ -203,6 +203,31 @@ FROM documents
 """
 
 
+# documents schema as (name, spark simpleString) — shared by the Spark
+# profile and its DuckDB twin so both enumerate identical columns.
+_DOC_FIELDS = [("doc_id", "bigint"), ("text", "string"), ("lang", "string"),
+               ("source", "string"), ("n_chars", "bigint")]
+
+
+def _q_col_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic per-column stats (null rate, min/max/avg, distinct) over
+    the whole documents schema in one aggregation pass — the
+    schema-validator analogue of the reference's stats totals."""
+    from fastpasta_spark.operators.colprofile import column_profile
+
+    return column_profile(
+        _read(spark, sf_dir, "documents"),
+        columns=[n for n, _ in _DOC_FIELDS],
+        exact_distinct=True,  # oracle parity at small SF; HLL at scale
+    )
+
+
+def _sql_col_profile() -> str:
+    from fastpasta_spark.operators.colprofile import duckdb_profile_sql
+
+    return duckdb_profile_sql("documents", _DOC_FIELDS)
+
+
 def _q_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution drift (two-sample chi-square) of lang mix:
     source 'src0' vs the rest of the corpus."""
@@ -1413,6 +1438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "running_check": _q_running_check,
         "referential": _q_referential,
         "metrics_profile": _q_metrics_profile,
+        "col_profile": _q_col_profile,
         "drift_chi2": _q_drift_chi2,
         "drift_ks": _q_drift_ks,
         "bitflag_hist": _q_bitflag_hist,
@@ -1458,6 +1484,7 @@ def oracle_sql() -> dict[str, str]:
         "running_check": _SQL_RUNNING_CHECK,
         "referential": _SQL_REFERENTIAL,
         "metrics_profile": _SQL_METRICS_PROFILE,
+        "col_profile": _sql_col_profile(),
         "drift_chi2": _SQL_DRIFT_CHI2,
         "drift_ks": _SQL_DRIFT_KS,
         "bitflag_hist": _SQL_BITFLAG_HIST,

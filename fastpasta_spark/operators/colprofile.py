@@ -1,0 +1,141 @@
+"""Generic per-column stats profiler — the whole-schema face of the
+reference's stats totals (fastpasta stats_collector.rs:96-175 keeps
+global counters per payload field; here the table IS the schema, so the
+analogue is one stats row PER COLUMN): null count/rate, distinct
+cardinality, and numeric min/max/avg — string columns profile their
+LENGTH — computed in ONE aggregation pass over the table.
+
+Scale design (100 TB): a single ``df.agg`` compiles to a partial
+(map-side) aggregate per partition merged into one final row — the only
+shuffle traffic is per-partition partial buffers (bytes, not rows), and
+every expression is JVM-side inside whole-stage codegen.  Distinct
+cardinality defaults to HyperLogLog++ (``approx_count_distinct`` over a
+pre-hashed ``xxhash64``, rsd=0.02 — mergeable sketch partials, no plan
+Expand); ``exact_distinct=True`` switches to exact ``count_distinct``,
+which plans Spark's Expand strategy (input replicated once per distinct
+aggregate) — right for small tables and oracle parity, wrong for 100 TB.
+
+The single stats row is then unpivoted driver-free with ``stack`` into
+one row per column, so downstream consumers (golden-stats diff,
+report assembly) see the same (name, value)-shaped surface as the rest
+of the metrics plumbing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_NUMERIC_TYPES = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.FloatType, T.DoubleType, T.DecimalType, T.BooleanType,
+)
+
+
+def _numeric_face(field: T.StructField):
+    """The double-valued expression profiled for min/max/avg, or None
+    for types with no meaningful numeric face (arrays, structs, maps).
+    Strings profile their length; timestamps their epoch seconds."""
+    v = F.col(field.name)
+    if isinstance(field.dataType, T.StringType):
+        return F.length(v).cast("double")
+    if isinstance(field.dataType, (T.TimestampType, T.DateType)):
+        return v.cast("double")
+    if isinstance(field.dataType, _NUMERIC_TYPES):
+        return v.cast("double")
+    return None
+
+
+def column_profile(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    exact_distinct: bool = False,
+    dp: int = 4,
+) -> DataFrame:
+    """One profile row per column: (col_name, dtype, n_rows, n_nulls,
+    null_rate, n_distinct, min_num, max_num, avg_num).
+
+    ``exact_distinct`` trades the mergeable HLL sketch for exact
+    ``count_distinct`` (small-SF / oracle-parity mode).  ``dp`` rounds
+    the float outputs so engine/oracle hashes are stable.
+    """
+    fields = [f for f in df.schema.fields
+              if columns is None or f.name in columns]
+    if not fields:
+        raise ValueError("column_profile: no columns selected")
+
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for f in fields:
+        c, v = f.name, F.col(f.name)
+        aggs.append(F.sum(v.isNull().cast("long")).alias(f"{c}__nulls"))
+        if exact_distinct:
+            dist = F.count_distinct(v)
+        else:
+            dist = F.approx_count_distinct(F.xxhash64(v), rsd=0.02)
+        aggs.append(dist.cast("long").alias(f"{c}__dist"))
+        num = _numeric_face(f)
+        if num is None:
+            num = F.lit(None).cast("double")
+        aggs.extend([
+            F.min(num).alias(f"{c}__min"),
+            F.max(num).alias(f"{c}__max"),
+            F.avg(num).alias(f"{c}__avg"),
+        ])
+    one_row = df.agg(*aggs)
+
+    stacked = ", ".join(
+        f"'{f.name}', '{f.dataType.simpleString()}', "
+        f"`{f.name}__nulls`, `{f.name}__dist`, "
+        f"`{f.name}__min`, `{f.name}__max`, `{f.name}__avg`"
+        for f in fields
+    )
+    stack = (
+        f"stack({len(fields)}, {stacked}) as "
+        "(col_name, dtype, n_nulls, n_distinct, min_num, max_num, avg_num)"
+    )
+    out = one_row.select(F.col("n_rows"), F.expr(stack))
+    # ANSI mode: guard the 0-row division (x / 0 throws, not NULL).
+    rate = F.when(F.col("n_rows") == 0, F.lit(0.0)).otherwise(
+        F.col("n_nulls") / F.col("n_rows"))
+    return out.select(
+        "col_name",
+        "dtype",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_nulls").cast("long").alias("n_nulls"),
+        F.round(rate, dp).alias("null_rate"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        F.round("min_num", dp).alias("min_num"),
+        F.round("max_num", dp).alias("max_num"),
+        F.round("avg_num", dp).alias("avg_num"),
+    )
+
+
+def duckdb_profile_sql(
+    table: str,
+    fields: list[tuple[str, str]],
+    dp: int = 4,
+) -> str:
+    """The DuckDB twin of ``column_profile(exact_distinct=True)`` for a
+    table of (name, spark_simpleString_dtype) fields — one UNION ALL
+    branch per column, scanning the table once per column (fine at
+    oracle SF; the Spark side stays one-pass)."""
+    branches = []
+    for name, dtype in fields:
+        if dtype == "string":
+            num = f"length({name})"
+        elif dtype in ("timestamp", "date"):
+            num = f"epoch({name})"
+        else:
+            num = name
+        branches.append(f"""
+SELECT '{name}' AS col_name, '{dtype}' AS dtype,
+       count(*)::BIGINT AS n_rows,
+       sum(({name} IS NULL)::INT)::BIGINT AS n_nulls,
+       round(sum(({name} IS NULL)::INT) / count(*), {dp}) AS null_rate,
+       count(DISTINCT {name})::BIGINT AS n_distinct,
+       round(min({num})::DOUBLE, {dp}) AS min_num,
+       round(max({num})::DOUBLE, {dp}) AS max_num,
+       round(avg({num}), {dp}) AS avg_num
+FROM {table}""")
+    return " UNION ALL ".join(branches)
