@@ -228,6 +228,25 @@ def _sql_col_profile() -> str:
     return duckdb_profile_sql("documents", _DOC_FIELDS)
 
 
+def _q_length_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-edge length histogram of documents.text — the 'length
+    histograms' face of per-column stats (north_star G1/G8)."""
+    from fastpasta_spark.operators.drift import length_histogram
+
+    return length_histogram(_read(spark, sf_dir, "documents"), "text") \
+        .select("category", F.col("cnt").cast("long").alias("cnt"))
+
+
+def _sql_length_hist() -> str:
+    from fastpasta_spark.operators.drift import LEN_EDGES
+
+    bucket = " + ".join(
+        f"CASE WHEN length(coalesce(text, '')) >= {e} THEN 1 ELSE 0 END"
+        for e in LEN_EDGES[1:])
+    return (f"SELECT 'len_bucket_' || ({bucket})::VARCHAR AS category, "
+            "count(*)::BIGINT AS cnt FROM documents GROUP BY 1")
+
+
 def _q_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution drift (two-sample chi-square) of lang mix:
     source 'src0' vs the rest of the corpus."""
@@ -1439,6 +1458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "referential": _q_referential,
         "metrics_profile": _q_metrics_profile,
         "col_profile": _q_col_profile,
+        "length_hist": _q_length_hist,
         "drift_chi2": _q_drift_chi2,
         "drift_ks": _q_drift_ks,
         "bitflag_hist": _q_bitflag_hist,
@@ -1485,6 +1505,7 @@ def oracle_sql() -> dict[str, str]:
         "referential": _SQL_REFERENTIAL,
         "metrics_profile": _SQL_METRICS_PROFILE,
         "col_profile": _sql_col_profile(),
+        "length_hist": _sql_length_hist(),
         "drift_chi2": _SQL_DRIFT_CHI2,
         "drift_ks": _SQL_DRIFT_KS,
         "bitflag_hist": _SQL_BITFLAG_HIST,

@@ -39,20 +39,31 @@ def kind_profile(docs: DataFrame) -> DataFrame:
     )
 
 
-def len_profile(docs: DataFrame) -> DataFrame:
-    """(category, cnt) — text-length histogram with fixed edges."""
+def length_histogram(df: DataFrame, col: str = "text") -> DataFrame:
+    """(category, cnt) — fixed-edge length histogram of ANY string
+    column (the "length histograms" half of per-column stats). One
+    groupBy over at most len(LEN_EDGES) buckets: map-side partials make
+    the shuffle O(buckets × partitions) bytes regardless of table size."""
     edges = ", ".join(str(e) for e in LEN_EDGES[1:])
     bucket = F.expr(
         f"aggregate(array({edges}), 0, (acc, e) -> "
         "acc + IF(len >= e, 1, 0))"
     )
     return (
-        docs.select(F.explode("spans").alias("s"))
-        .filter(F.col("s.kind") == S.KIND_TEXT)
-        .select(F.length(F.coalesce(F.col("s.text"), F.lit(""))).alias("len"))
+        df.select(F.length(F.coalesce(F.col(col), F.lit(""))).alias("len"))
         .select(F.concat(F.lit("len_bucket_"), bucket.cast("string")).alias("category"))
         .groupBy("category")
         .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def len_profile(docs: DataFrame) -> DataFrame:
+    """(category, cnt) — text-span length histogram with fixed edges."""
+    return length_histogram(
+        docs.select(F.explode("spans").alias("s"))
+        .filter(F.col("s.kind") == S.KIND_TEXT)
+        .select(F.col("s.text").alias("text")),
+        "text",
     )
 
 

@@ -60,3 +60,14 @@ def test_len_profile_buckets(spark):
     rows = len_profile(docs).collect()
     assert sum(r.cnt for r in rows) > 0
     assert all(r.category.startswith("len_bucket_") for r in rows)
+
+
+def test_length_histogram_exact_buckets(spark):
+    from fastpasta_spark.operators.drift import length_histogram
+
+    df = spark.createDataFrame(
+        [("",), (None,), ("x" * 7,), ("x" * 8,), ("x" * 1024,)], "text string")
+    got = {r.category: r.cnt for r in length_histogram(df, "text").collect()}
+    # len 0, 0 (null->''), 7 land below edge 8 -> bucket 0; len 8 -> 1;
+    # len 1024 clears edges 8..1024 (8 of the 9) -> bucket 8
+    assert got == {"len_bucket_0": 3, "len_bucket_1": 1, "len_bucket_8": 1}
