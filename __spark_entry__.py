@@ -819,6 +819,47 @@ def _sql_minhash_signatures() -> str:
     return f"SELECT doc_id, {mh} FROM (SELECT doc_id, {shingles} AS sh FROM documents) t"
 
 
+def _q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing >= 2 distinct
+    5-gram shingles with a deterministic 2% 'eval set' slice of the
+    corpus (hash-gate seed 11 — self-matches sanity-check the scan,
+    duplicates surface as genuine contamination)."""
+    from fastpasta_spark.operators.dedup import decontaminate
+    from fastpasta_spark.operators.sampling import hash_gate
+
+    d = _read_spread(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text")
+    bench = d.filter(F.expr(hash_gate("doc_id", 0.02, seed=11))).select(
+        F.col("doc_id").alias("bench_id"), "text")
+    return decontaminate(d, bench, n=5, min_overlap=2).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("bench_id").cast("long").alias("bench_id"),
+        F.col("overlap").cast("long").alias("overlap"),
+    )
+
+
+def _sql_decontam() -> str:
+    from fastpasta_spark.operators.sampling import DENOM
+
+    tk = duckdb_tokens("text")
+    shingles = (
+        f"list_distinct(CASE WHEN len({tk}) < 5 THEN [array_to_string({tk}, ' ')] "
+        f"ELSE list_transform(range(0, len({tk}) - 4), "
+        f"i -> array_to_string(({tk})[i+1:i+5], ' ')) END)"
+    )
+    gate = duckdb_md5_hash("('11:' || doc_id::VARCHAR)")
+    return f"""
+WITH c_inv AS (
+  SELECT doc_id, unnest({shingles}) AS shingle FROM documents),
+b_inv AS (
+  SELECT doc_id AS bench_id, unnest({shingles}) AS shingle FROM documents
+  WHERE ({gate} % {DENOM}) < {int(0.02 * DENOM)})
+SELECT c.doc_id, b.bench_id, count(*)::BIGINT AS overlap
+FROM c_inv c JOIN b_inv b ON c.shingle = b.shingle
+GROUP BY 1, 2 HAVING count(*) >= 2
+"""
+
+
 def _q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """df-capped n-gram Jaccard near-dup pairs (threshold 0.1, same
     source, shingle df capped at 200 — boilerplate mitigation)."""
@@ -1482,6 +1523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "textstats": _q_textstats,
         "minhash_signatures": _q_minhash_signatures,
         "jaccard_pairs": _q_jaccard_pairs,
+        "decontam": _q_decontam,
         "dup_clusters": _q_dup_clusters,
         "curation": _q_curation,
         "segment_dedup": _q_segment_dedup,
@@ -1526,6 +1568,7 @@ def oracle_sql() -> dict[str, str]:
         "textstats": _sql_textstats(),
         "minhash_signatures": _sql_minhash_signatures(),
         "jaccard_pairs": _sql_jaccard_pairs(),
+        "decontam": _sql_decontam(),
         "dup_clusters": _sql_dup_clusters(),
         "curation": _sql_curation(),
         "segment_dedup": _sql_segment_dedup(),

@@ -386,3 +386,52 @@ def simhash_duplicates(df: DataFrame, id_col: str = "doc_id",
     return pairs.select("doc_a", "doc_b", hamming.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (test-set contamination scan)
+# ---------------------------------------------------------------------------
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    bench_id_col: str = "bench_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_overlap: int = 1,
+    hash_shingles: bool = True,
+) -> DataFrame:
+    """Test-set decontamination: flag corpus documents sharing at least
+    ``min_overlap`` distinct word n-gram shingles with any benchmark
+    (eval-set) document — the standard pre-training hygiene scan.
+
+    Scale: the benchmark side is tiny relative to the corpus (eval
+    suites are thousands of docs against billions), so its hashed
+    shingle index is BROADCAST — the corpus side is one scan + explode
+    with no shuffle until the final (doc, bench) overlap count, and
+    contaminated pairs are rare by construction. Shingles hash to
+    60-bit longs before the join (same lever as jaccard_pairs: the
+    broadcast table and join keys are fixed-width, and jaccard's
+    collision bound applies).
+
+    Returns (id_col, bench_id_col, overlap) where overlap counts the
+    DISTINCT shared shingles (with_shingles de-dups per document, so a
+    plain count over the join is already distinct).
+    """
+    def inv(df: DataFrame, out_id: str, src_id: str) -> DataFrame:
+        sh = with_shingles(df.select(F.col(src_id).alias(out_id), text_col),
+                           text_col, n)
+        keys = (F.expr(f"transform(shingles, s -> {spark_md5_hash('s')})")
+                if hash_shingles else F.col("shingles"))
+        return sh.select(F.col(out_id), F.explode(keys).alias("shingle"))
+
+    c_inv = inv(corpus, id_col, id_col)
+    b_inv = inv(benchmark, bench_id_col, bench_id_col)
+    return (
+        c_inv.join(F.broadcast(b_inv), "shingle")
+        .groupBy(id_col, bench_id_col)
+        .agg(F.count(F.lit(1)).alias("overlap"))
+        .filter(F.col("overlap") >= min_overlap)
+    )

@@ -135,3 +135,26 @@ def test_segment_dedup_first_seen_wins(spark):
     # doc 3 lost its first (shared) segment, kept its unique tail
     assert rows[3]["n_kept"] == 2 and rows[3]["n_total"] == 3
     assert rows[3]["clean_text"].startswith("w100")
+
+
+def test_decontaminate_flags_overlap(spark):
+    from fastpasta_spark.operators.dedup import decontaminate
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),   # contains bench 5-grams
+         (2, "totally unrelated words live here now"),
+         (3, "alpha beta gamma delta epsilon")],       # exactly one 5-gram shared
+        "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")],
+        "bench_id long, text string")
+    got = {(r.doc_id, r.bench_id): r.overlap
+           for r in decontaminate(corpus, bench, n=5, min_overlap=1,
+                                  bench_id_col="bench_id").collect()}
+    # doc 1: shingles {a b g d e, b g d e z} -> overlap 2; doc 3: 1; doc 2: none
+    assert got == {(1, 100): 2, (3, 100): 1}
+
+    got2 = {r.doc_id for r in
+            decontaminate(corpus, bench, n=5, min_overlap=2,
+                          bench_id_col="bench_id").collect()}
+    assert got2 == {1}
