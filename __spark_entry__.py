@@ -228,6 +228,22 @@ def _sql_col_profile() -> str:
     return duckdb_profile_sql("documents", _DOC_FIELDS)
 
 
+def _q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column quantiles over events (value, user_id) — exact
+    interpolated percentile for oracle parity; the operator's default
+    is the mergeable percentile_approx sketch for scale."""
+    from fastpasta_spark.operators.colprofile import numeric_quantiles
+
+    return numeric_quantiles(
+        _read(spark, sf_dir, "events"), ["value", "user_id"], exact=True)
+
+
+def _sql_quantiles() -> str:
+    from fastpasta_spark.operators.colprofile import duckdb_quantiles_sql
+
+    return duckdb_quantiles_sql("events", ["value", "user_id"])
+
+
 def _q_length_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-edge length histogram of documents.text — the 'length
     histograms' face of per-column stats (north_star G1/G8)."""
@@ -1500,6 +1516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metrics_profile": _q_metrics_profile,
         "col_profile": _q_col_profile,
         "length_hist": _q_length_hist,
+        "quantiles": _q_quantiles,
         "drift_chi2": _q_drift_chi2,
         "drift_ks": _q_drift_ks,
         "bitflag_hist": _q_bitflag_hist,
@@ -1548,6 +1565,7 @@ def oracle_sql() -> dict[str, str]:
         "metrics_profile": _SQL_METRICS_PROFILE,
         "col_profile": _sql_col_profile(),
         "length_hist": _sql_length_hist(),
+        "quantiles": _sql_quantiles(),
         "drift_chi2": _SQL_DRIFT_CHI2,
         "drift_ks": _SQL_DRIFT_KS,
         "bitflag_hist": _SQL_BITFLAG_HIST,

@@ -139,3 +139,65 @@ SELECT '{name}' AS col_name, '{dtype}' AS dtype,
        round(avg({num}), {dp}) AS avg_num
 FROM {table}""")
     return " UNION ALL ".join(branches)
+
+
+def numeric_quantiles(
+    df: DataFrame,
+    columns: list[str],
+    probs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95, 0.99),
+    exact: bool = False,
+    accuracy: int = 10_000,
+    dp: int = 4,
+) -> DataFrame:
+    """Per-column quantiles as (col_name, prob, value) rows.
+
+    Default is ``percentile_approx`` — Spark's GK/KLL-style rank sketch
+    with mergeable per-partition partials (one pass, shuffle traffic =
+    sketch bytes × partitions), the only viable shape at 100 TB.
+    ``exact=True`` switches to the exact interpolated ``percentile``
+    (full sort of each column's values — small-SF / oracle-parity mode;
+    its linear-interpolation definition matches DuckDB quantile_cont).
+
+    All columns and all probs are computed in ONE ``df.agg``; the
+    per-column result arrays are unpivoted with stack + posexplode, so
+    each percentile sort/sketch runs once however many probes it serves.
+    """
+    if not columns:
+        raise ValueError("numeric_quantiles: no columns given")
+    probs_sql = ", ".join(f"CAST({p!r} AS DOUBLE)" for p in probs)
+    aggs = []
+    for c in columns:
+        if exact:
+            expr = f"percentile({c}, array({probs_sql}))"
+        else:
+            expr = f"percentile_approx({c}, array({probs_sql}), {accuracy})"
+        aggs.append(F.expr(expr).alias(f"{c}__q"))
+    one_row = df.agg(*aggs)
+    stacked = ", ".join(f"'{c}', `{c}__q`" for c in columns)
+    qs = one_row.select(
+        F.expr(f"stack({len(columns)}, {stacked}) as (col_name, qs)"))
+    return (
+        qs.select(
+            "col_name",
+            F.explode(F.arrays_zip(
+                F.array(*[F.lit(float(p)) for p in probs]).alias("prob"),
+                F.col("qs").cast("array<double>").alias("value"),
+            )).alias("z"))
+        .select("col_name", F.col("z.prob").alias("prob"),
+                F.round("z.value", dp).alias("value"))
+    )
+
+
+def duckdb_quantiles_sql(
+    table: str,
+    columns: list[str],
+    probs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95, 0.99),
+    dp: int = 4,
+) -> str:
+    """DuckDB twin of ``numeric_quantiles(exact=True)``."""
+    branches = [
+        f"SELECT '{c}' AS col_name, CAST({p!r} AS DOUBLE) AS prob, "
+        f"round(quantile_cont({c}, {p!r}), {dp}) AS value FROM {table}"
+        for c in columns for p in probs
+    ]
+    return " UNION ALL ".join(branches)

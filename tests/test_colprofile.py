@@ -90,3 +90,43 @@ def test_duckdb_twin_matches(spark, tmp_path):
     ora = sorted(con.execute(sql).fetchall())
     for e, o in zip(eng, ora):
         assert tuple(e) == tuple(o), (tuple(e), tuple(o))
+
+
+def test_quantiles_exact_known_values(spark):
+    from fastpasta_spark.operators.colprofile import numeric_quantiles
+
+    df = spark.createDataFrame([(float(i),) for i in range(101)], "x double")
+    got = {r.prob: r.value for r in
+           numeric_quantiles(df, ["x"], probs=(0.0, 0.5, 0.95, 1.0),
+                             exact=True).collect()}
+    assert got == {0.0: 0.0, 0.5: 50.0, 0.95: 95.0, 1.0: 100.0}
+
+
+def test_quantiles_approx_close_and_one_pass(spark):
+    from fastpasta_spark.operators.colprofile import numeric_quantiles
+
+    df = spark.range(0, 10_000).selectExpr("cast(id as double) as x",
+                                           "cast(id % 100 as double) as y")
+    out = numeric_quantiles(df, ["x", "y"], probs=(0.5, 0.9))
+    rows = {(r.col_name, r.prob): r.value for r in out.collect()}
+    assert rows[("x", 0.5)] == pytest.approx(5000, rel=0.02)
+    assert rows[("y", 0.9)] == pytest.approx(89, abs=2)
+    # both columns' sketches live in ONE aggregate — a single scan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") <= 1
+
+
+def test_quantiles_duckdb_twin(spark, tmp_path):
+    from fastpasta_spark.operators.colprofile import (
+        duckdb_quantiles_sql, numeric_quantiles)
+
+    df = spark.createDataFrame(
+        [(i * 1.5 - 3, i % 7) for i in range(500)], "v double, k long")
+    p = str(tmp_path / "q.parquet")
+    df.coalesce(1).write.parquet(p)
+    eng = sorted(numeric_quantiles(spark.read.parquet(p), ["v", "k"],
+                                   exact=True).collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW q AS SELECT * FROM parquet_scan('{p}/*.parquet')")
+    ora = sorted(con.execute(duckdb_quantiles_sql("q", ["v", "k"])).fetchall())
+    assert [tuple(r) for r in eng] == ora
