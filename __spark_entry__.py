@@ -228,6 +228,61 @@ def _sql_col_profile() -> str:
     return duckdb_profile_sql("documents", _DOC_FIELDS)
 
 
+def _q_constraint_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative constraint rules over events: per-rule violation
+    counts (the generic schema+constraint validator surface).
+    Zero-violation rules stay in the output — a constraint report
+    asserts the clean rules too."""
+    from fastpasta_spark.operators import constraints as C
+
+    ev = _read(spark, sf_dir, "events")
+    cust = _read(spark, sf_dir, "customer")
+    rules = [
+        C.not_null("user_id"),
+        C.in_range("value", 0.0, 400.0),
+        C.is_in("event_type", ["click", "view", "purchase", "signup"]),
+        C.matches("props", r'^\{"k": -?[0-9]+\}$'),
+        C.check_expr("value >= 0 OR event_type = 'error'", "neg_value"),
+        C.unique("event_id"),
+        C.foreign_key("user_id", cust, "c_custkey"),
+    ]
+    return C.violation_counts(ev, rules)
+
+
+_SQL_CONSTRAINT_CHECK = """
+SELECT 'not_null_user_id' AS rule,
+       sum((user_id IS NULL)::INT)::BIGINT AS violations FROM events
+UNION ALL
+SELECT 'range_value',
+       sum((value IS NOT NULL AND NOT (value BETWEEN 0.0 AND 400.0))::INT)::BIGINT
+FROM events
+UNION ALL
+SELECT 'enum_event_type',
+       sum((event_type IS NOT NULL
+            AND event_type NOT IN ('click','view','purchase','signup'))::INT)::BIGINT
+FROM events
+UNION ALL
+SELECT 'regex_props',
+       sum((props IS NOT NULL
+            AND NOT regexp_matches(props, '^\\{"k": -?[0-9]+\\}$'))::INT)::BIGINT
+FROM events
+UNION ALL
+SELECT 'neg_value',
+       sum((NOT coalesce(value >= 0 OR event_type = 'error', TRUE))::INT)::BIGINT
+FROM events
+UNION ALL
+SELECT 'unique_event_id', coalesce((
+  SELECT sum(n) FROM (
+    SELECT count(*) AS n FROM events WHERE event_id IS NOT NULL
+    GROUP BY event_id HAVING count(*) > 1)), 0)::BIGINT
+UNION ALL
+SELECT 'fk_user_id', (
+  SELECT count(*) FROM events e
+  WHERE user_id IS NOT NULL AND NOT EXISTS (
+    SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id))::BIGINT
+"""
+
+
 def _q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-column quantiles over events (value, user_id) — exact
     interpolated percentile for oracle parity; the operator's default
@@ -1517,6 +1572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "col_profile": _q_col_profile,
         "length_hist": _q_length_hist,
         "quantiles": _q_quantiles,
+        "constraint_check": _q_constraint_check,
         "drift_chi2": _q_drift_chi2,
         "drift_ks": _q_drift_ks,
         "bitflag_hist": _q_bitflag_hist,
@@ -1566,6 +1622,7 @@ def oracle_sql() -> dict[str, str]:
         "col_profile": _sql_col_profile(),
         "length_hist": _sql_length_hist(),
         "quantiles": _sql_quantiles(),
+        "constraint_check": _SQL_CONSTRAINT_CHECK,
         "drift_chi2": _SQL_DRIFT_CHI2,
         "drift_ks": _SQL_DRIFT_KS,
         "bitflag_hist": _SQL_BITFLAG_HIST,

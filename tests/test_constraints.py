@@ -1,0 +1,72 @@
+"""Declarative constraint rules: predicates, one-pass counts, branches."""
+
+import pytest
+
+from fastpasta_spark.operators.constraints import (
+    check_expr, foreign_key, in_range, is_in, matches, not_null, unique,
+    violating_rows, violation_counts)
+
+
+@pytest.fixture(scope="module")
+def tbl(spark):
+    return spark.createDataFrame(
+        [(1, "a@x.io", 10.0, "click"),
+         (2, None,    -5.0, "click"),
+         (3, "bad",   20.0, "view"),
+         (4, "c@y.de", 1e9, "JUNK"),
+         (4, "d@z.fr", 30.0, "view")],   # id 4 duplicated
+        "id long, email string, amount double, etype string")
+
+
+RULES = [
+    not_null("email"),
+    in_range("amount", 0.0, 100.0),
+    matches("email", r"[^@]+@[^@]+\.[a-z]+"),
+    is_in("etype", ["click", "view"]),
+    check_expr("amount >= 0 OR email IS NOT NULL", "amount_or_email"),
+    unique("id"),
+]
+
+
+def test_violation_counts(spark, tbl):
+    got = {r.rule: r.violations for r in violation_counts(tbl, RULES).collect()}
+    assert got == {
+        "not_null_email": 1,     # id 2
+        "range_amount": 2,       # -5 and 1e9
+        "regex_email": 1,        # "bad" (NULL attributed to not_null only)
+        "enum_etype": 1,         # JUNK
+        "amount_or_email": 1,    # id 2: amount<0 AND email null
+        "unique_id": 2,          # both id-4 rows count
+    }
+
+
+def test_foreign_key_branch(spark, tbl):
+    dim = spark.createDataFrame([(1,), (2,), (3,)], "k long")
+    got = {r.rule: r.violations for r in
+           violation_counts(tbl, [foreign_key("id", dim, "k")]).collect()}
+    assert got == {"fk_id": 2}   # two orphan rows with id 4
+
+
+def test_violating_rows(spark, tbl):
+    rows = {(r.id, r.rule) for r in
+            violating_rows(tbl, RULES, "id").collect()}
+    assert (2, "not_null_email") in rows
+    assert (4, "enum_etype") in rows
+    assert (3, "regex_email") in rows
+    assert not any(rule == "unique_id" for _, rule in rows)
+
+
+def test_one_pass_for_row_rules(spark, tbl):
+    row_rules = [r for r in RULES if r.kind not in ("unique", "foreign_key")]
+    plan = (violation_counts(tbl, row_rules)
+            ._jdf.queryExecution().executedPlan().toString())
+    # exactly ONE exchange: the single-partition merge of the per-
+    # partition partial sums (bytes, not data rows) — nothing else
+    # shuffles no matter how many row rules ride the pass
+    assert plan.count("Exchange") == 1
+    assert "Exchange SinglePartition" in plan
+
+
+def test_duplicate_names_rejected(spark, tbl):
+    with pytest.raises(ValueError, match="duplicate"):
+        violation_counts(tbl, [not_null("email"), not_null("email")])
