@@ -44,18 +44,19 @@ class CheckResult:
 def _uniqueness_branch(keys: DataFrame) -> tuple[DataFrame, DataFrame]:
     """'k' rows -> (E100 violations, uniqueness metrics).
 
-    ONE shuffle serves everything: the per-key groupBy (map-side partial
-    agg) is persisted, then dup violations filter it, the exact distinct
-    is its row count, and the HLL sketches its keys (same estimate
-    domain). Round-2 profiling showed the previous shape — a groupBy for
-    dups PLUS an independent countDistinct agg — paid the key shuffle
-    twice and was the largest non-pass cost at 16 cores.
+    ONE groupBy lineage serves everything: dup violations filter it, the
+    exact distinct is its row count, and the HLL sketches its keys (same
+    estimate domain). Round-2 profiling showed a groupBy for dups PLUS
+    an independent countDistinct agg paid the key shuffle twice and was
+    the largest non-pass cost at 16 cores. A persist() here was then
+    A/B-measured SLOWER at 32 cores (cache-build of ~all-distinct
+    groups costs more than re-running the map-side-combined key shuffle
+    off the cached pass output) and neutral at 16 pinned — so the two
+    consumers just re-evaluate the groupBy, and nothing leaks a cache
+    entry per check_all call.
     """
-    grouped = (
-        keys.groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("dup_count"))
-        .persist()
-    )
+    grouped = keys.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dup_count"))
     viol = grouped.filter(F.col("dup_count") > 1).select(
         "doc_id",
         F.lit(None).cast("int").alias("span_idx"),
