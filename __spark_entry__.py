@@ -890,6 +890,25 @@ def _sql_minhash_signatures() -> str:
     return f"SELECT doc_id, {mh} FROM (SELECT doc_id, {shingles} AS sh FROM documents) t"
 
 
+def _q_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary head: 20 most frequent tokens across documents.text
+    (deterministic tie-break on the token)."""
+    from fastpasta_spark.operators.textstats import top_tokens
+
+    return top_tokens(_read_spread(spark, sf_dir, "documents"), k=20)
+
+
+def _sql_top_tokens() -> str:
+    return f"""
+SELECT token, cnt, rank FROM (
+  SELECT token, count(*)::BIGINT AS cnt,
+         row_number() OVER (ORDER BY count(*) DESC, token) AS rank
+  FROM (SELECT unnest({duckdb_tokens('text')}) AS token FROM documents)
+  GROUP BY token) t
+WHERE rank <= 20
+"""
+
+
 def _q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: corpus docs sharing >= 2 distinct
     5-gram shingles with a deterministic 2% 'eval set' slice of the
@@ -1597,6 +1616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": _q_minhash_signatures,
         "jaccard_pairs": _q_jaccard_pairs,
         "decontam": _q_decontam,
+        "top_tokens": _q_top_tokens,
         "dup_clusters": _q_dup_clusters,
         "curation": _q_curation,
         "segment_dedup": _q_segment_dedup,
@@ -1644,6 +1664,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signatures": _sql_minhash_signatures(),
         "jaccard_pairs": _sql_jaccard_pairs(),
         "decontam": _sql_decontam(),
+        "top_tokens": _sql_top_tokens(),
         "dup_clusters": _sql_dup_clusters(),
         "curation": _sql_curation(),
         "segment_dedup": _sql_segment_dedup(),

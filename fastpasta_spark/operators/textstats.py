@@ -204,3 +204,27 @@ def profile(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.round(F.avg(F.length(text_col)), 4).alias("avg_len"),
         F.sum(F.expr(f"size({spark_tokens(text_col)})")).alias("total_tokens"),
     )
+
+
+def top_tokens(df: DataFrame, text_col: str = "text", k: int = 20) -> DataFrame:
+    """Corpus vocabulary head: (token, cnt, rank) for the k most
+    frequent tokens — the vocab-coverage probe a tokenizer-training or
+    data-mix audit starts from.
+
+    Scale: explode + groupBy(token) rides map-side partial aggregation
+    (shuffle traffic ~ distinct tokens per partition, not token
+    occurrences); the top-k plans as TakeOrderedAndProject —
+    per-partition heaps merged on the driver, never a global sort. The
+    rank window runs AFTER the limit, over k rows. Deterministic
+    tie-break: (cnt desc, token asc).
+    """
+    from pyspark.sql import Window as W
+
+    counts = (
+        df.select(F.explode(F.expr(spark_tokens(text_col))).alias("token"))
+        .groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token")).limit(k)
+    )
+    w = W.orderBy(F.desc("cnt"), F.asc("token"))
+    return counts.withColumn("rank", F.row_number().over(w)).select(
+        "token", F.col("cnt").cast("long").alias("cnt"), "rank")

@@ -102,3 +102,21 @@ def test_repetition_ratio_and_patterns(spark):
     assert rows[3]["rep_ratio"] == 0.0
     assert (rows[4]["n_emails"], rows[4]["n_urls"], rows[4]["n_long_numbers"]) \
         == (1, 1, 1)
+
+
+def test_top_tokens_counts_and_rank(spark):
+    from fastpasta_spark.operators.textstats import top_tokens
+
+    df = spark.createDataFrame(
+        [("apple banana apple",), ("banana apple cherry",), (None,)],
+        "text string")
+    rows = [(r.token, r.cnt, r.rank) for r in top_tokens(df, k=2).collect()]
+    assert rows == [("apple", 3, 1), ("banana", 2, 2)]
+
+
+def test_top_tokens_tie_break_deterministic(spark):
+    from fastpasta_spark.operators.textstats import top_tokens
+
+    df = spark.createDataFrame([("b a",), ("a b",)], "text string")
+    rows = [(r.token, r.rank) for r in top_tokens(df, k=2).collect()]
+    assert rows == [("a", 1), ("b", 2)]  # equal counts -> token asc
