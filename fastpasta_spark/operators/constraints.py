@@ -158,3 +158,48 @@ def violating_rows(df: DataFrame, rules: list[Rule], id_col: str,
     if max_rows is not None:
         out = out.orderBy("id", "rule").limit(max_rows)
     return out
+
+
+def from_spec(spec: list[dict], dims: dict[str, DataFrame] | None = None
+              ) -> list[Rule]:
+    """Build rules from a JSON-shaped spec — the config-driven face of
+    the rule algebra (the reference reads custom check expectations from
+    a TOML file, custom_checks.rs; here a spec document validates any
+    table). Each entry: {"kind": ..., "col": ..., optional "name",
+    kind-specific params}. foreign_key entries name their dimension via
+    "dim"; the caller supplies loaded DataFrames in `dims`.
+
+        [{"kind": "not_null", "col": "user_id"},
+         {"kind": "in_range", "col": "value", "lo": 0, "hi": 400},
+         {"kind": "is_in", "col": "etype", "values": ["a", "b"]},
+         {"kind": "matches", "col": "email", "pattern": ".+@.+"},
+         {"kind": "check_expr", "name": "amt_pos", "expr": "amount > 0"},
+         {"kind": "unique", "col": "event_id"},
+         {"kind": "foreign_key", "col": "user_id",
+          "dim": "customer", "dim_col": "c_custkey"}]
+    """
+    out: list[Rule] = []
+    for i, e in enumerate(spec):
+        kind = e.get("kind")
+        name = e.get("name")
+        col = e.get("col", "")
+        if kind == "not_null":
+            out.append(not_null(col, name))
+        elif kind == "in_range":
+            out.append(in_range(col, e["lo"], e["hi"], name))
+        elif kind == "matches":
+            out.append(matches(col, e["pattern"], name))
+        elif kind == "is_in":
+            out.append(is_in(col, e["values"], name))
+        elif kind == "check_expr":
+            out.append(check_expr(e["expr"], name or f"check_{i}", col))
+        elif kind == "unique":
+            out.append(unique(col, name))
+        elif kind == "foreign_key":
+            if not dims or e["dim"] not in dims:
+                raise ValueError(
+                    f"spec[{i}]: foreign_key needs dims[{e['dim']!r}]")
+            out.append(foreign_key(col, dims[e["dim"]], e["dim_col"], name))
+        else:
+            raise ValueError(f"spec[{i}]: unknown rule kind {kind!r}")
+    return out

@@ -70,3 +70,34 @@ def test_one_pass_for_row_rules(spark, tbl):
 def test_duplicate_names_rejected(spark, tbl):
     with pytest.raises(ValueError, match="duplicate"):
         violation_counts(tbl, [not_null("email"), not_null("email")])
+
+
+def test_from_spec_round_trip(spark, tbl):
+    import json
+
+    from fastpasta_spark.operators.constraints import from_spec
+
+    dim = spark.createDataFrame([(1,), (2,), (3,)], "k long")
+    spec = json.loads(json.dumps([     # prove it survives JSON transport
+        {"kind": "not_null", "col": "email"},
+        {"kind": "in_range", "col": "amount", "lo": 0.0, "hi": 100.0},
+        {"kind": "is_in", "col": "etype", "values": ["click", "view"]},
+        {"kind": "check_expr", "name": "amt_or_email",
+         "expr": "amount >= 0 OR email IS NOT NULL"},
+        {"kind": "unique", "col": "id"},
+        {"kind": "foreign_key", "col": "id", "dim": "d", "dim_col": "k"},
+    ]))
+    rules = from_spec(spec, dims={"d": dim})
+    got = {r.rule: r.violations for r in violation_counts(tbl, rules).collect()}
+    assert got == {"not_null_email": 1, "range_amount": 2, "enum_etype": 1,
+                   "amt_or_email": 1, "unique_id": 2, "fk_id": 2}
+
+
+def test_from_spec_errors(spark):
+    from fastpasta_spark.operators.constraints import from_spec
+
+    with pytest.raises(ValueError, match="unknown rule kind"):
+        from_spec([{"kind": "nope", "col": "x"}])
+    with pytest.raises(ValueError, match="foreign_key needs"):
+        from_spec([{"kind": "foreign_key", "col": "x", "dim": "d",
+                    "dim_col": "k"}])
