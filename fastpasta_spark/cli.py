@@ -37,9 +37,16 @@ def main(argv: list[str] | None = None) -> int:
     sub = p.add_subparsers(dest="cmd", required=True)
 
     chk = sub.add_parser("check", help="run validation")
-    chk.add_argument("mode", choices=["sanity", "all"])
+    chk.add_argument("mode", choices=["sanity", "all", "table"])
     chk.add_argument("input")
     chk.add_argument("--media", help="media dimension parquet", default=None)
+    chk.add_argument("--spec", default=None,
+                     help="JSON constraint spec (check table mode): list of "
+                          "rule objects, see operators/constraints.from_spec")
+    chk.add_argument("--dim", action="append", default=None,
+                     metavar="NAME=PATH",
+                     help="named dimension parquet for foreign_key rules "
+                          "(repeatable)")
     chk.add_argument("--max-errors", type=int, default=None)
     chk.add_argument("--trigger-period", type=int, default=None,
                      help="expected bc period between internal triggers "
@@ -123,6 +130,31 @@ def main(argv: list[str] | None = None) -> int:
               f"unique={s['n_unique']} kept={s['n_kept']} "
               f"kept_tokens={s['kept_tokens']}")
         return 0
+
+    if args.cmd == "check" and args.mode == "table":
+        # generic schema+constraint validation of ANY parquet table —
+        # the config-driven rule algebra (no docs-model schema assumed)
+        import json
+
+        from fastpasta_spark.operators import constraints as C
+
+        if not args.spec:
+            raise SystemExit("check table requires --spec spec.json")
+        with open(args.spec) as f:
+            spec = json.load(f)
+        dims = {}
+        for d in args.dim or []:
+            name, _, pth = d.partition("=")
+            if not pth:
+                raise SystemExit(f"--dim wants NAME=PATH, got {d!r}")
+            dims[name] = spark.read.parquet(pth)
+        tbl = spark.read.parquet(args.input)
+        total = 0
+        for r in C.violation_counts(tbl, C.from_spec(spec, dims)).collect():
+            print(f"{r.rule}: {r.violations}")
+            total += r.violations
+        print(f"total violations: {total}")
+        return 2 if total else 0
 
     # check
     from pyspark.sql import functions as F

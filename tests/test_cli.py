@@ -154,3 +154,43 @@ def test_sanity_w_filter_is_display_only(spark, tmp_path, capsys):
     rc = main(["check", "sanity", p, "-w", "e71"])
     out = capsys.readouterr().out
     assert rc == 2 and "[E71]" in out  # lowercase -w matches
+
+
+def test_check_table_spec(spark, tmp_path, capsys):
+    import json
+
+    from fastpasta_spark.cli import main
+
+    spark.createDataFrame(
+        [(1, 10.0), (2, -5.0), (2, 20.0)], "id long, amount double"
+    ).write.mode("overwrite").parquet(str(tmp_path / "t"))
+    spark.createDataFrame([(1,), (2,)], "k long").write.mode(
+        "overwrite").parquet(str(tmp_path / "d"))
+    spec = [
+        {"kind": "in_range", "col": "amount", "lo": 0.0, "hi": 100.0},
+        {"kind": "unique", "col": "id"},
+        {"kind": "foreign_key", "col": "id", "dim": "d", "dim_col": "k"},
+    ]
+    spec_path = tmp_path / "spec.json"
+    spec_path.write_text(json.dumps(spec))
+
+    rc = main(["check", "table", str(tmp_path / "t"),
+               "--spec", str(spec_path), "--dim", f"d={tmp_path / 'd'}"])
+    out = capsys.readouterr().out
+    assert rc == 2
+    assert "range_amount: 1" in out and "unique_id: 2" in out
+    assert "fk_id: 0" in out and "total violations: 3" in out
+
+
+def test_check_table_clean_exit_zero(spark, tmp_path, capsys):
+    import json
+
+    from fastpasta_spark.cli import main
+
+    spark.createDataFrame([(1,)], "id long").write.mode(
+        "overwrite").parquet(str(tmp_path / "t"))
+    spec_path = tmp_path / "spec.json"
+    spec_path.write_text(json.dumps([{"kind": "not_null", "col": "id"}]))
+    rc = main(["check", "table", str(tmp_path / "t"), "--spec", str(spec_path)])
+    assert rc == 0
+    assert "total violations: 0" in capsys.readouterr().out
