@@ -75,3 +75,43 @@ def violation_rate_windows(violations_with_ts: DataFrame,
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.col("window.start").alias("window_start"), "check_code", "n")
     )
+
+
+def constraint_stream(
+    spark: SparkSession,
+    input_dir: str,
+    schema,
+    rules: list,
+    out_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Continuous generic constraint validation — the streaming face of
+    `check table`: new parquet files of an ARBITRARY table land in
+    input_dir; each micro-batch's per-rule violation counts
+    (operators/constraints.violation_counts — row rules fused into one
+    agg, unique/FK as their own branches) append to out_dir tagged with
+    the epoch id. foreachBatch + checkpoint give exactly-once per epoch;
+    summing counts over epochs yields running totals (counts are
+    additive across batches for row rules; unique/FK counts are
+    per-batch scoped, as an unbounded stream has no global uniqueness
+    without a state store — use streaming/dedup_stream for that).
+    """
+    from fastpasta_spark.operators.constraints import violation_counts
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(input_dir)
+    )
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        (violation_counts(batch_df, rules)
+         .withColumn("epoch_id", F.lit(epoch_id))
+         .write.mode("append").parquet(f"{out_dir}/rule_counts"))
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -61,3 +61,29 @@ def test_violation_rate_windows_batch_shape(spark):
     got = {(str(r.window_start), r.check_code): r.n for r in out}
     assert got[("2024-01-01 00:00:00", "E70")] == 2
     assert got[("2024-01-01 00:01:00", "E11")] == 1
+
+
+def test_constraint_stream_counts_match_batch(spark, tmp_path):
+    from fastpasta_spark.operators.constraints import (
+        in_range, not_null, violation_counts)
+    from fastpasta_spark.streaming.validate_stream import constraint_stream
+
+    tbl = spark.createDataFrame(
+        [(i, None if i % 10 == 0 else float(i)) for i in range(200)],
+        "id long, amount double")
+    in_dir = str(tmp_path / "in")
+    tbl.repartition(4).write.parquet(in_dir)
+
+    rules = [not_null("amount"), in_range("amount", 0.0, 150.0)]
+    q = constraint_stream(
+        spark, in_dir, "id long, amount double", rules,
+        out_dir=str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    got = (spark.read.parquet(str(tmp_path / "out" / "rule_counts"))
+           .groupBy("rule").agg(F.sum("violations").alias("v")))
+    got = {r.rule: r.v for r in got.collect()}
+    expected = {r.rule: r.violations
+                for r in violation_counts(tbl, rules).collect()}
+    assert got == expected and expected["not_null_amount"] == 20
