@@ -909,6 +909,36 @@ WHERE rank <= 20
 """
 
 
+def _q_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-fluency curation signal: per-doc mean unigram log-probability
+    under the corpus's own Laplace-smoothed top-1000 unigram model."""
+    from fastpasta_spark.operators.textstats import unigram_logprob
+
+    d = _read_spread(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text")
+    return unigram_logprob(d, vocab_k=1000)
+
+
+def _sql_unigram_lm() -> str:
+    tk = duckdb_tokens("text")
+    return f"""
+WITH base AS (SELECT doc_id, {tk} AS tokens FROM documents),
+tok AS (SELECT doc_id, unnest(tokens) AS token FROM base),
+tot AS (SELECT count(*)::DOUBLE AS total FROM tok),
+head AS (SELECT token, count(*)::DOUBLE AS cnt FROM tok
+         GROUP BY token ORDER BY count(*) DESC, token LIMIT 1000),
+v AS (SELECT count(*)::DOUBLE AS vs FROM head),
+scored AS (
+  SELECT t.doc_id,
+         ln(coalesce(h.cnt + 1, 1.0) / (tot.total + v.vs + 1)) AS lp
+  FROM tok t LEFT JOIN head h USING (token), tot, v),
+agg AS (SELECT doc_id, avg(lp) AS m FROM scored GROUP BY doc_id)
+SELECT b.doc_id, coalesce(len(b.tokens), 0)::BIGINT AS n_tokens,
+       round(a.m, 4) AS avg_logprob
+FROM base b LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def _q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: corpus docs sharing >= 2 distinct
     5-gram shingles with a deterministic 2% 'eval set' slice of the
@@ -1617,6 +1647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": _q_jaccard_pairs,
         "decontam": _q_decontam,
         "top_tokens": _q_top_tokens,
+        "unigram_lm": _q_unigram_lm,
         "dup_clusters": _q_dup_clusters,
         "curation": _q_curation,
         "segment_dedup": _q_segment_dedup,
@@ -1665,6 +1696,7 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_pairs": _sql_jaccard_pairs(),
         "decontam": _sql_decontam(),
         "top_tokens": _sql_top_tokens(),
+        "unigram_lm": _sql_unigram_lm(),
         "dup_clusters": _sql_dup_clusters(),
         "curation": _sql_curation(),
         "segment_dedup": _sql_segment_dedup(),

@@ -228,3 +228,54 @@ def top_tokens(df: DataFrame, text_col: str = "text", k: int = 20) -> DataFrame:
     w = W.orderBy(F.desc("cnt"), F.asc("token"))
     return counts.withColumn("rank", F.row_number().over(w)).select(
         "token", F.col("cnt").cast("long").alias("cnt"), "rank")
+
+
+def unigram_logprob(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", vocab_k: int = 2000,
+                    dp: int = 4) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    unigram model — the LM-fluency curation signal (the unigram analogue
+    of KenLM perplexity filtering): gibberish and OOV-dense documents
+    score low.
+
+    Model: Laplace-smoothed p(t) = (cnt(t) + 1) / (total + V + 1) over
+    the TOP-``vocab_k`` vocabulary (V = modeled types, +1 OOV type);
+    every rarer token is OOV and scores the floor 1 / (total + V + 1).
+
+    Scale shape: the model is two bounded artifacts — a scalar total and
+    the TakeOrdered vocab head — collected like any quantizer codebook.
+    Scoring is then a per-row expression over a broadcast token->logp
+    map: the token stream is never exploded, never shuffled, and hot
+    stopwords cannot skew anything. The literal map lookup is a linear
+    scan, so keep vocab_k ~10^3-10^4; for a 10^6-type vocab, switch the
+    scoring side to explode + broadcast-hash-join against the vocab DF +
+    per-doc re-agg (still shuffle-free on the probe side, one map-side-
+    combined groupBy on ``id_col``).
+
+    Returns (id_col, n_tokens, avg_logprob); empty/null text -> NULL
+    score, n_tokens 0.
+    """
+    toks = spark_tokens(text_col)
+    total = df.agg(F.sum(F.expr(f"size({toks})"))).first()[0] or 0
+    head = (
+        df.select(F.explode(F.expr(toks)).alias("token"))
+        .groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token")).limit(vocab_k)
+    )
+    vocab = {r["token"]: r["cnt"] for r in head.collect()}
+    denom = float(total + len(vocab) + 1)
+    floor = 1.0 / denom
+    items = ", ".join(
+        f"'{t}', CAST({(c + 1) / denom!r} AS DOUBLE)"
+        for t, c in sorted(vocab.items()))
+    pmap = f"map({items})" if vocab else "map('', CAST(0.0 AS DOUBLE))"
+    logp = (f"aggregate({toks}, CAST(0.0 AS DOUBLE), (acc, t) -> "
+            f"acc + ln(coalesce(element_at({pmap}, t), "
+            f"CAST({floor!r} AS DOUBLE))))")
+    n = f"coalesce(size({toks}), 0)"  # null text -> 0 tokens, not NULL
+    return df.select(
+        F.col(id_col),
+        F.expr(n).cast("long").alias("n_tokens"),
+        F.round(F.expr(f"IF({n} = 0, CAST(NULL AS DOUBLE), {logp} / {n})"),
+                dp).alias("avg_logprob"),
+    )

@@ -120,3 +120,21 @@ def test_top_tokens_tie_break_deterministic(spark):
     df = spark.createDataFrame([("b a",), ("a b",)], "text string")
     rows = [(r.token, r.rank) for r in top_tokens(df, k=2).collect()]
     assert rows == [("a", 1), ("b", 2)]  # equal counts -> token asc
+
+
+def test_unigram_logprob_model(spark):
+    import math
+
+    from fastpasta_spark.operators.textstats import unigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "a zz"), (3, None)],
+        "doc_id long, text string")
+    rows = {r.doc_id: (r.n_tokens, r.avg_logprob)
+            for r in unigram_logprob(df, vocab_k=2).collect()}
+    # corpus: a x3, b x1, zz x1; head(k=2) = {a:3, b:1}; total=5, V=2
+    # denom = 5 + 2 + 1 = 8; p(a)=4/8, p(b)=2/8, OOV floor = 1/8
+    lp = lambda p: math.log(p)
+    assert rows[1] == (3, round((2 * lp(0.5) + lp(0.25)) / 3, 4))
+    assert rows[2] == (2, round((lp(0.5) + lp(0.125)) / 2, 4))
+    assert rows[3] == (0, None)
