@@ -299,6 +299,31 @@ def _sql_quantiles() -> str:
     return duckdb_quantiles_sql("events", ["value", "user_id"])
 
 
+def _q_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence (IQR) outlier census of events.value — the
+    derived-threshold range check. Fences are reported rounded; the
+    counts compare against the raw fences on both sides (the two
+    engines' interpolated quantiles agree to ~1e-10 relative, far
+    inside the 6dp hash normalization)."""
+    from fastpasta_spark.operators.drift import iqr_outliers
+
+    return iqr_outliers(_read(spark, sf_dir, "events"), "value").select(
+        F.round("lo", 4).alias("lo"), F.round("hi", 4).alias("hi"),
+        "n_below", "n_above", "n_rows")
+
+
+_SQL_OUTLIERS = """
+WITH q AS (SELECT quantile_cont(value, 0.25) AS q1,
+                  quantile_cont(value, 0.75) AS q3 FROM events),
+b AS (SELECT q1 - 1.5 * (q3 - q1) AS lo, q3 + 1.5 * (q3 - q1) AS hi FROM q)
+SELECT round(b.lo, 4) AS lo, round(b.hi, 4) AS hi,
+       sum((value < b.lo)::INT)::BIGINT AS n_below,
+       sum((value > b.hi)::INT)::BIGINT AS n_above,
+       count(value)::BIGINT AS n_rows
+FROM events, b GROUP BY b.lo, b.hi
+"""
+
+
 def _q_length_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-edge length histogram of documents.text — the 'length
     histograms' face of per-column stats (north_star G1/G8)."""
@@ -1621,6 +1646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "col_profile": _q_col_profile,
         "length_hist": _q_length_hist,
         "quantiles": _q_quantiles,
+        "outliers": _q_outliers,
         "constraint_check": _q_constraint_check,
         "drift_chi2": _q_drift_chi2,
         "drift_ks": _q_drift_ks,
@@ -1673,6 +1699,7 @@ def oracle_sql() -> dict[str, str]:
         "col_profile": _sql_col_profile(),
         "length_hist": _sql_length_hist(),
         "quantiles": _sql_quantiles(),
+        "outliers": _SQL_OUTLIERS,
         "constraint_check": _SQL_CONSTRAINT_CHECK,
         "drift_chi2": _SQL_DRIFT_CHI2,
         "drift_ks": _SQL_DRIFT_KS,

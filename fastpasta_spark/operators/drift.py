@@ -136,3 +136,29 @@ def drift_violations(
             F.lit(" dof="), F.col("dof").cast("string"),
         ).alias("message"),
     )
+
+
+def iqr_outliers(df: DataFrame, col: str, k: float = 1.5) -> DataFrame:
+    """Tukey-fence outlier census over a numeric column: one row
+    (lo, hi, n_below, n_above, n_rows) with fences q1 - k*IQR and
+    q3 + k*IQR — the derived-threshold cousin of constraints.in_range
+    (the range comes from the data's own distribution, the standard
+    data-validation outlier gate).
+
+    Scale shape: the fences are two scalars computed first (exact
+    interpolated percentile here — at 100 TB swap in percentile_approx,
+    same downstream shape) and collected like a codebook; the census is
+    then ONE aggregation pass with the fences inlined as literals — no
+    join, no second sort.
+    """
+    q1, q3 = df.agg(
+        F.expr(f"percentile({col}, array(0.25, 0.75))")).first()[0]
+    lo = q1 - k * (q3 - q1)
+    hi = q3 + k * (q3 - q1)
+    return df.agg(
+        F.lit(float(lo)).alias("lo"),
+        F.lit(float(hi)).alias("hi"),
+        F.sum((F.col(col) < lo).cast("long")).alias("n_below"),
+        F.sum((F.col(col) > hi).cast("long")).alias("n_above"),
+        F.count(col).alias("n_rows"),
+    )

@@ -71,3 +71,16 @@ def test_length_histogram_exact_buckets(spark):
     # len 0, 0 (null->''), 7 land below edge 8 -> bucket 0; len 8 -> 1;
     # len 1024 clears edges 8..1024 (8 of the 9) -> bucket 8
     assert got == {"len_bucket_0": 3, "len_bucket_1": 1, "len_bucket_8": 1}
+
+
+def test_iqr_outliers_known_fences(spark):
+    from fastpasta_spark.operators.drift import iqr_outliers
+
+    # 0..100 plus two planted outliers
+    df = spark.createDataFrame(
+        [(float(i),) for i in range(101)] + [(1000.0,), (-500.0,)],
+        "x double")
+    r = iqr_outliers(df, "x").first()
+    # q1=25.5, q3=75.5 over 103 values -> IQR=50, fences [-49.5, 150.5]
+    assert r.n_below == 1 and r.n_above == 1 and r.n_rows == 103
+    assert r.lo < 0 < r.hi < 1000

@@ -196,3 +196,30 @@ def test_connected_components_rounds_are_checkpointed(spark):
     cc = connected_components(pairs)
     plan = cc._jdf.queryExecution().executedPlan().toString()
     assert "Scan ExistingRDD" in plan, plan
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    from fastpasta_spark.operators.dedup import decontaminate
+
+    corpus = spark.range(0, 1000).selectExpr(
+        "id as doc_id", "concat('alpha beta gamma delta epsilon ', id) as text")
+    bench = spark.range(0, 10).selectExpr(
+        "id as bench_id", "concat('alpha beta gamma delta epsilon ', id) as text")
+    plan = (decontaminate(corpus, bench, n=5)
+            ._jdf.queryExecution().executedPlan().toString())
+    # the eval-set shingle index is broadcast; the corpus side never
+    # shuffles before the join (only the final pair-count aggregates)
+    assert "BroadcastExchange" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_unigram_scoring_is_map_only(spark):
+    from fastpasta_spark.operators.textstats import unigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a a")], "doc_id long, text string")
+    plan = (unigram_logprob(df, vocab_k=10)
+            ._jdf.queryExecution().executedPlan().toString())
+    # model building collects tiny artifacts in separate jobs; the
+    # returned SCORING dataframe is a pure projection — zero exchanges
+    assert "Exchange" not in plan
