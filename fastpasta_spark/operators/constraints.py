@@ -113,7 +113,10 @@ def violation_counts(df: DataFrame, rules: list[Rule]) -> DataFrame:
     parts: list[DataFrame] = []
     if row:
         one = df.agg(*[
-            F.sum(_fail_predicate(r).cast("long")).alias(r.name)
+            # coalesce: sum over an EMPTY table is NULL, but a clean
+            # empty input has 0 violations, not unknown
+            F.coalesce(F.sum(_fail_predicate(r).cast("long")), F.lit(0))
+            .alias(r.name)
             for r in row
         ])
         stacked = ", ".join(f"'{r.name}', `{r.name}`" for r in row)

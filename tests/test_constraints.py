@@ -101,3 +101,10 @@ def test_from_spec_errors(spark):
     with pytest.raises(ValueError, match="foreign_key needs"):
         from_spec([{"kind": "foreign_key", "col": "x", "dim": "d",
                     "dim_col": "k"}])
+
+
+def test_empty_table_zero_not_null_counts(spark):
+    df = spark.createDataFrame([], "id long, email string")
+    got = {r.rule: r.violations for r in violation_counts(
+        df, [not_null("email"), unique("id")]).collect()}
+    assert got == {"not_null_email": 0, "unique_id": 0}
