@@ -78,3 +78,31 @@ def mix_report(df: DataFrame, strata_cols: tuple[str, ...] = ("lang_pred",),
             F.round(F.col("tokens") / F.col("_tt"), 6).alias("token_share"),
         )
     )
+
+
+def temperature_rates(shares: dict[str, float], temperature: float = 0.7,
+                      ) -> dict[str, float]:
+    """Downsample-only keep rates that move a corpus mix toward its
+    temperature-flattened target — the standard multilingual/source
+    rebalancing rule (sample stratum i with probability proportional to
+    share_i^T, T<1 flattening head strata toward the tail).
+
+    Given observed token shares s_i (from mix_report), the target mix is
+    q_i = s_i^T / sum_j s_j^T. Keep rates are r_i = (q_i / s_i) scaled
+    so max(r) = 1 — the largest upweight becomes "keep everything" and
+    every other stratum downsamples relative to it, so no stratum needs
+    duplication. Feed the result straight into sample_stratified (rates
+    snap to its 1e-6 grid there).
+
+    T = 1 returns all-1.0 (identity); T -> 0 approaches a uniform mix.
+    Zero/absent shares get rate 0 (nothing to sample).
+    """
+    if not 0 < temperature <= 1:
+        raise ValueError("temperature must be in (0, 1]")
+    pos = {k: s for k, s in shares.items() if s > 0}
+    if not pos:
+        return {k: 0.0 for k in shares}
+    total_t = sum(s ** temperature for s in pos.values())
+    ratio = {k: (s ** temperature / total_t) / s for k, s in pos.items()}
+    top = max(ratio.values())
+    return {k: (ratio[k] / top if k in ratio else 0.0) for k in shares}

@@ -69,3 +69,30 @@ def test_mix_report_shares(spark):
     assert by["en"]["docs"] == 2 and by["en"]["tokens"] == 40
     assert abs(by["en"]["token_share"] - 0.4) < 1e-9
     assert abs(sum(r["token_share"] for r in rows) - 1.0) < 1e-6
+
+
+def test_temperature_rates_flatten_head():
+    from fastpasta_spark.operators.sampling import temperature_rates
+
+    shares = {"en": 0.8, "de": 0.15, "fr": 0.05}
+    rates = temperature_rates(shares, temperature=0.5)
+    # the rarest stratum keeps everything; the head is downsampled
+    assert rates["fr"] == 1.0
+    assert rates["en"] < rates["de"] < rates["fr"]
+    # resulting mix is exactly the temperature target (s^T normalized)
+    kept = {k: shares[k] * rates[k] for k in shares}
+    tot = sum(kept.values())
+    t = sum(s ** 0.5 for s in shares.values())
+    for k in shares:
+        assert abs(kept[k] / tot - shares[k] ** 0.5 / t) < 1e-12
+
+
+def test_temperature_rates_identity_and_degenerate():
+    import pytest as _pt
+
+    from fastpasta_spark.operators.sampling import temperature_rates
+
+    assert temperature_rates({"a": 0.6, "b": 0.4}, 1.0) == {"a": 1.0, "b": 1.0}
+    assert temperature_rates({"a": 0.0}, 0.5) == {"a": 0.0}
+    with _pt.raises(ValueError):
+        temperature_rates({"a": 1.0}, 0.0)
