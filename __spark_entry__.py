@@ -993,11 +993,15 @@ def _sql_decontam() -> str:
         f"i -> array_to_string(({tk})[i+1:i+5], ' ')) END)"
     )
     gate = duckdb_md5_hash("('11:' || doc_id::VARCHAR)")
+    # list_filter: engine drops the '' shingle of zero-token docs
     return f"""
 WITH c_inv AS (
-  SELECT doc_id, unnest({shingles}) AS shingle FROM documents),
+  SELECT doc_id, unnest(list_filter({shingles}, s -> s <> '')) AS shingle
+  FROM documents),
 b_inv AS (
-  SELECT doc_id AS bench_id, unnest({shingles}) AS shingle FROM documents
+  SELECT doc_id AS bench_id,
+         unnest(list_filter({shingles}, s -> s <> '')) AS shingle
+  FROM documents
   WHERE ({gate} % {DENOM}) < {int(0.02 * DENOM)})
 SELECT c.doc_id, b.bench_id, count(*)::BIGINT AS overlap
 FROM c_inv c JOIN b_inv b ON c.shingle = b.shingle

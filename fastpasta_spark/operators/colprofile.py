@@ -72,7 +72,11 @@ def column_profile(
         if exact_distinct:
             dist = F.count_distinct(v)
         else:
-            dist = F.approx_count_distinct(F.xxhash64(v), rsd=0.02)
+            # xxhash64(NULL) is a real value (the seed), which would
+            # count NULL as one extra distinct — mask it out so HLL and
+            # exact mode agree on the NULLs-don't-count convention
+            dist = F.approx_count_distinct(
+                F.when(v.isNotNull(), F.xxhash64(v)), rsd=0.02)
         aggs.append(dist.cast("long").alias(f"{c}__dist"))
         num = _numeric_face(f)
         if num is None:

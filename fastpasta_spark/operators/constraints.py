@@ -49,7 +49,9 @@ def in_range(col: str, lo, hi, name: str | None = None) -> Rule:
 
 
 def matches(col: str, pattern: str, name: str | None = None) -> Rule:
-    """Java/RE2-portable regex the full value must match (rlike)."""
+    """Java/RE2-portable regex the FULL value must match — the pattern
+    is anchored internally as ^(?:pattern)$ (rlike alone would do
+    substring search and silently under-count violations)."""
     return Rule(name or f"regex_{col}", "matches", col,
                 {"pattern": pattern})
 
@@ -84,7 +86,7 @@ def _fail_predicate(r: Rule) -> F.Column:
     if r.kind == "in_range":
         return v.isNotNull() & ~v.between(r.params["lo"], r.params["hi"])
     if r.kind == "matches":
-        return v.isNotNull() & ~v.rlike(r.params["pattern"])
+        return v.isNotNull() & ~v.rlike(f"^(?:{r.params['pattern']})$")
     if r.kind == "is_in":
         return v.isNotNull() & ~v.isin(r.params["values"])
     if r.kind == "check_expr":
@@ -110,6 +112,8 @@ def violation_counts(df: DataFrame, rules: list[Rule]) -> DataFrame:
     The per-branch results are unioned as tiny one-row frames.
     """
     row, uniq, fk = _split(rules)
+    if not rules:
+        raise ValueError("violation_counts: no rules given")
     parts: list[DataFrame] = []
     if row:
         one = df.agg(*[

@@ -423,8 +423,14 @@ def decontaminate(
     def inv(df: DataFrame, out_id: str, src_id: str) -> DataFrame:
         sh = with_shingles(df.select(F.col(src_id).alias(out_id), text_col),
                            text_col, n)
-        keys = (F.expr(f"transform(shingles, s -> {spark_md5_hash('s')})")
-                if hash_shingles else F.col("shingles"))
+        # zero-token docs shingle to [''] (with_shingles' short-doc
+        # branch); dropping the empty shingle keeps every empty corpus
+        # doc from "contaminating" against every empty benchmark doc —
+        # and from an M*N pair blow-up on that one hot key
+        nonempty = F.expr("filter(shingles, s -> s <> '')")
+        keys = (F.expr(f"transform(filter(shingles, s -> s <> ''), "
+                       f"s -> {spark_md5_hash('s')})")
+                if hash_shingles else nonempty)
         return sh.select(F.col(out_id), F.explode(keys).alias("shingle"))
 
     c_inv = inv(corpus, id_col, id_col)

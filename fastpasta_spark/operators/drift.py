@@ -151,8 +151,12 @@ def iqr_outliers(df: DataFrame, col: str, k: float = 1.5) -> DataFrame:
     then ONE aggregation pass with the fences inlined as literals — no
     join, no second sort.
     """
-    q1, q3 = df.agg(
+    qs = df.agg(
         F.expr(f"percentile({col}, array(0.25, 0.75))")).first()[0]
+    if qs is None:
+        raise ValueError(
+            f"iqr_outliers: no non-NULL values in column {col!r}")
+    q1, q3 = qs
     lo = q1 - k * (q3 - q1)
     hi = q3 + k * (q3 - q1)
     return df.agg(

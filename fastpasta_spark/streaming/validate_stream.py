@@ -89,12 +89,15 @@ def constraint_stream(
     `check table`: new parquet files of an ARBITRARY table land in
     input_dir; each micro-batch's per-rule violation counts
     (operators/constraints.violation_counts — row rules fused into one
-    agg, unique/FK as their own branches) append to out_dir tagged with
-    the epoch id. foreachBatch + checkpoint give exactly-once per epoch;
-    summing counts over epochs yields running totals (counts are
-    additive across batches for row rules; unique/FK counts are
+    agg, unique/FK as their own branches) land in out_dir partitioned by
+    epoch id. foreachBatch is at-least-once (an epoch replays if the
+    driver dies between the sink write and the checkpoint commit), so
+    the write is made idempotent with dynamic partition overwrite —
+    a replayed epoch REPLACES its own partition instead of appending a
+    duplicate row-set, and summing counts over epochs stays correct.
+    Row-rule counts are additive across batches; unique/FK counts are
     per-batch scoped, as an unbounded stream has no global uniqueness
-    without a state store — use streaming/dedup_stream for that).
+    without a state store — use streaming/dedup_stream for that.
     """
     from fastpasta_spark.operators.constraints import violation_counts
 
@@ -105,9 +108,16 @@ def constraint_stream(
     )
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        (violation_counts(batch_df, rules)
-         .withColumn("epoch_id", F.lit(epoch_id))
-         .write.mode("append").parquet(f"{out_dir}/rule_counts"))
+        prev = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (violation_counts(batch_df, rules)
+             .withColumn("epoch_id", F.lit(epoch_id))
+             .write.mode("overwrite").partitionBy("epoch_id")
+             .parquet(f"{out_dir}/rule_counts"))
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
     return (
         stream.writeStream.foreachBatch(process_batch)

@@ -130,3 +130,12 @@ def test_quantiles_duckdb_twin(spark, tmp_path):
     con.execute(f"CREATE VIEW q AS SELECT * FROM parquet_scan('{p}/*.parquet')")
     ora = sorted(con.execute(duckdb_quantiles_sql("q", ["v", "k"])).fetchall())
     assert [tuple(r) for r in eng] == ora
+
+
+def test_hll_does_not_count_null(spark):
+    df = spark.createDataFrame([(True,), (False,), (None,), (None,)],
+                               "b boolean")
+    approx = {r.col_name: r.n_distinct for r in column_profile(df).collect()}
+    exact = {r.col_name: r.n_distinct
+             for r in column_profile(df, exact_distinct=True).collect()}
+    assert approx["b"] == exact["b"] == 2

@@ -108,3 +108,17 @@ def test_empty_table_zero_not_null_counts(spark):
     got = {r.rule: r.violations for r in violation_counts(
         df, [not_null("email"), unique("id")]).collect()}
     assert got == {"not_null_email": 0, "unique_id": 0}
+
+
+def test_matches_is_full_match(spark):
+    df = spark.createDataFrame([("1234",), ("abc1234xyz",), ("12345",)],
+                               "code string")
+    got = {r.rule: r.violations for r in violation_counts(
+        df, [matches("code", "[0-9]{4}")]).collect()}
+    assert got == {"regex_code": 2}  # only the exact 4-digit value passes
+
+
+def test_no_rules_raises(spark):
+    df = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(ValueError, match="no rules"):
+        violation_counts(df, [])

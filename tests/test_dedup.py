@@ -158,3 +158,19 @@ def test_decontaminate_flags_overlap(spark):
             decontaminate(corpus, bench, n=5, min_overlap=2,
                           bench_id_col="bench_id").collect()}
     assert got2 == {1}
+
+
+def test_decontaminate_ignores_empty_docs(spark):
+    from fastpasta_spark.operators.dedup import decontaminate
+
+    corpus = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, None), (4, "alpha beta gamma delta epsilon")],
+        "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(100, ""), (101, "alpha beta gamma delta epsilon")],
+        "bench_id long, text string")
+    got = {(r.doc_id, r.bench_id) for r in
+           decontaminate(corpus, bench, n=5, min_overlap=1,
+                         bench_id_col="bench_id").collect()}
+    # empty/whitespace/null docs never pair with the empty bench doc
+    assert got == {(4, 101)}

@@ -84,3 +84,13 @@ def test_iqr_outliers_known_fences(spark):
     # q1=25.5, q3=75.5 over 103 values -> IQR=50, fences [-49.5, 150.5]
     assert r.n_below == 1 and r.n_above == 1 and r.n_rows == 103
     assert r.lo < 0 < r.hi < 1000
+
+
+def test_iqr_outliers_empty_input_raises(spark):
+    import pytest as _pt
+
+    from fastpasta_spark.operators.drift import iqr_outliers
+
+    df = spark.createDataFrame([], "x double")
+    with _pt.raises(ValueError, match="no non-NULL values"):
+        iqr_outliers(df, "x")
