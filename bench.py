@@ -43,6 +43,10 @@ HEADLINE_QUERIES = [
     "running_check",
     "trigger_period",
     "lsh_ann",
+    "constraint_check",
+    "decontam",
+    "unigram_lm",
+    "col_profile",
 ]
 
 
