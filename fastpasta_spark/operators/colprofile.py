@@ -40,7 +40,11 @@ def _numeric_face(field: T.StructField):
     v = F.col(field.name)
     if isinstance(field.dataType, T.StringType):
         return F.length(v).cast("double")
-    if isinstance(field.dataType, (T.TimestampType, T.DateType)):
+    if isinstance(field.dataType, T.DateType):
+        # DATE has no direct double cast; epoch seconds via timestamp
+        # (session TZ is UTC, matching DuckDB epoch(date))
+        return v.cast("timestamp").cast("double")
+    if isinstance(field.dataType, T.TimestampType):
         return v.cast("double")
     if isinstance(field.dataType, _NUMERIC_TYPES):
         return v.cast("double")

@@ -53,11 +53,13 @@ def sample_stratified(df: DataFrame, strata_col: str, rates: dict[str, float],
     by definition — strata are languages/sources, not documents), so
     the whole operator stays a shuffle-free map."""
     h = spark_md5_hash(f"cast({id_col} as string)", seed=seed)
-    case = "CASE " + "".join(
-        f"WHEN {strata_col} = '{k}' THEN {int(round(v * DENOM))} "
-        for k, v in rates.items()
-    ) + f"ELSE {int(round(default_rate * DENOM))} END"
-    return df.filter(F.expr(f"pmod({h}, {DENOM}) < {case}"))
+    # parameterized rate table (Column API, not string-built SQL): a
+    # stratum value containing a quote must stay a value, never syntax
+    thresh = F.lit(int(round(default_rate * DENOM)))
+    for k, v in rates.items():
+        thresh = F.when(F.col(strata_col) == F.lit(k),
+                        F.lit(int(round(v * DENOM)))).otherwise(thresh)
+    return df.filter(F.expr(f"pmod({h}, {DENOM})") < thresh)
 
 
 def mix_report(df: DataFrame, strata_cols: tuple[str, ...] = ("lang_pred",),

@@ -87,7 +87,11 @@ def uniqueness_metrics(docs: DataFrame, key: str = "doc_id") -> DataFrame:
     row = docs.agg(
         F.count(F.lit(1)).alias("rows_total"),
         F.countDistinct(key).alias("distinct_exact"),
-        F.approx_count_distinct(F.xxhash64(key), rsd=0.02).alias("distinct_hll"),
+        # NULL masked before the pre-hash (xxhash64(NULL) = the seed, a
+        # real value) so hll shares countDistinct's NULLs-don't-count
+        F.approx_count_distinct(
+            F.when(F.col(key).isNotNull(), F.xxhash64(key)),
+            rsd=0.02).alias("distinct_hll"),
     )
     return row.selectExpr(
         "stack(3, 'rows_total', CAST(rows_total AS DOUBLE), "

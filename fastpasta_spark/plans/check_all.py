@@ -39,6 +39,15 @@ class CheckResult:
     violations: DataFrame  # VIOLATION_SCHEMA, sorted
     metrics: DataFrame     # (name, value)
     passed: DataFrame      # (doc_id, verdict) per-doc pass/fail
+    # internal persisted frames (pass output, violation union) — callers
+    # that run MANY check_all's in one session (run_failfast slices,
+    # resumable loops) call release() after consuming the result, or the
+    # cache entries pin executor storage for the session's lifetime
+    _cached: tuple = ()
+
+    def release(self) -> None:
+        for df in self._cached:
+            df.unpersist()
 
 
 def _uniqueness_branch(keys: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -74,7 +83,12 @@ def _uniqueness_branch(keys: DataFrame) -> tuple[DataFrame, DataFrame]:
         # as a distinct id (countDistinct semantics; keeps golden-stats
         # files stable across the groupBy-based rewrite)
         F.count("doc_id").alias("exact"),
-        F.approx_count_distinct(F.xxhash64("doc_id"), rsd=0.02).alias("hll"),
+        # mask NULL before the pre-hash: xxhash64(NULL) is a real value
+        # (the seed), which would count the null-doc_id group as one
+        # extra distinct and make hll drift from exact on corrupt corpora
+        F.approx_count_distinct(
+            F.when(F.col("doc_id").isNotNull(), F.xxhash64("doc_id")),
+            rsd=0.02).alias("hll"),
     ).selectExpr(
         "stack(2, 'doc_id_distinct_exact', CAST(exact AS DOUBLE), "
         "'doc_id_distinct_hll', CAST(hll AS DOUBLE)) AS (name, value)"
@@ -232,7 +246,10 @@ def check_all(
         "verdict",
     )
 
-    return CheckResult(violations=violations_sorted, metrics=metrics, passed=passed)
+    return CheckResult(violations=violations_sorted, metrics=metrics,
+                       passed=passed,
+                       _cached=(out, violations) if not work_dir
+                       else (violations,))
 
 
 def run_failfast(
@@ -273,8 +290,14 @@ def run_failfast(
             sliced.filter(F.col(BUCKET_COL) == s).drop(BUCKET_COL),
             media, trigger_period=trigger_period,
         )
-        v = res.violations.persist()
+        # materialize this slice's (small) violations NOW, then release
+        # the slice's internal caches (fused-pass output + violation
+        # union) — otherwise a clean corpus leaks 2 cached tables per
+        # slice for the session's lifetime. localCheckpoint severs the
+        # lineage, so the checkpointed rows survive the unpersist.
+        v = res.violations.localCheckpoint(eager=True)
         total += v.count()
+        res.release()
         parts.append(v)
         done = s + 1
         if total >= max_errors:
@@ -282,11 +305,5 @@ def run_failfast(
     viol = parts[0]
     for p in parts[1:]:
         viol = viol.unionByName(p)
-    # localCheckpoint the (small) union so the per-slice persists can be
-    # released immediately — otherwise every call leaks n_slices cached
-    # tables into executor storage for the session's lifetime
-    viol = viol.orderBy("doc_id", "offset", "check_code").localCheckpoint(
-        eager=True)
-    for p in parts:
-        p.unpersist()
+    viol = viol.orderBy("doc_id", "offset", "check_code")
     return viol, done, total

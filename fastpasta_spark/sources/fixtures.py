@@ -30,7 +30,12 @@ def _mutated(spark: SparkSession, mutation: int, n_docs: int = 500,
 
     from fastpasta_spark import schema as S
 
-    cfg = cfg or CorpusConfig(n_docs=n_docs)
+    # the caller's n_docs always wins — a provided cfg carries mutation
+    # knobs, not the corpus size
+    from dataclasses import replace
+
+    cfg = (replace(cfg, n_docs=n_docs) if cfg is not None
+           else CorpusConfig(n_docs=n_docs))
 
     def gen(batches):
         for pdf in batches:

@@ -36,7 +36,13 @@ STREAM_SCHEMA = T.StructType([
 def _dedup_batch(batch_df: DataFrame, state: DataFrame | None) -> DataFrame:
     """Keep first-seen contents: within-batch min-doc_id keeper, then
     drop hashes already in `state` (hashes seen by EARLIER epochs)."""
-    hashed = batch_df.withColumn("content_hash", F.md5(F.col("text")))
+    # sentinel for NULL text: md5(NULL) is NULL, and NULL join keys
+    # match nothing — every null-text row (keeper included) would be
+    # silently dropped. With the sentinel, null-content docs dedup among
+    # themselves and the first one survives like any other content.
+    hashed = batch_df.withColumn(
+        "content_hash",
+        F.md5(F.coalesce(F.col("text"), F.lit("\x00null-text"))))
     keeper = (
         hashed.groupBy("content_hash")
         .agg(F.min("doc_id").alias("doc_id"))
@@ -76,13 +82,18 @@ def incremental_dedup(
             # output AND poison the ledger
             state_all = None
         if state_all is not None and epoch_id == 0 and not (
-                state_all.limit(1).isEmpty()):
+                state_all.filter(F.col("epoch_id") > 0).limit(1).isEmpty()):
+            # state rows from epoch 0 ITSELF are fine at epoch 0: that is
+            # the legitimate at-least-once replay (crash between the sink
+            # write and the checkpoint commit), which the dynamic
+            # partition overwrite below makes idempotent. Only LATER
+            # epochs in state prove a mismatched/fresh checkpoint_dir.
             raise RuntimeError(
-                f"{out_dir}/state already has epochs but this stream is "
-                "at epoch 0 — a fresh checkpoint_dir against an existing "
-                "out_dir would re-keep seen documents and overwrite old "
-                "epoch partitions; reuse the original checkpoint_dir or "
-                "point at a fresh out_dir")
+                f"{out_dir}/state already has later epochs but this "
+                "stream is at epoch 0 — a fresh checkpoint_dir against an "
+                "existing out_dir would re-keep seen documents and "
+                "overwrite old epoch partitions; reuse the original "
+                "checkpoint_dir or point at a fresh out_dir")
         state = (state_all.filter(F.col("epoch_id") < epoch_id)
                  if state_all is not None else None)
         kept = _dedup_batch(batch_df, state).persist()

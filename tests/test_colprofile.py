@@ -139,3 +139,15 @@ def test_hll_does_not_count_null(spark):
     exact = {r.col_name: r.n_distinct
              for r in column_profile(df, exact_distinct=True).collect()}
     assert approx["b"] == exact["b"] == 2
+
+
+def test_date_column_profiles_epoch_seconds(spark):
+    import datetime
+
+    df = spark.createDataFrame(
+        [(datetime.date(1970, 1, 2),), (datetime.date(1970, 1, 3),)],
+        "d date")
+    r = {x.col_name: x for x in
+         column_profile(df, exact_distinct=True).collect()}["d"]
+    assert (r.min_num, r.max_num) == (86400.0, 172800.0)
+    assert r.n_distinct == 2

@@ -96,3 +96,14 @@ def test_temperature_rates_identity_and_degenerate():
     assert temperature_rates({"a": 0.0}, 0.5) == {"a": 0.0}
     with _pt.raises(ValueError):
         temperature_rates({"a": 1.0}, 0.0)
+
+
+def test_stratified_quote_in_stratum_value(spark):
+    from fastpasta_spark.operators.sampling import sample_stratified
+
+    df = spark.createDataFrame(
+        [(i, "o'brien" if i % 2 else "plain") for i in range(100)],
+        "doc_id long, src string")
+    out = sample_stratified(df, "src", {"o'brien": 1.0}, default_rate=0.0)
+    got = {r.src for r in out.collect()}
+    assert got == {"o'brien"} and out.count() == 50

@@ -72,3 +72,13 @@ def test_dedup_batch_excludes_prior_state(spark):
         [("seen",)], "text string").select(F.md5("text").alias("content_hash"))
     kept = _dedup_batch(batch, state)
     assert [r["text"] for r in kept.collect()] == ["new"]
+
+
+def test_null_text_rows_survive(spark, tmp_path):
+    from fastpasta_spark.streaming.dedup_stream import _dedup_batch
+
+    batch = spark.createDataFrame(
+        [(1, None), (2, None), (3, "x")], "doc_id long, text string")
+    kept = {r.doc_id for r in _dedup_batch(batch, None).collect()}
+    # null-content docs dedup among themselves; the first survives
+    assert kept == {1, 3}
