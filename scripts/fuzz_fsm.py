@@ -1,0 +1,83 @@
+"""Long-run engine/oracle FSM parity fuzz (beyond the CI-sized
+Hypothesis tests): N random docs per seed over the FULL hostile input
+space — arbitrary kinds, malformed kv fields, broken offsets, null
+text/refs, and regex-hostile doc_ids (trailing newline, spaces, empty,
+NULL). Compares the Arrow pass output against the pure-Python oracle as
+a MULTISET (row order is not part of the contract; rows can coincide
+across NULL/empty doc_id docs).
+
+    python scripts/fuzz_fsm.py [n_docs_per_seed] [seed [seed ...]]
+
+Round-2 evidence: 30,000 docs x seeds (7, 99, 2026) -> 1.3M violation
+rows, exact multiset parity on all three.
+"""
+
+from __future__ import annotations
+
+import random
+import sys
+from collections import Counter
+
+sys.path.insert(0, ".")
+sys.path.insert(0, "tests")
+
+
+def main(n_docs: int = 30_000, seeds: tuple[int, ...] = (7, 99, 2026)) -> int:
+    from test_property import KINDS, REFS, TEXTS
+
+    from fastpasta_spark import schema as S
+    from fastpasta_spark.functions.fsm import (
+        stateless_doc_checks, validate_spans)
+    from fastpasta_spark.operators.sequence import (
+        sequence_pass, split_sequence_output)
+    from fastpasta_spark.session import get_spark
+
+    spark = get_spark(app_name="fuzz_fsm", cores=16)
+    rc = 0
+    for seed in seeds:
+        rng = random.Random(seed)
+        rows = []
+        for i in range(n_docs):
+            n = rng.randint(0, 14)
+            spans = [
+                {"kind": rng.choice(KINDS), "text": rng.choice(TEXTS),
+                 "media_ref": rng.choice(REFS),
+                 "offset": rng.choice([None, -1, rng.randint(0, 20), idx])}
+                for idx in range(n)
+            ]
+            doc_id = rng.choice([f"r{i:05d}", f"r{i:05d}\n", f"bad id {i}",
+                                 "", None, f"ok_{i}-x"])
+            rows.append((doc_id, spans if n else rng.choice([[], None])))
+
+        docs = spark.createDataFrame(rows, schema=S.DOCS_SCHEMA).repartition(16)
+        viol, _ = split_sequence_output(sequence_pass(docs, fused=True))
+        got = Counter(
+            (r.doc_id, r.span_idx, r.offset, r.check_code, r.severity,
+             r.message) for r in viol.collect())
+
+        expected: Counter = Counter()
+        for doc_id, spans in rows:
+            tuples = (None if spans is None else
+                      [(s["kind"], s["text"], s["media_ref"], s["offset"])
+                       for s in spans])
+            for v in stateless_doc_checks(doc_id, tuples or None):
+                expected[(doc_id,) + tuple(v)] += 1
+            for v in validate_spans(tuples or []):
+                expected[(doc_id,) + tuple(v)] += 1
+
+        ok = got == expected
+        print(f"seed {seed}: {sum(got.values())} rows, "
+              f"multiset parity: {ok}")
+        if not ok:
+            bad = [k for k in (got | expected)
+                   if got[k] != expected[k]][:10]
+            for k in bad:
+                print(f"  engine={got[k]} oracle={expected[k]}: {k}")
+            rc = 1
+    return rc
+
+
+if __name__ == "__main__":
+    args = [int(a) for a in sys.argv[1:]]
+    sys.exit(main(args[0] if args else 30_000,
+                  tuple(args[1:]) or (7, 99, 2026)))
