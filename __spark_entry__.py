@@ -283,6 +283,31 @@ SELECT 'fk_user_id', (
 """
 
 
+def _q_constraint_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level constraint extraction: (event id, violated rule), the
+    violation-report face of the rule algebra (capped at 500, ordered)."""
+    from fastpasta_spark.operators import constraints as C
+
+    ev = _read(spark, sf_dir, "events")
+    rules = [
+        C.in_range("value", 0.0, 400.0),
+        C.is_in("event_type", ["click", "view", "purchase", "signup"]),
+    ]
+    return C.violating_rows(ev, rules, "event_id", max_rows=500)
+
+
+_SQL_CONSTRAINT_ROWS = """
+SELECT id, rule FROM (
+  SELECT event_id AS id, 'range_value' AS rule FROM events
+  WHERE value IS NOT NULL AND NOT (value BETWEEN 0.0 AND 400.0)
+  UNION ALL
+  SELECT event_id, 'enum_event_type' FROM events
+  WHERE event_type IS NOT NULL
+    AND event_type NOT IN ('click','view','purchase','signup')
+) t ORDER BY id, rule LIMIT 500
+"""
+
+
 def _q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-column quantiles over events (value, user_id) — exact
     interpolated percentile for oracle parity; the operator's default
@@ -1652,6 +1677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantiles": _q_quantiles,
         "outliers": _q_outliers,
         "constraint_check": _q_constraint_check,
+        "constraint_rows": _q_constraint_rows,
         "drift_chi2": _q_drift_chi2,
         "drift_ks": _q_drift_ks,
         "bitflag_hist": _q_bitflag_hist,
@@ -1705,6 +1731,7 @@ def oracle_sql() -> dict[str, str]:
         "quantiles": _sql_quantiles(),
         "outliers": _SQL_OUTLIERS,
         "constraint_check": _SQL_CONSTRAINT_CHECK,
+        "constraint_rows": _SQL_CONSTRAINT_ROWS,
         "drift_chi2": _SQL_DRIFT_CHI2,
         "drift_ks": _SQL_DRIFT_KS,
         "bitflag_hist": _SQL_BITFLAG_HIST,
