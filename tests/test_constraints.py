@@ -122,3 +122,46 @@ def test_no_rules_raises(spark):
     df = spark.createDataFrame([(1,)], "id long")
     with pytest.raises(ValueError, match="no rules"):
         violation_counts(df, [])
+
+
+def test_violation_counts_match_python_reference_on_random_data(spark):
+    """One Spark job over a randomized table vs a plain-Python
+    recomputation of every rule — the constraints analogue of the FSM
+    random-docs parity test."""
+    import random
+    import re
+
+    rng = random.Random(20260817)
+    vals = lambda: rng.choice(
+        [None, rng.randint(-50, 50), 0, 7])
+    strs = lambda: rng.choice(
+        [None, "", "ok", "o'brien", "x" * 5, "1234", "ab12", " ", "née"])
+    rows = [(i, vals(), strs()) for i in range(2000)]
+    df = spark.createDataFrame(rows, "id long, num long, s string")
+
+    rules = [
+        not_null("num"),
+        in_range("num", -10, 10),
+        matches("s", "[a-z0-9]+"),
+        is_in("s", ["ok", "1234", ""]),
+        check_expr("num IS NULL OR num <> 7", "never_seven"),
+        unique("num"),
+    ]
+    got = {r.rule: r.violations
+           for r in violation_counts(df, rules).collect()}
+
+    exp = {
+        "not_null_num": sum(1 for _, n, _ in rows if n is None),
+        "range_num": sum(1 for _, n, _ in rows
+                         if n is not None and not -10 <= n <= 10),
+        "regex_s": sum(1 for _, _, s in rows if s is not None
+                       and not re.fullmatch("[a-z0-9]+", s)),
+        "enum_s": sum(1 for _, _, s in rows if s is not None
+                      and s not in ("ok", "1234", "")),
+        "never_seven": sum(1 for _, n, _ in rows if n == 7),
+    }
+    from collections import Counter
+
+    nums = Counter(n for _, n, _ in rows if n is not None)
+    exp["unique_num"] = sum(c for c in nums.values() if c > 1)
+    assert got == exp

@@ -17,7 +17,12 @@ TEXTS = ["", "lanes=3", "cont=0,bc=5", "cont=1,bc=2", "done=0", "done=1",
          "cont=0,bc=5,orbit=7", "cont=0,bc=6,orbit=6", "cont=0,bc=7,orbit=5",
          # lane/chip layer (E704/E705/E9003-9006)
          "lanes=2,lane_ids=0;1,chips=2", "lane=0,chips=0;1,cbc=5",
-         "lane=1,chips=8;9,cbc=5", "lane=9,chips=x;y,cbc=6", "lane=1,chips=3,cbc=7"]
+         "lane=1,chips=8;9,cbc=5", "lane=9,chips=x;y,cbc=6", "lane=1,chips=3,cbc=7",
+         # adversarial kv shapes: empty keys/values, bare separators,
+         # negative + beyond-int64 numerics, duplicate keys, whitespace
+         "lanes=", "=", ",,,", "= , =", "bc=-1", "cont=0,bc=-5",
+         "bc=99999999999999999999", "page=-1", "lanes=2,lanes=3",
+         " lanes = 2 ", "lane_ids=;;", "chips=", "cbc=", "done=,cont=1"]
 REFS = ["", "m1", "missing_9", None]
 
 span_st = st.tuples(
