@@ -8,8 +8,9 @@ across NULL/empty doc_id docs).
 
     python scripts/fuzz_fsm.py [n_docs_per_seed] [seed [seed ...]]
 
-Round-2 evidence: 30,000 docs x seeds (7, 99, 2026) -> 1.3M violation
-rows, exact multiset parity on all three.
+Round-2 evidence: 30,000 docs x seeds (7, 99, 2026) plus 100,000 docs x
+seeds (41, 2027) -> ~4.3M violation rows total, exact multiset parity
+on all five seeds.
 """
 
 from __future__ import annotations
