@@ -33,8 +33,14 @@ _NULL_VIOL = (
 
 
 def _span_rule(cond: str, code: str, msg: str, sev: str = S.SEV_ERROR) -> str:
-    """One per-span rule: inside transform(spans, (s, i) -> ...)."""
-    viol = _VIOL_STRUCT.format(idx="i", off="s.offset", code=code, sev=sev, msg=msg)
+    """One per-span rule: inside transform(spans, (s, i) -> ...).
+
+    A NULL stored offset reports as -1 — the same normalization as the
+    Python twin (fsm.stateless_doc_checks `off = offset or -1` form) and
+    the fused Arrow pass; found by the hostile-input fuzz, where a bare
+    s.offset emitted NULL and broke three-way row parity."""
+    viol = _VIOL_STRUCT.format(idx="i", off="coalesce(s.offset, -1)",
+                               code=code, sev=sev, msg=msg)
     return f"IF({cond}, {viol}, {_NULL_VIOL})"
 
 
@@ -71,9 +77,12 @@ def sanity_violations(docs: DataFrame) -> DataFrame:
             _span_rule(
                 f"s.kind = '{S.KIND_MEDIA}' AND (s.media_ref IS NULL OR s.media_ref = '')",
                 S.E72_MEDIA_REF_MISSING, "'media span with empty media_ref'"),
+            # NULL-safe non-media test: `s.kind <> 'media'` alone is NULL
+            # (not TRUE) for a NULL kind, silently skipping E73 where the
+            # Python twin and the fused pass both emit it (fuzz-found)
             _span_rule(
-                f"s.kind <> '{S.KIND_MEDIA}' AND s.media_ref IS NOT NULL "
-                "AND s.media_ref <> ''",
+                f"(s.kind IS NULL OR s.kind <> '{S.KIND_MEDIA}') "
+                "AND s.media_ref IS NOT NULL AND s.media_ref <> ''",
                 S.E73_UNEXPECTED_REF,
                 "concat('non-media span carries media_ref ', s.media_ref)"),
             # padding gate (C7): flush padding must be pure — a pad span

@@ -51,29 +51,44 @@ def main(n_docs: int = 30_000, seeds: tuple[int, ...] = (7, 99, 2026)) -> int:
             rows.append((doc_id, spans if n else rng.choice([[], None])))
 
         docs = spark.createDataFrame(rows, schema=S.DOCS_SCHEMA).repartition(16)
+
+        def oracle(include_fsm: bool) -> Counter:
+            exp: Counter = Counter()
+            for doc_id, spans in rows:
+                tuples = (None if spans is None else
+                          [(s["kind"], s["text"], s["media_ref"], s["offset"])
+                           for s in spans])
+                for v in stateless_doc_checks(doc_id, tuples or None):
+                    exp[(doc_id,) + tuple(v)] += 1
+                if include_fsm:
+                    for v in validate_spans(tuples or []):
+                        exp[(doc_id,) + tuple(v)] += 1
+            return exp
+
+        def compare(label: str, viol_df, expected: Counter) -> bool:
+            got = Counter(
+                (r.doc_id, r.span_idx, r.offset, r.check_code, r.severity,
+                 r.message) for r in viol_df.collect())
+            ok = got == expected
+            print(f"seed {seed} [{label}]: {sum(got.values())} rows, "
+                  f"multiset parity: {ok}")
+            if not ok:
+                for k in [k for k in (got | expected)
+                          if got[k] != expected[k]][:10]:
+                    print(f"  engine={got[k]} oracle={expected[k]}: {k}")
+            return ok
+
+        # leg 1: the fused Arrow pass (FSM + stateless battery)
         viol, _ = split_sequence_output(sequence_pass(docs, fused=True))
-        got = Counter(
-            (r.doc_id, r.span_idx, r.offset, r.check_code, r.severity,
-             r.message) for r in viol.collect())
+        ok1 = compare("fused pass", viol, oracle(include_fsm=True))
+        # leg 2: the standalone Column-expression battery — a THIRD
+        # implementation of the stateless rules (this leg found the NULL
+        # offset and NULL-kind E73 three-valued-logic divergences)
+        from fastpasta_spark.operators.sanity import sanity_violations
 
-        expected: Counter = Counter()
-        for doc_id, spans in rows:
-            tuples = (None if spans is None else
-                      [(s["kind"], s["text"], s["media_ref"], s["offset"])
-                       for s in spans])
-            for v in stateless_doc_checks(doc_id, tuples or None):
-                expected[(doc_id,) + tuple(v)] += 1
-            for v in validate_spans(tuples or []):
-                expected[(doc_id,) + tuple(v)] += 1
-
-        ok = got == expected
-        print(f"seed {seed}: {sum(got.values())} rows, "
-              f"multiset parity: {ok}")
-        if not ok:
-            bad = [k for k in (got | expected)
-                   if got[k] != expected[k]][:10]
-            for k in bad:
-                print(f"  engine={got[k]} oracle={expected[k]}: {k}")
+        ok2 = compare("sanity battery", sanity_violations(docs),
+                      oracle(include_fsm=False))
+        if not (ok1 and ok2):
             rc = 1
     return rc
 
