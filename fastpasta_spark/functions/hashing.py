@@ -15,9 +15,15 @@ from __future__ import annotations
 
 import hashlib
 
-# tokenizer shared by Spark SQL / DuckDB SQL / Python: lowercase, split on
-# non-alphanumeric runs. Spark and DuckDB regexes agree on this class.
-TOKEN_SPLIT_RE = "[^a-z0-9]+"
+# tokenizer shared by Spark SQL / DuckDB SQL / Python: split on
+# non-ASCII-alphanumeric runs FIRST, lowercase each token AFTER. The
+# order matters for portability: lowercasing before splitting runs each
+# engine's Unicode case mapping over the whole string, and those
+# disagree (Java/Python lower('İ') = 'i' + combining dot, DuckDB = 'i'
+# — fuzz-found token divergence). Splitting first makes every
+# non-ASCII character a separator, so lower() only ever sees ASCII,
+# where all three engines agree.
+TOKEN_SPLIT_RE = "[^A-Za-z0-9]+"
 
 
 def spark_md5_hash(expr: str, seed: int | None = None) -> str:
@@ -57,20 +63,21 @@ def py_mix(h: int, a: int, b: int) -> int:
 
 
 def spark_tokens(col: str = "text") -> str:
-    """SQL expr: distinct-preserving token array of lowercased text."""
+    """SQL expr: order-preserving token array (split, then lowercase)."""
     return (
-        f"filter(split(lower({col}), '{TOKEN_SPLIT_RE}'), t -> t <> '')"
+        f"transform(filter(split({col}, '{TOKEN_SPLIT_RE}'), "
+        "t -> t <> ''), t -> lower(t))"
     )
 
 
 def duckdb_tokens(col: str = "text") -> str:
     return (
-        f"list_filter(regexp_split_to_array(lower({col}), '{TOKEN_SPLIT_RE}'), "
-        "t -> t <> '')"
+        f"list_transform(list_filter(regexp_split_to_array({col}, "
+        f"'{TOKEN_SPLIT_RE}'), t -> t <> ''), t -> lower(t))"
     )
 
 
 def py_tokens(text: str) -> list[str]:
     import re
 
-    return [t for t in re.split(TOKEN_SPLIT_RE, (text or "").lower()) if t]
+    return [t.lower() for t in re.split(TOKEN_SPLIT_RE, text or "") if t]

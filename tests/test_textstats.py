@@ -138,3 +138,25 @@ def test_unigram_logprob_model(spark):
     assert rows[1] == (3, round((2 * lp(0.5) + lp(0.25)) / 3, 4))
     assert rows[2] == (2, round((lp(0.5) + lp(0.125)) / 2, 4))
     assert rows[3] == (0, None)
+
+
+def test_tokenizer_triple_agrees_on_hostile_unicode(spark):
+    """spark_tokens == duckdb_tokens == py_tokens on inputs where the
+    engines' Unicode case mappings disagree (lower('İ') differs between
+    Java/Python and DuckDB) — the split-before-lower portability fix."""
+    import duckdb
+
+    from fastpasta_spark.functions.hashing import (
+        duckdb_tokens, py_tokens, spark_tokens)
+
+    hostile = ["İstanbul", "STRASSE ß", "K kelvin-sign", "ﬁnance ﬂight",
+               "mixed𝔘𝔫𝔦ASCII99", "uPPer MiXeD cAsE 42", "A-B_C.D"]
+    df = spark.createDataFrame([(t,) for t in hostile], "text string")
+    got = {r.text: list(r.toks) for r in df.selectExpr(
+        "text", f"{spark_tokens('text')} as toks").collect()}
+    con = duckdb.connect()
+    for t in hostile:
+        d = con.execute(
+            f"SELECT {duckdb_tokens('text')} FROM (SELECT ?::VARCHAR AS text)",
+            [t]).fetchone()[0]
+        assert got[t] == list(d) == py_tokens(t), t
