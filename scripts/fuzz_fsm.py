@@ -88,7 +88,21 @@ def main(n_docs: int = 30_000, seeds: tuple[int, ...] = (7, 99, 2026)) -> int:
 
         ok2 = compare("sanity battery", sanity_violations(docs),
                       oracle(include_fsm=False))
-        if not (ok1 and ok2):
+        # leg 3: the opt-in trigger-period (E45) path
+        PERIOD = 198
+        expected_tp: Counter = Counter()
+        for doc_id, spans in rows:
+            tuples = (None if spans is None else
+                      [(s["kind"], s["text"], s["media_ref"], s["offset"])
+                       for s in spans])
+            for v in stateless_doc_checks(doc_id, tuples or None):
+                expected_tp[(doc_id,) + tuple(v)] += 1
+            for v in validate_spans(tuples or [], trigger_period=PERIOD):
+                expected_tp[(doc_id,) + tuple(v)] += 1
+        viol_tp, _ = split_sequence_output(
+            sequence_pass(docs, fused=True, trigger_period=PERIOD))
+        ok3 = compare(f"fused + trigger_period={PERIOD}", viol_tp, expected_tp)
+        if not (ok1 and ok2 and ok3):
             rc = 1
     return rc
 

@@ -22,7 +22,11 @@ TEXTS = ["", "lanes=3", "cont=0,bc=5", "cont=1,bc=2", "done=0", "done=1",
          # negative + beyond-int64 numerics, duplicate keys, whitespace
          "lanes=", "=", ",,,", "= , =", "bc=-1", "cont=0,bc=-5",
          "bc=99999999999999999999", "page=-1", "lanes=2,lanes=3",
-         " lanes = 2 ", "lane_ids=;;", "chips=", "cbc=", "done=,cont=1"]
+         " lanes = 2 ", "lane_ids=;;", "chips=", "cbc=", "done=,cont=1",
+         # internal-trigger fields around the E45 period boundary (198)
+         "cont=0,bc=100,int=1", "cont=0,bc=298,int=1", "cont=0,bc=496,int=1",
+         "cont=0,bc=300,int=1", "cont=0,bc=3560,int=1", "cont=0,bc=130,int=0",
+         "int=1", "int=x,bc=5", "cont=1,bc=298,int=1"]
 REFS = ["", "m1", "missing_9", None]
 
 span_st = st.tuples(
