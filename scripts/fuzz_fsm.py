@@ -8,9 +8,12 @@ across NULL/empty doc_id docs).
 
     python scripts/fuzz_fsm.py [n_docs_per_seed] [seed [seed ...]]
 
-Round-2 evidence: 30,000 docs x seeds (7, 99, 2026) plus 100,000 docs x
-seeds (41, 2027) -> ~4.3M violation rows total, exact multiset parity
-on all five seeds.
+Round-2 evidence: all three legs x 30,000 docs x seeds (7, 99, 2026)
+-> ~3.3M violation rows, exact multiset parity on every leg; plus the
+earlier single-leg runs at 100,000 docs x seeds (41, 2027). The legs
+found and now guard three real divergences: NULL-offset normalization
+and NULL-kind E73 (SQL three-valued `<>`) in the Column battery, and
+the Unicode lower() tokenizer split (fixed in functions/hashing.py).
 """
 
 from __future__ import annotations
