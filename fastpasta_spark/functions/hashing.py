@@ -15,15 +15,18 @@ from __future__ import annotations
 
 import hashlib
 
-# tokenizer shared by Spark SQL / DuckDB SQL / Python: split on
-# non-ASCII-alphanumeric runs FIRST, lowercase each token AFTER. The
-# order matters for portability: lowercasing before splitting runs each
-# engine's Unicode case mapping over the whole string, and those
-# disagree (Java/Python lower('İ') = 'i' + combining dot, DuckDB = 'i'
-# — fuzz-found token divergence). Splitting first makes every
-# non-ASCII character a separator, so lower() only ever sees ASCII,
-# where all three engines agree.
-TOKEN_SPLIT_RE = "[^A-Za-z0-9]+"
+# tokenizer shared by Spark SQL / DuckDB SQL / Python: ASCII-only
+# case-fold via translate(), then split on non-[a-z0-9] runs. Unicode
+# lower() is NOT portable (Java/Python lower('İ') = 'i' + combining
+# dot, DuckDB = 'i' — fuzz-found token divergence); translate touches
+# ONLY A-Z, leaves every non-ASCII character alone (it stays a
+# separator), and — unlike a per-token transform(lower) — is a single
+# vectorized scalar pass, which matters because shingle pipelines
+# re-evaluate the token expression inside per-shingle lambdas (a
+# transform-based fold benched 10-16x slower on minhash/jaccard).
+_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_LOWER = "abcdefghijklmnopqrstuvwxyz"
+TOKEN_SPLIT_RE = "[^a-z0-9]+"
 
 
 def spark_md5_hash(expr: str, seed: int | None = None) -> str:
@@ -63,21 +66,26 @@ def py_mix(h: int, a: int, b: int) -> int:
 
 
 def spark_tokens(col: str = "text") -> str:
-    """SQL expr: order-preserving token array (split, then lowercase)."""
+    """SQL expr: token array (ASCII case-fold, split, drop empties)."""
     return (
-        f"transform(filter(split({col}, '{TOKEN_SPLIT_RE}'), "
-        "t -> t <> ''), t -> lower(t))"
+        f"filter(split(translate({col}, '{_UPPER}', '{_LOWER}'), "
+        f"'{TOKEN_SPLIT_RE}'), t -> t <> '')"
     )
 
 
 def duckdb_tokens(col: str = "text") -> str:
     return (
-        f"list_transform(list_filter(regexp_split_to_array({col}, "
-        f"'{TOKEN_SPLIT_RE}'), t -> t <> ''), t -> lower(t))"
+        f"list_filter(regexp_split_to_array("
+        f"translate({col}, '{_UPPER}', '{_LOWER}'), '{TOKEN_SPLIT_RE}'), "
+        "t -> t <> '')"
     )
+
+
+_PY_FOLD = str.maketrans(_UPPER, _LOWER)
 
 
 def py_tokens(text: str) -> list[str]:
     import re
 
-    return [t.lower() for t in re.split(TOKEN_SPLIT_RE, text or "") if t]
+    return [t for t in re.split(TOKEN_SPLIT_RE,
+                                (text or "").translate(_PY_FOLD)) if t]
