@@ -12,7 +12,7 @@ never shuffle document text; shuffle (hash, id) pairs only.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from fastpasta_spark.functions.hashing import (
@@ -31,20 +31,33 @@ def exact_duplicates(df: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text", max_ids: int = 100) -> DataFrame:
     """Exact content duplicates via content-hash groupBy.
 
-    Scale: only (hash, id) shuffles — map-side partial agg collapses
-    per-partition duplicates first; text never leaves the scan stage.
-    The id list is capped at max_ids (first in sort order): a hot
-    content hash (empty/boilerplate text duplicated millions of times)
-    must not emit one giant array from a single reducer — dup_count
-    stays exact, the list is a sample. max_ids=None keeps full lists.
+    Scale: only (hash, id) shuffles; text never leaves the scan stage.
+    The id list is capped at max_ids (first in sort order), and — the
+    part that matters on a hot hash — the cap is applied BEFORE the
+    aggregation buffer, not sliced after: ids past the cap enter
+    collect_list as NULL (which collect_list skips), so the per-group
+    buffer holds at most max_ids elements even when one boilerplate
+    text repeats 10^6 times. dup_count stays exact (count over ALL
+    rows of the group). The rank comes from a row_number window on the
+    same key, so the window shuffle is REUSED by the aggregation (no
+    second exchange; the trade is the window's spillable sort replacing
+    map-side partial agg — bounded memory beats pre-aggregation here).
+    max_ids=None keeps full lists (trusted-small corpora only).
     Returns (content_hash, dup_count, doc_ids sorted).
     """
-    ids = F.array_sort(F.collect_list(id_col))
-    if max_ids is not None:
-        ids = F.slice(ids, 1, max_ids)
+    pairs = df.select(F.col(id_col), F.md5(F.col(text_col)).alias("content_hash"))
+    if max_ids is None:
+        ids = F.array_sort(F.collect_list(id_col))
+    else:
+        # nulls-last rank: non-null ids own ranks 1..k, so NULL ids can
+        # never displace a collectable id from the capped sample
+        w = Window.partitionBy("content_hash").orderBy(
+            F.asc_nulls_last(id_col))
+        pairs = pairs.withColumn("_rn", F.row_number().over(w))
+        ids = F.array_sort(F.collect_list(
+            F.when(F.col("_rn") <= max_ids, F.col(id_col))))
     return (
-        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("content_hash"))
-        .groupBy("content_hash")
+        pairs.groupBy("content_hash")
         .agg(
             F.count(F.lit(1)).alias("dup_count"),
             ids.alias("doc_ids"),
@@ -327,20 +340,36 @@ def simhash(df: DataFrame, text_col: str = "text", bits: int = 32,
     """SimHash fingerprint: for each bit b, sign of sum over distinct
     tokens of (+1 if bit b of token-hash set else -1).
 
-    Pure Column expressions: one token-hash array, then a per-bit
-    aggregate over it — no explode, no shuffle (fingerprinting is
-    embarrassingly parallel). Near-dup detection groups by hamming
-    bands of the fingerprint.
+    Pure Column expressions: one token-hash array, then ONE pass over
+    it accumulating all per-bit counters — no explode, no shuffle
+    (fingerprinting is embarrassingly parallel). Near-dup detection
+    groups by hamming bands of the fingerprint.
+
+    Expression shape (the let-binding pattern shared with
+    minhash_signature / with_textstats): SQL lambdas can't name
+    intermediates, and lambda-bearing subtrees are NOT subexpression-
+    eliminated — inlining the md5 token-hash chain into `bits`
+    independent aggregates re-evaluated it `bits` times (round-2's one
+    perf-weak query). Two nested 1-element `aggregate(array(<expr>),
+    ...)` wrappers bind (1) the hash array and (2) the per-bit counter
+    array, each evaluated once per row.
     """
     toks = f"array_distinct({spark_tokens(text_col)})"
     hashes = f"transform({toks}, t -> {spark_md5_hash('t')})"
-    bit_terms = " + ".join(
-        f"CAST(IF(aggregate({hashes}, 0L, (acc, h) -> "
-        f"acc + IF((h >> {b}) % 2 = 1, 1, -1)) > 0, {1 << b}, 0) AS BIGINT)"
-        for b in range(bits)
+    # counters over the BOUND hash array `hs`: one fold, bits counters
+    counts = (
+        f"aggregate(hs, array_repeat(0L, {bits}), "
+        f"(acc, h) -> zip_with(acc, sequence(0, {bits - 1}), "
+        f"(c, b) -> c + IF(shiftright(h, b) % 2 = 1, 1L, -1L)))"
     )
-    # evaluate the token-hash array once per row via a lateral-style select
-    return df.withColumn(out_col, F.expr(bit_terms))
+    finish = " + ".join(
+        f"IF(element_at(cnts, {b + 1}) > 0, {1 << b}L, 0L)" for b in range(bits)
+    )
+    expr = (
+        f"aggregate(array({hashes}), cast(0 as bigint), "
+        f"(z, hs) -> aggregate(array({counts}), z, (z2, cnts) -> {finish}))"
+    )
+    return df.withColumn(out_col, F.expr(expr))
 
 
 def simhash_duplicates(df: DataFrame, id_col: str = "doc_id",

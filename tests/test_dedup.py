@@ -67,6 +67,27 @@ def test_exact_duplicates_hot_hash_capped(spark):
     assert got[0].doc_ids == sorted(got[0].doc_ids)
 
 
+def test_exact_duplicates_bounded_buffer_plan(spark):
+    # the collect_list input must be the rank-guarded conditional (NULL
+    # past the cap -> skipped by collect_list), i.e. the BUFFER is
+    # bounded pre-aggregation, not sliced post-hoc (round-2 verdict #1)
+    df = spark.createDataFrame([("a", "t")], "doc_id string, text string")
+    plan = dedup.exact_duplicates(df, max_ids=7)._jdf.queryExecution() \
+        .optimizedPlan().toString()
+    assert "collect_list(CASE WHEN" in plan
+    assert "slice(" not in plan
+
+
+def test_exact_duplicates_null_ids_dont_displace(spark):
+    # NULL ids count toward dup_count but never occupy a capped slot
+    rows = [(None, "x"), (None, "x"), ("b", "x"), ("a", "x"), ("c", "x")]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = dedup.exact_duplicates(df, max_ids=2).collect()
+    assert len(got) == 1
+    assert got[0].dup_count == 5
+    assert got[0].doc_ids == ["a", "b"]
+
+
 def test_jaccard_pairs_match_python(spark, documents):
     df = documents.limit(60)
     got = {
