@@ -915,8 +915,9 @@ def _q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist before element extraction: 8 references to the minhash
     # column would otherwise each inline (and recompute) the whole
     # tokenize+shingle+hash chain via ProjectionCollapse (~8x, measured)
-    sig = minhash_signature(with_shingles(d), k=8).select(
-        "doc_id", "minhash").persist()
+    from fastpasta_spark.functions.cache import tracked_persist
+    sig = tracked_persist(minhash_signature(with_shingles(d), k=8).select(
+        "doc_id", "minhash"))
     cols = [F.expr(f"minhash[{j}]").alias(f"mh_{j}") for j in range(8)]
     return sig.select("doc_id", *cols)
 

@@ -86,9 +86,12 @@ def main() -> None:
     warm.violations.count(); warm.metrics.collect()
     spark.catalog.clearCache()
 
+    from fastpasta_spark.functions.cache import release_tracked
+
     def best_of(fn) -> tuple[float, object]:
         best, out = float("inf"), None
         for _ in range(max(BENCH_REPS, 1)):
+            release_tracked()  # drop operator caches from the last rep
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             out = fn()

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from fastpasta_spark.functions.cache import tracked_persist
 from fastpasta_spark.functions.hashing import (
     MIX_MOD,
     mix_constants,
@@ -179,8 +180,8 @@ def minhash_near_duplicates(df: DataFrame, id_col: str = "doc_id",
     >10x slowdown). At cluster scale you would write signatures to a
     bucketed table instead — same boundary, durable.
     """
-    sig = minhash_signature(with_shingles(df, text_col, n), k=k).select(
-        id_col, "minhash").persist()
+    sig = tracked_persist(minhash_signature(
+        with_shingles(df, text_col, n), k=k).select(id_col, "minhash"))
     pairs = lsh_candidate_pairs(sig, id_col, bands=bands, rows_per_band=k // bands)
     return pairs.filter(F.col("est_jaccard") >= threshold)
 
@@ -235,7 +236,7 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     # both self-join sides — without it each consumer recomputes the
     # tokenize+shingle+explode chain. At cluster scale, write it to a
     # table bucketed by shingle instead (same boundary, co-located join).
-    inv = inv.persist()
+    inv = tracked_persist(inv)
     if max_df is not None:
         # shingles over the df cap are FEW by definition -> compute them
         # with a groupBy (map-side partial agg) and broadcast-anti-join
@@ -307,8 +308,8 @@ def segment_dedup(df: DataFrame, id_col: str = "doc_id",
         df.select(F.col(id_col), F.posexplode(F.expr(chunks))
                   .alias("seg_idx", "seg"))
         .withColumn("h", F.expr(spark_md5_hash("seg")))
-        .persist()
     )
+    segs = tracked_persist(segs)
     keepers = segs.groupBy("h").agg(
         F.min(F.struct(id_col, "seg_idx")).alias("k"))
     kept = segs.join(
@@ -384,7 +385,7 @@ def simhash_duplicates(df: DataFrame, id_col: str = "doc_id",
     |bucket|^2 killer), same lever as lsh_candidate_pairs."""
     # persist: the fingerprint expr is referenced by `bands` band exprs +
     # both join sides — same ProjectionCollapse inlining hazard as minhash
-    h = simhash(df, text_col, bits).select(id_col, "simhash").persist()
+    h = tracked_persist(simhash(df, text_col, bits).select(id_col, "simhash"))
     chunk = bits // bands
     band_cols = [
         F.expr(

@@ -46,12 +46,23 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
     STAR-shaped exact-dup edges (plans/curate.exact_dup_star_edges,
     diameter 2) rather than long paths when families can be large.
     """
+    from fastpasta_spark.functions.cache import (
+        release_local_checkpoint,
+        track_release,
+    )
+
     edges = (
         pairs.select(F.col(src).alias("_u"), F.col(dst).alias("_v"))
         .union(pairs.select(F.col(dst).alias("_u"), F.col(src).alias("_v")))
         .distinct()
         .persist()
     )
+    # per-round checkpoints are freed as soon as the NEXT round is
+    # materialized (only the convergence check reads both) — without
+    # the eager release every round's label table stayed pinned in
+    # executor storage for the session's lifetime. The FINAL round's
+    # checkpoint backs the returned DataFrame, so it is registered for
+    # the session-level release_tracked() instead.
     labels = (
         edges.select(F.col("_u").alias("node")).distinct()
         .withColumn("label", F.col("node"))
@@ -74,10 +85,12 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
             .filter(F.col("n.label") != F.col("o.label"))
         )
         converged = changed.isEmpty()
+        release_local_checkpoint(labels)  # prev round: consumed above
         labels = new_labels
         if converged:
             break
     edges.unpersist()
+    track_release(lambda lb=labels: release_local_checkpoint(lb))
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "

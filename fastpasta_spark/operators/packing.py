@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from fastpasta_spark.functions.cache import tracked_persist
 from fastpasta_spark.functions.hashing import spark_tokens
 
 
@@ -48,12 +49,12 @@ def global_cumsum(df: DataFrame, order_col: str, value_col: str,
     spark = df.sparkSession
     n = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    r = (df.repartitionByRange(n, F.col(order_col))
-           .sortWithinPartitions(order_col)
-           .withColumn("_pid", F.spark_partition_id())
-         # persist: _pid is read twice (totals + join side); without a
-         # barrier the range partitioner could re-sample on recompute
-           .persist())
+    # persist: _pid is read twice (totals + join side); without a
+    # barrier the range partitioner could re-sample on recompute
+    r = tracked_persist(
+        df.repartitionByRange(n, F.col(order_col))
+          .sortWithinPartitions(order_col)
+          .withColumn("_pid", F.spark_partition_id()))
     totals = (r.groupBy("_pid")
                .agg(F.sum(F.col(value_col).cast("long")).alias("_t"))
                .collect())

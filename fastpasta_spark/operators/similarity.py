@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from fastpasta_spark.functions.cache import tracked_persist
+
 from fastpasta_spark.functions.hashing import py_md5_hash
 
 COSINE_EXPR = (
@@ -139,7 +141,8 @@ def embedding_near_duplicates(
     b = with_lsh_buckets(
         df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")),
         dim, n_planes, n_tables, vec_col="_vec", out_col="bucket",
-    ).persist()
+    )
+    b = tracked_persist(b)
     hot = (b.groupBy("bucket").agg(F.count(F.lit(1)).alias("_bsz"))
            .filter(F.col("_bsz") > max_bucket).select("bucket"))
     b = b.join(F.broadcast(hot), "bucket", "left_anti")

@@ -34,6 +34,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from fastpasta_spark.functions.cache import tracked_persist
 from fastpasta_spark.operators.dedup import jaccard_pairs
 from fastpasta_spark.operators.graph import duplicate_clusters
 from fastpasta_spark.operators.textstats import with_textstats
@@ -74,7 +75,7 @@ def curate(
     gated = stats.filter(F.col("quality") >= min_quality)
     if langs:
         gated = gated.filter(F.col("lang_pred").isin(*langs))
-    gated = gated.persist()
+    gated = tracked_persist(gated)
 
     pairs = exact_dup_star_edges(gated, id_col, text_col).unionByName(
         jaccard_pairs(gated, id_col, text_col,
@@ -86,7 +87,7 @@ def curate(
         .filter(~F.col("is_keeper"))
         .select(F.col("node").alias(id_col))
     )
-    unique = gated.join(losers, id_col, "left_anti").persist()
+    unique = tracked_persist(gated.join(losers, id_col, "left_anti"))
 
     kept = unique
     if token_budget is not None:

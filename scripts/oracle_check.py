@@ -66,6 +66,8 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
                 f"read_parquet('{sf_dir}/{t}.parquet')")
 
+    from fastpasta_spark.functions.cache import release_tracked
+
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = 0
@@ -74,6 +76,7 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
             df = fn(spark, sf_dir)
             srows = df.collect()
             scols = df.columns
+            release_tracked()
         except Exception as e:
             print(f"FAIL  {name}: spark error {str(e)[:200]}")
             failures += 1
