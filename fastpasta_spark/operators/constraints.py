@@ -156,6 +156,12 @@ def violating_rows(df: DataFrame, rules: list[Rule], id_col: str,
     """
     row, _, _ = _split([r for r in rules
                         if r.kind not in ("unique", "foreign_key")])
+    if not row:
+        # mirror violation_counts' empty-input error: F.array() over zero
+        # columns is an untyped empty array and the explode silently
+        # yields nothing — an unguarded degenerate case
+        raise ValueError("violating_rows: no row-level rules remain "
+                         "(unique/foreign_key are set-level)")
     flags = F.array(*[
         F.when(_fail_predicate(r), F.lit(r.name)) for r in row
     ])

@@ -230,6 +230,20 @@ def top_tokens(df: DataFrame, text_col: str = "text", k: int = 20) -> DataFrame:
         "token", F.col("cnt").cast("long").alias("cnt"), "rank")
 
 
+def _assert_sql_safe_tokens(vocab) -> None:
+    """The vocab head is spliced into a SQL map() literal; that is safe
+    ONLY because spark_tokens restricts tokens to [a-z0-9]. If a future
+    tokenizer lets a quote/backslash through, fail loudly instead of
+    producing a parse error or an expression injection."""
+    import re as _re
+
+    bad = [t for t in vocab if not _re.fullmatch(r"[a-z0-9]+", t or "")]
+    if bad:
+        raise ValueError(
+            "unigram vocab tokens must match [a-z0-9]+ for SQL-literal "
+            f"embedding; tokenizer produced {bad[:3]!r}")
+
+
 def unigram_logprob(df: DataFrame, id_col: str = "doc_id",
                     text_col: str = "text", vocab_k: int = 2000,
                     dp: int = 4) -> DataFrame:
@@ -263,6 +277,7 @@ def unigram_logprob(df: DataFrame, id_col: str = "doc_id",
         .orderBy(F.desc("cnt"), F.asc("token")).limit(vocab_k)
     )
     vocab = {r["token"]: r["cnt"] for r in head.collect()}
+    _assert_sql_safe_tokens(vocab)
     denom = float(total + len(vocab) + 1)
     floor = 1.0 / denom
     items = ", ".join(

@@ -73,6 +73,27 @@ def incremental_dedup(
         from pyspark.errors import AnalysisException
 
         sp = batch_df.sparkSession
+        # stream-identity gate, checked EVERY epoch (not just epoch 0):
+        # a checkpoint resumed against the WRONG out_dir at epoch N>0
+        # would silently anti-join the batch against a foreign hash
+        # ledger and dynamically overwrite that ledger's partitions. The
+        # marker parquet binds out_dir to the checkpoint that owns it on
+        # first write; any later epoch from a different checkpoint aborts.
+        ident_path = f"{out_dir}/_identity"
+        try:
+            owner = sp.read.parquet(ident_path).first()["checkpoint_dir"]
+        except AnalysisException:
+            owner = None
+        if owner is None:
+            sp.createDataFrame([(checkpoint_dir,)], "checkpoint_dir string"
+                               ).coalesce(1).write.mode("overwrite"
+                                                        ).parquet(ident_path)
+        elif owner != checkpoint_dir:
+            raise RuntimeError(
+                f"{out_dir} is owned by stream checkpoint {owner!r} but "
+                f"this stream runs from {checkpoint_dir!r} — refusing to "
+                "mix hash ledgers; reuse the owning checkpoint_dir or "
+                "point at a fresh out_dir")
         try:
             state_all = sp.read.parquet(f"{out_dir}/state")
         except AnalysisException:

@@ -165,3 +165,15 @@ def test_violation_counts_match_python_reference_on_random_data(spark):
     nums = Counter(n for _, n, _ in rows if n is not None)
     exp["unique_num"] = sum(c for c in nums.values() if c > 1)
     assert got == exp
+
+
+def test_violating_rows_requires_row_level_rules(spark):
+    # set-level-only rule lists previously built F.array() over zero
+    # columns (untyped empty array + no-op explode); now they raise
+    import pytest
+
+    from fastpasta_spark.operators import constraints as C
+
+    df = spark.createDataFrame([(1,)], "event_id long")
+    with pytest.raises(ValueError, match="row-level"):
+        C.violating_rows(df, [C.unique("event_id")], "event_id")

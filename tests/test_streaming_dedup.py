@@ -82,3 +82,23 @@ def test_null_text_rows_survive(spark, tmp_path):
     kept = {r.doc_id for r in _dedup_batch(batch, None).collect()}
     # null-content docs dedup among themselves; the first survives
     assert kept == {1, 3}
+
+
+def test_foreign_checkpoint_rejected_every_epoch(spark, tmp_path):
+    # out_dir gets bound to its owning checkpoint on first write; a
+    # DIFFERENT checkpoint driving the same out_dir must abort even
+    # when its epoch numbering looks plausible (advice round-2: the old
+    # guard only fired at epoch 0)
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    in_dir = str(tmp_path / "in")
+    _add_file(spark.createDataFrame([(1, "x")], "doc_id long, text string"),
+              tmp_path, in_dir, "f1")
+    out = _run(spark, tmp_path, "c")  # owner checkpoint: ckpt_c
+    # new file + FOREIGN checkpoint against the same out_dir
+    _add_file(spark.createDataFrame([(2, "y")], "doc_id long, text string"),
+              tmp_path, in_dir, "f2")
+    q = incremental_dedup(spark, in_dir, out, str(tmp_path / "ckpt_other"))
+    with pytest.raises(StreamingQueryException, match="owned by stream"):
+        q.awaitTermination(120)

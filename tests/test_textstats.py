@@ -160,3 +160,17 @@ def test_tokenizer_triple_agrees_on_hostile_unicode(spark):
             f"SELECT {duckdb_tokens('text')} FROM (SELECT ?::VARCHAR AS text)",
             [t]).fetchone()[0]
         assert got[t] == list(d) == py_tokens(t), t
+
+
+def test_unigram_vocab_sql_safety_guard():
+    # the vocab head is embedded as a SQL map() literal — only safe
+    # while tokens stay [a-z0-9]; a tokenizer change that lets a quote
+    # or backslash through must fail loudly, not inject
+    import pytest
+
+    from fastpasta_spark.operators.textstats import _assert_sql_safe_tokens
+
+    _assert_sql_safe_tokens({"ok1": 3, "alpha": 1})
+    for bad in ("it's", 'a"b', "a\\b", "", None, "café"):
+        with pytest.raises(ValueError, match="SQL-literal"):
+            _assert_sql_safe_tokens({bad: 1})
