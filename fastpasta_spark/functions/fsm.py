@@ -385,6 +385,7 @@ def validate_spans(
             prev_trailer_done = done
 
         elif kind == S.KIND_DIAG:
+            _diag_field_checks(parse_kv(text or ""), i, off, emit)
             if state not in (CLOSED, START):
                 emit(i, off, S.E990_FSM_UNEXPECTED,
                      f"diag footer while frame open (state {state})")
@@ -416,6 +417,24 @@ def _expected_lanes(
     if declared_lanes is not None and fatal_snapshot:
         return max(declared_lanes - len(fatal_snapshot), 0)
     return declared_lanes
+
+
+def _diag_field_checks(fields: dict[str, str], i: int, off: int, emit) -> None:
+    """Diag (DDW0 analogue) checked-field sanity — C5 true form
+    (ddw.rs:9-46; checks_list.md:94-97: reserved == 0, index >= 1).
+    Opt-in per key so field-less footers ('ok') stay no-ops; a
+    non-integer value fails the same check (undecodable field).
+    Shared by both FSM implementations so message formats cannot drift."""
+    if "resv" in fields:
+        resv = _int_field(fields, "resv")
+        if resv is None or resv != 0:
+            emit(i, off, S.E61_DIAG_FIELDS,
+                 f"diag resv={fields['resv']} must be 0")
+    if "idx" in fields:
+        idx = _int_field(fields, "idx")
+        if idx is None or idx < 1:
+            emit(i, off, S.E61_DIAG_FIELDS,
+                 f"diag idx={fields['idx']} must be an integer >= 1")
 
 
 def _lane_span_checks(

@@ -306,6 +306,7 @@ def _fsm_over_codes(codes, offs, kv, refs, n_spans, kind_name,
             prev_trailer_done = done
 
         elif k == _K_DIAG:
+            pyfsm._diag_field_checks(kv.get(i, {}), i, off, emit)
             if state not in (pyfsm.CLOSED, pyfsm.START):
                 viol.append((i, off, S.E990_FSM_UNEXPECTED, E,
                              f"diag footer while frame open (state {state})"))
@@ -535,11 +536,12 @@ def _make_arrow_pass(fused: bool, trigger_period: int | None = None):
             ))
 
             # ---- the FSM loop (Python, but over ints + sparse kv) -------
-            # parse fields only for header/trig/trailer spans, plus the
-            # content spans that OPT INTO the lane layer (text starts
+            # parse fields only for header/trig/trailer/diag spans, plus
+            # the content spans that OPT INTO the lane layer (text starts
             # with 'lane=' — vectorized prefix test, so free-text corpora
             # pay nothing for the chip-level checks)
-            kv_mask = (codes == _K_HEADER) | (codes == _K_TRIG) | (codes == _K_TRAILER)
+            kv_mask = ((codes == _K_HEADER) | (codes == _K_TRIG)
+                       | (codes == _K_TRAILER) | (codes == _K_DIAG))
             lane_pref = pc.starts_with(pc.fill_null(text_c, ""), pattern="lane="
                                        ).to_numpy(zero_copy_only=False)
             kv_mask |= ((codes == _K_TEXT) | (codes == _K_MEDIA)) & lane_pref

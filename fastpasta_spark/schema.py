@@ -130,6 +130,11 @@ E30_HEADER_SANITY = "E30"        # header span malformed (ihw.rs:1-55)
 E40_TRIG_SANITY = "E40"          # trig span malformed (tdh.rs:13-51)
 E50_TRAILER_SANITY = "E50"       # trailer span malformed (tdt.rs:1-85)
 E60_DIAG_SANITY = "E60"          # diag span malformed / misplaced (ddw.rs:1-92)
+E61_DIAG_FIELDS = "E61"          # diag checked fields invalid: resv= must be 0,
+                                 # idx= must be an integer >= 1 (DDW0 field
+                                 # sanity, ddw.rs:9-46 + checks_list.md:94-97:
+                                 # "reserved == 0", "index >= 1"). Opt-in per
+                                 # key, so field-less diag footers are no-ops
 E70_INVALID_KIND = "E70"         # kind not in alphabet (data_words.rs:12-48)
 E71_TEXT_EMPTY = "E71"           # text-kind span with empty/null text
 E72_MEDIA_REF_MISSING = "E72"    # media-kind span with empty media_ref
@@ -196,6 +201,7 @@ E9001_CUSTOM_CHECK = "E9001"     # user-configured expectation failed
 ALL_CODES = [
     E10_DOC_ID_NULL, E11_OFFSET_SEQUENCE, E12_SPANS_NULL, E13_DOC_ID_FORMAT,
     E30_HEADER_SANITY, E40_TRIG_SANITY, E50_TRAILER_SANITY, E60_DIAG_SANITY,
+    E61_DIAG_FIELDS,
     E70_INVALID_KIND, E71_TEXT_EMPTY, E72_MEDIA_REF_MISSING, E73_UNEXPECTED_REF,
     E81_CALIB_POSITION, E74_PAD_NOT_EMPTY, E82_PAD_POSITION,
     E990_FSM_UNEXPECTED, E991_FSM_UNCLOSED,

@@ -184,6 +184,17 @@ def bad_pad_content(spark: SparkSession, n_docs: int = 400) -> DataFrame:
     return _mutated(spark, synth.MUT_PAD_DIRTY, n_docs, cfg=_PAD_SPANS_CFG)
 
 
+def bad_diag_fields(spark: SparkSession, n_docs: int = 400) -> DataFrame:
+    """Diag footer with resv != 0 -> E61 (DDW0 field sanity analogue,
+    ddw.rs:9-46: reserved == 0, index >= 1)."""
+    return _mutated(spark, synth.MUT_DIAG_RESV, n_docs)
+
+
+def bad_diag_index(spark: SparkSession, n_docs: int = 400) -> DataFrame:
+    """Diag footer with idx < 1 -> E61 (checks_list.md:97 index >= 1)."""
+    return _mutated(spark, synth.MUT_DIAG_IDX, n_docs)
+
+
 def drifted(spark: SparkSession, n_docs: int = 500) -> DataFrame:
     """Shifted kind distribution (heavy corruption) for drift checks."""
     return corpus_df(spark, CorpusConfig(n_docs=n_docs, corrupt_per_mille=900))
@@ -215,6 +226,8 @@ FIXTURES = {
     "bad_orbit": bad_orbit,
     "bad_pad_position": bad_pad_position,
     "bad_pad_content": bad_pad_content,
+    "bad_diag_fields": bad_diag_fields,
+    "bad_diag_index": bad_diag_index,
     "drifted": drifted,
     "resume_corpus": resume_corpus,
 }
@@ -242,4 +255,6 @@ def expected_dominant_codes() -> dict[str, set[str]]:
         "bad_orbit": {"E441"},
         "bad_pad_position": {"E82"},
         "bad_pad_content": {"E74"},
+        "bad_diag_fields": {"E61"},
+        "bad_diag_index": {"E61"},
     }

@@ -75,7 +75,10 @@ MUT_ORBIT_NO_STOP = 23    # trailer done=0 but orbit advances   -> E441
 # padding-gate classes (corpora with pad_spans=True)
 MUT_PAD_INSIDE = 24       # pad span inside an open frame       -> E82
 MUT_PAD_DIRTY = 25        # trailing pad carries text           -> E74
-N_MUTATIONS_ALL = 26
+# diag checked-field classes (DDW0 field sanity, any corpus)
+MUT_DIAG_RESV = 26        # diag resv= nonzero                  -> E61
+MUT_DIAG_IDX = 27         # diag idx= < 1                       -> E61
+N_MUTATIONS_ALL = 28
 
 
 def splitmix64(x: int) -> int:
@@ -397,6 +400,23 @@ def _mutate(spans: list[dict], mut: int, h: int, cfg: CorpusConfig) -> list[dict
                       if s["kind"] == S.KIND_PAD), None)
         if p_idx is not None:
             spans[p_idx]["text"] = "deadbeef"
+    elif mut in (MUT_DIAG_RESV, MUT_DIAG_IDX):
+        # corrupt (or add) the diag footer's checked fields; insertion
+        # goes BEFORE any trailing pad run so only E61 fires (padding
+        # after diag stays legal)
+        bad = "idx=1,resv=5" if mut == MUT_DIAG_RESV else f"idx={-(h % 2)},resv=0"
+        d_idx = next((k for k, s in enumerate(spans)
+                      if s["kind"] == S.KIND_DIAG), None)
+        if d_idx is not None:
+            spans[d_idx]["text"] = bad
+        else:
+            ins = len(spans)
+            while ins > 0 and spans[ins - 1]["kind"] == S.KIND_PAD:
+                ins -= 1
+            spans.insert(ins, {"kind": S.KIND_DIAG, "text": bad,
+                               "media_ref": "", "offset": 0})
+            for k, s in enumerate(spans):
+                s["offset"] = k
     elif mut == MUT_DUP_REF:
         # duplicate a media ref within its frame (or convert the first
         # text span); the lanes count is bumped so only E703 fires

@@ -223,3 +223,37 @@ def test_stateless_checks():
     # media_ref on a text span
     viols = stateless_doc_checks("d", [span("text", "x", "m1", 0)])
     assert _codes(viols) == [S.E73_UNEXPECTED_REF]
+
+
+def test_diag_field_sanity():
+    # DDW0 field sanity analogue (ddw.rs:9-46, checks_list.md:94-97):
+    # resv must be 0, idx an integer >= 1; opt-in per key
+    def diag_doc(text):
+        return [
+            span("header", "lanes=1", off=0),
+            span("trig", "cont=0,bc=1", off=1),
+            span("text", "a", off=2),
+            span("trailer", "done=1", off=3),
+            span("diag", text, off=4),
+        ]
+
+    assert validate_spans(diag_doc("ok")) == []            # field-less: no-op
+    assert validate_spans(diag_doc("idx=1,resv=0")) == []  # clean fields
+    assert validate_spans(diag_doc("idx=3")) == []         # idx alone ok
+    for bad in ("resv=5", "idx=1,resv=1", "resv=x",
+                "idx=0", "idx=-2", "idx=zz,resv=0"):
+        viols = validate_spans(diag_doc(bad))
+        assert _codes(viols) == [S.E61_DIAG_FIELDS], bad
+        assert viols[0][0] == 4 and viols[0][1] == 4, bad
+    # both fields bad -> two E61 rows (resv first, then idx)
+    both = validate_spans(diag_doc("idx=0,resv=9"))
+    assert _codes(both) == [S.E61_DIAG_FIELDS, S.E61_DIAG_FIELDS]
+    # misplaced AND corrupt diag reports both E61 and E990
+    doc = [
+        span("header", "lanes=1", off=0),
+        span("trig", "cont=0,bc=1", off=1),
+        span("diag", "resv=7", off=2),
+    ]
+    # (no E991: diag moves the FSM to DONE even when misplaced)
+    assert set(_codes(validate_spans(doc))) == {
+        S.E61_DIAG_FIELDS, S.E990_FSM_UNEXPECTED}

@@ -184,6 +184,8 @@ _FAMS = [
     ("bad_chip_order", FX._LANE_CFG, synth.MUT_CHIP_ORDER, None),
     ("bad_chip_bc", FX._LANE_CFG, synth.MUT_CHIP_BC, None),
     ("fatal_lanes", FX._LANE_CFG, synth.MUT_FATAL_LANE, None),
+    ("bad_diag_fields", None, synth.MUT_DIAG_RESV, None),
+    ("bad_diag_index", None, synth.MUT_DIAG_IDX, None),
 ]
 
 
@@ -194,6 +196,9 @@ def test_engine_matches_oracle_on_lane_families(spark, name, cfg, mut, tp):
         split_sequence_output,
     )
 
+    from fastpasta_spark.sources.synth import CorpusConfig
+
+    cfg = cfg or CorpusConfig()
     n = 60
     df = FX._mutated(spark, mut, n, cfg=cfg)
     viol, _ = split_sequence_output(sequence_pass(df, trigger_period=tp))
