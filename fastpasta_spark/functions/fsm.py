@@ -419,6 +419,52 @@ def _expected_lanes(
     return declared_lanes
 
 
+# ---------------------------------------------------------------------------
+# ALPIDE readout-flag census (G5 true form) — not a violation check but a
+# per-run flag census, merged by SUM like the reference's AlpideStats
+# (stats_collector/its_stats/alpide_stats.rs:55-134). A participating
+# lane span may carry ``rf=<chip trailer byte>``; decode follows
+# ReadoutFlags::log exactly: three exclusive full-trailer states, any
+# OTHER value contributes its low bit flags individually.
+# ---------------------------------------------------------------------------
+
+ALPIDE_FLAG_NAMES = (
+    "chip_trailers_seen",
+    "busy_violations",
+    "data_overrun",
+    "transmission_in_fatal",
+    "flushed_incomplete",
+    "strobe_extended",
+    "busy_transitions",
+)
+
+_RF_BUSY_VIOLATION = 0xB8        # 4'b1000 (alpide_word.rs trailer values)
+_RF_DATA_OVERRUN = 0xBC          # 4'b1100
+_RF_TRANSMISSION_IN_FATAL = 0xBE  # 4'b1110
+
+
+def log_readout_flags(rf: int, counters: dict[str, int]) -> None:
+    """ReadoutFlags::log twin (alpide_stats.rs:70-89). Mutates
+    ``counters`` in place; callers merge partials by sum."""
+    counters["chip_trailers_seen"] = counters.get("chip_trailers_seen", 0) + 1
+    if rf == _RF_BUSY_VIOLATION:
+        counters["busy_violations"] = counters.get("busy_violations", 0) + 1
+    elif rf == _RF_DATA_OVERRUN:
+        counters["data_overrun"] = counters.get("data_overrun", 0) + 1
+    elif rf == _RF_TRANSMISSION_IN_FATAL:
+        counters["transmission_in_fatal"] = (
+            counters.get("transmission_in_fatal", 0) + 1)
+    else:
+        if rf & 0b100:
+            counters["flushed_incomplete"] = (
+                counters.get("flushed_incomplete", 0) + 1)
+        if rf & 0b010:
+            counters["strobe_extended"] = counters.get("strobe_extended", 0) + 1
+        if rf & 0b001:
+            counters["busy_transitions"] = (
+                counters.get("busy_transitions", 0) + 1)
+
+
 def _diag_field_checks(fields: dict[str, str], i: int, off: int, emit) -> None:
     """Diag (DDW0 analogue) checked-field sanity — C5 true form
     (ddw.rs:9-46; checks_list.md:94-97: reserved == 0, index >= 1).

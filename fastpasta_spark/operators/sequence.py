@@ -547,6 +547,36 @@ def _make_arrow_pass(fused: bool, trigger_period: int | None = None):
             kv_mask |= ((codes == _K_TEXT) | (codes == _K_MEDIA)) & lane_pref
             kv_idx = np.nonzero(kv_mask)[0]
             kv_flat = _parse_kv_spans(kv_idx, text_c)
+
+            # ALPIDE readout-flag census (G5 true form): lane spans may
+            # carry rf=<chip trailer byte>; decode via the shared
+            # ReadoutFlags::log twin and emit as 's' partials (merged by
+            # SUM downstream like every other counter). Corpora without
+            # the lane layer emit nothing.
+            lane_kv = ((codes == _K_TEXT) | (codes == _K_MEDIA)) & lane_pref
+            rf_counts: dict[str, int] = {}
+            for j in kv_idx[lane_kv[kv_idx]]:
+                rf = pyfsm._int_field(kv_flat[int(j)], "rf")
+                if rf is not None:
+                    pyfsm.log_readout_flags(rf, rf_counts)
+            if rf_counts:
+                nrf = len(rf_counts)
+                out_batches.append(pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(["s"] * nrf, pa.string()),
+                        _empty_cols(nrf, pa.string()),
+                        _empty_cols(nrf, pa.int32()),
+                        _empty_cols(nrf, pa.int32()),
+                        _empty_cols(nrf, pa.string()),
+                        _empty_cols(nrf, pa.string()),
+                        _empty_cols(nrf, pa.string()),
+                        pa.array([f"alpide_{k}" for k in rf_counts],
+                                 pa.string()),
+                        pa.array([float(v) for v in rf_counts.values()],
+                                 pa.float64()),
+                    ],
+                    schema=_ARROW_SCHEMA,
+                ))
             ref_idx = np.nonzero((codes == _K_MEDIA) & ~ref_empty)[0]
             ref_vals = (pc.take(ref_c, pa.array(ref_idx)).to_pylist()
                         if len(ref_idx) else [])

@@ -137,6 +137,7 @@ def format_report(metrics: dict[str, float], max_width: int = 60) -> str:
         ("error attribution (docs affected)",
          lambda k: k.startswith("error_docs_")),
         ("text stats", lambda k: k.startswith("text_len")),
+        ("alpide readout flags", lambda k: k.startswith("alpide_")),
         ("uniqueness", lambda k: k.startswith("doc_id_distinct")),
     ]:
         rows = {k: v for k, v in sorted(metrics.items()) if pred(k)}

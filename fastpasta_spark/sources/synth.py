@@ -81,6 +81,11 @@ MUT_DIAG_IDX = 27         # diag idx= < 1                       -> E61
 N_MUTATIONS_ALL = 28
 
 
+# readout-flag bytes for readout_flags corpora: the three exclusive
+# trailer states (0xB8/0xBC/0xBE) + clean + bit-flag combos
+_RF_TABLE = (0xB0, 0xB8, 0xBC, 0xBE, 0xB1, 0xB2, 0xB4, 0xB7)
+
+
 def splitmix64(x: int) -> int:
     """Public-domain splitmix64 — the determinism backbone."""
     x = (x + 0x9E3779B97F4A7C15) & MASK64
@@ -108,6 +113,8 @@ class CorpusConfig:
     trigger_period: int | None = None  # trigs get int=1, bc steps by this
     lane_layer: bool = False           # content spans carry lane=/chips=/cbc=
     chips_per_lane: int = 2
+    readout_flags: bool = False        # lane spans also carry rf=<trailer byte>
+                                       # (ALPIDE readout-flag census fixture)
     page_orbit: bool = False           # headers carry page=, trigs orbit=
     pad_spans: bool = False            # docs end with a trailing pad run
     # restrict corrupted docs to these mutation classes (None = 0..13)
@@ -172,7 +179,13 @@ def _doc_spans(i: int, cfg: CorpusConfig) -> list[dict]:
                 # lane; cbc equal across the frame's lanes (clean)
                 chips = ";".join(str(c * 8 + j)
                                  for j in range(cfg.chips_per_lane))
-                push(S.KIND_TEXT, f"lane={c},chips={chips},cbc={frame_bc}")
+                rf_sfx = ""
+                if cfg.readout_flags:
+                    # hits every decode branch deterministically: the 3
+                    # exclusive trailer states + bit-flag combinations
+                    rf_sfx = f",rf={_RF_TABLE[(hc >> 3) % len(_RF_TABLE)]}"
+                push(S.KIND_TEXT,
+                     f"lane={c},chips={chips},cbc={frame_bc}{rf_sfx}")
             elif hc % 4 == 0:
                 # linear-probe away from refs already used in this frame
                 # (duplicate ref within a frame is the E703 violation —

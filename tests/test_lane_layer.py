@@ -229,3 +229,82 @@ def test_check_all_trigger_period_end_to_end(spark):
     res_off = check_all(docs)
     codes_off = {r.check_code for r in res_off.violations.collect()}
     assert S.E45_TRIGGER_PERIOD not in codes_off
+
+
+# ---------------------------------------------------------------------------
+# ALPIDE readout-flag census (G5 true form, alpide_stats.rs:55-134)
+# ---------------------------------------------------------------------------
+
+
+def _py_readout_census(rf_values):
+    """Independent replay of ReadoutFlags::log (alpide_stats.rs:70-89) —
+    written out explicitly so a bug in the shared engine helper cannot
+    hide behind a tautological test."""
+    c = {k: 0 for k in ("chip_trailers_seen", "busy_violations",
+                        "data_overrun", "transmission_in_fatal",
+                        "flushed_incomplete", "strobe_extended",
+                        "busy_transitions")}
+    for rf in rf_values:
+        c["chip_trailers_seen"] += 1
+        if rf == 0xB8:
+            c["busy_violations"] += 1
+        elif rf == 0xBC:
+            c["data_overrun"] += 1
+        elif rf == 0xBE:
+            c["transmission_in_fatal"] += 1
+        else:
+            c["flushed_incomplete"] += (rf & 0b100) == 0b100
+            c["strobe_extended"] += (rf & 0b010) == 0b010
+            c["busy_transitions"] += (rf & 0b001) == 0b001
+    return {k: v for k, v in c.items() if v}
+
+
+def test_log_readout_flags_truth_table():
+    from fastpasta_spark.functions.fsm import log_readout_flags
+
+    cases = [0xB8, 0xBC, 0xBE, 0xB0, 0xB1, 0xB2, 0xB4, 0xB7, 0, 5]
+    got = {}
+    for rf in cases:
+        log_readout_flags(rf, got)
+    assert got == _py_readout_census(cases)
+
+
+def test_alpide_census_engine_matches_generator(spark):
+    from fastpasta_spark.operators.sequence import (
+        sequence_pass,
+        split_sequence_output,
+    )
+    from fastpasta_spark.sources.synth import CorpusConfig, corpus_df
+
+    cfg = CorpusConfig(n_docs=80, lane_layer=True, readout_flags=True,
+                       min_frames=2, min_content=2)
+    _, stats = split_sequence_output(sequence_pass(corpus_df(spark, cfg)))
+    got = {r.name: r.value for r in stats.collect()
+           if r.name.startswith("alpide_")}
+    rf_values = []
+    for i in range(cfg.n_docs):
+        for s in synth._doc_spans(i, cfg):
+            if s["text"].startswith("lane=") and ",rf=" in s["text"]:
+                fields = dict(p.split("=", 1) for p in s["text"].split(","))
+                rf_values.append(int(fields["rf"]))
+    exp = {f"alpide_{k}": float(v)
+           for k, v in _py_readout_census(rf_values).items()}
+    assert got == exp
+    assert got["alpide_chip_trailers_seen"] > 0
+    # all three exclusive trailer states appear in the fixture corpus
+    for name in ("alpide_busy_violations", "alpide_data_overrun",
+                 "alpide_transmission_in_fatal"):
+        assert got[name] > 0, name
+
+
+def test_lane_corpora_without_rf_emit_no_census(spark):
+    from fastpasta_spark.operators.sequence import (
+        sequence_pass,
+        split_sequence_output,
+    )
+    from fastpasta_spark.sources.synth import CorpusConfig, corpus_df
+
+    cfg = CorpusConfig(n_docs=20, lane_layer=True)
+    _, stats = split_sequence_output(sequence_pass(corpus_df(spark, cfg)))
+    assert not [r.name for r in stats.collect()
+                if r.name.startswith("alpide_")]

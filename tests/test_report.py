@@ -43,3 +43,19 @@ def test_format_report(spark):
     res = check_all(corpus_df(spark, cfg), media_df(spark, cfg))
     text = format_report(metrics_to_dict(res.metrics))
     assert "docs_seen" in text and "total_errors" in text
+
+
+def test_alpide_census_reaches_golden_stats(spark, tmp_path):
+    # G5 true form: the readout-flag census rides the same stats funnel
+    # as every other counter — check_all metrics -> golden file -> diff
+    cfg = CorpusConfig(n_docs=120, lane_layer=True, readout_flags=True,
+                       min_frames=2, min_content=2)
+    res = check_all(corpus_df(spark, cfg), media_df(spark, cfg))
+    m = metrics_to_dict(res.metrics)
+    assert m.get("alpide_chip_trailers_seen", 0) > 0
+    assert {"alpide_busy_violations", "alpide_data_overrun",
+            "alpide_transmission_in_fatal"} <= set(m)
+    path = str(tmp_path / "stats_alpide.json")
+    write_stats(res.metrics, path)
+    assert golden_diff(res.metrics, read_stats(spark, path)).count() == 0
+    assert "alpide_chip_trailers_seen" in format_report(m)
