@@ -1666,6 +1666,14 @@ WHERE rank <= 5
 """
 
 
+def _sql_span_fsm_golden() -> str:
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "tests", "golden", "span_fsm_sf0.01.parquet")
+    return f"SELECT * FROM read_parquet('{path}')"
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # validation engine (SURVEY §2.3-2.7, north_rule)
@@ -1769,7 +1777,11 @@ def oracle_sql() -> dict[str, str]:
         "lsh_ann": _sql_lsh_ann(),
         "embedding_near_dup": _sql_embedding_near_dup(),
         "ivf_ann": _sql_ivf_ann(),
-        # span_fsm: the one genuinely non-SQL operator (grammar FSM) —
-        # rows-only at the driver; pytest pins it row-for-row against
-        # the pure-Python oracle, a golden snapshot and Hypothesis
+        # span_fsm is genuinely non-SQL (grammar FSM), so its oracle is
+        # a PINNED golden parquet generated from the pure-Python oracle
+        # (functions/fsm.py) by scripts/make_span_fsm_golden.py — valid
+        # for the driver's sf0.01 gate; pytest additionally pins the
+        # engine row-for-row vs the oracle, a golden snapshot,
+        # Hypothesis property tests and a 3-leg fuzz harness.
+        "span_fsm": _sql_span_fsm_golden(),
     }
