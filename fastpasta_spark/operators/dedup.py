@@ -381,8 +381,21 @@ def simhash_duplicates(df: DataFrame, id_col: str = "doc_id",
     pairs within hamming distance < bands must share >=1 exact band
     (pigeonhole) -> band-bucket join, then exact hamming filter.
 
+    Recall invariant (enforced): full recall of the reported pair set
+    requires ``max_hamming < bands`` — a pair differing in >= bands
+    bits can miss every band, so raising max_hamming without raising
+    bands would SILENTLY drop true pairs. Property-tested against
+    brute-force hamming pairs (tests/test_dedup.py).
+
     max_bucket drops boilerplate band-buckets before the self-join (the
     |bucket|^2 killer), same lever as lsh_candidate_pairs."""
+    if max_hamming >= bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} >= bands={bands} breaks the "
+            "pigeonhole recall guarantee (a qualifying pair may share "
+            "no band); raise bands alongside max_hamming")
+    if bits % bands != 0:
+        raise ValueError(f"bits={bits} must divide evenly into bands={bands}")
     # persist: the fingerprint expr is referenced by `bands` band exprs +
     # both join sides — same ProjectionCollapse inlining hazard as minhash
     h = tracked_persist(simhash(df, text_col, bits).select(id_col, "simhash"))

@@ -126,7 +126,10 @@ def test_simhash_deterministic_and_near(spark, documents):
     near = df.withColumn("doc_id", F.concat("doc_id", F.lit("_c"))) \
              .withColumn("text", F.concat("text", F.lit(" zz")))
     both = df.unionByName(near)
-    dups = dedup.simhash_duplicates(both, max_hamming=6).collect()
+    # max_hamming=6 needs bands > 6 for full recall (pigeonhole); 8
+    # divides bits=32 evenly — the old bands=4 default here was exactly
+    # the silent-recall-loss case the ValueError guard now rejects
+    dups = dedup.simhash_duplicates(both, max_hamming=6, bands=8).collect()
     found = {(r.doc_a, r.doc_b) for r in dups}
     hits = sum((r.doc_id, f"{r.doc_id}_c") in found for r in df.collect())
     assert hits >= 8  # simhash is approximate; near-identical docs collide
@@ -195,3 +198,68 @@ def test_decontaminate_ignores_empty_docs(spark):
                          bench_id_col="bench_id").collect()}
     # empty/whitespace/null docs never pair with the empty bench doc
     assert got == {(4, 101)}
+
+
+def test_simhash_band_invariant_guard(spark):
+    df = spark.createDataFrame([("a", "x")], "doc_id string, text string")
+    with pytest.raises(ValueError, match="pigeonhole"):
+        dedup.simhash_duplicates(df, max_hamming=4, bands=4)
+    with pytest.raises(ValueError, match="divide"):
+        dedup.simhash_duplicates(df, bits=32, bands=5, max_hamming=3)
+
+
+def test_simhash_banding_recall_property():
+    # pigeonhole recall: ANY pair with hamming <= max_hamming < bands
+    # shares at least one exact band chunk — the invariant the band-
+    # bucket join's completeness rests on. Pure-python model of the
+    # banding arithmetic in simhash_duplicates (same chunking exprs).
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    bits, bands = 32, 4
+    chunk = bits // bands
+
+    def band_vals(h):
+        return [(h >> (b * chunk)) % (1 << chunk) for b in range(bands)]
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.integers(0, (1 << bits) - 1),
+           st.sets(st.integers(0, bits - 1), max_size=bands - 1))
+    def check(h, flip_bits):
+        # construct a partner within hamming <= bands-1 (covers every
+        # max_hamming < bands), assert >= 1 shared band
+        h2 = h
+        for b in flip_bits:
+            h2 ^= 1 << b
+        hamming = bin(h ^ h2).count("1")
+        assert hamming <= bands - 1
+        shared = sum(x == y for x, y in zip(band_vals(h), band_vals(h2)))
+        assert shared >= 1
+
+    check()
+
+
+def test_simhash_duplicates_match_bruteforce(spark):
+    # end-to-end: engine pair set == brute-force hamming pairs (no
+    # hot-bucket drop at this size)
+    texts = [
+        "alpha bravo charlie delta echo foxtrot",
+        "alpha bravo charlie delta echo foxtrot",          # exact dup
+        "alpha bravo charlie delta echo golf",             # near dup
+        "completely different words entirely here now",
+        "alpha bravo charlie delta echo foxtrot hotel",    # near dup
+    ]
+    df = spark.createDataFrame(
+        [(f"d{i}", t) for i, t in enumerate(texts)],
+        "doc_id string, text string")
+    fps = {r.doc_id: r.simhash
+           for r in dedup.simhash(df, bits=32).collect()}
+    expected = set()
+    for a in fps:
+        for b in fps:
+            if a < b and bin(fps[a] ^ fps[b]).count("1") <= 3:
+                expected.add((a, b))
+    got = {(r.doc_a, r.doc_b) for r in dedup.simhash_duplicates(
+        df, max_hamming=3, max_bucket=None if False else 200).collect()}
+    assert got == expected
+    assert ("d0", "d1") in got  # the exact dup is definitely in there
