@@ -44,6 +44,17 @@ def read_docs(spark: SparkSession, source: str) -> DataFrame:
     return df
 
 
+def bucket_ddl(target: str, bucket_count: int = 256) -> str:
+    """The CTAS DDL write_docs issues on Iceberg — exposed so tests can
+    pin the bucket-partitioning contract even on images without the
+    runtime jar (the integration test auto-skips there)."""
+    return (
+        f"CREATE TABLE IF NOT EXISTS {target} "
+        f"USING iceberg PARTITIONED BY (bucket({bucket_count}, doc_id)) "
+        "AS SELECT * FROM _docs_out"
+    )
+
+
 def write_docs(df: DataFrame, target: str, bucket_count: int = 256) -> None:
     """Write the docs table. On Iceberg: bucket(doc_id) partitioning via
     SQL DDL (file-pruning for resume + co-located uniqueness). On
@@ -51,10 +62,6 @@ def write_docs(df: DataFrame, target: str, bucket_count: int = 256) -> None:
     spark = df.sparkSession
     if "/" not in target and iceberg_available(spark):
         df.createOrReplaceTempView("_docs_out")
-        spark.sql(
-            f"CREATE TABLE IF NOT EXISTS {target} "
-            f"USING iceberg PARTITIONED BY (bucket({bucket_count}, doc_id)) "
-            "AS SELECT * FROM _docs_out"
-        )
+        spark.sql(bucket_ddl(target, bucket_count))
     else:
         df.write.mode("overwrite").parquet(target)

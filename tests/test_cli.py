@@ -194,3 +194,26 @@ def test_check_table_clean_exit_zero(spark, tmp_path, capsys):
     rc = main(["check", "table", str(tmp_path / "t"), "--spec", str(spec_path)])
     assert rc == 0
     assert "total violations: 0" in capsys.readouterr().out
+
+
+def test_exit_code_matrix(fixture_paths, tmp_path, capsys):
+    # full 0/2/3 contract: 0 = clean, 2 = violations, 3 = golden-stats
+    # mismatch (and 3 takes precedence over 2, matching the reference's
+    # stats-regression gate being the stronger failure)
+    clean, docs = str(fixture_paths / "clean"), str(fixture_paths / "docs")
+    media = str(fixture_paths / "media")
+    g_clean = str(tmp_path / "g_clean.json")
+    g_docs = str(tmp_path / "g_docs.json")
+    assert main(["check", "all", clean, "--output-stats", g_clean]) == 0
+    assert main(["check", "all", docs, "--media", media,
+                 "--output-stats", g_docs]) == 2
+    # matching golden keeps each path's own code
+    assert main(["check", "all", clean, "--input-stats-file", g_clean]) == 0
+    assert main(["check", "all", docs, "--media", media,
+                 "--input-stats-file", g_docs]) == 2
+    # foreign golden -> 3 on both clean and corrupt inputs
+    assert main(["check", "all", clean, "--input-stats-file", g_docs]) == 3
+    assert main(["check", "all", docs, "--media", media,
+                 "--input-stats-file", g_clean]) == 3
+    out = capsys.readouterr().out
+    assert "E130" in out  # golden mismatch rows are printed
