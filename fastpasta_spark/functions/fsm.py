@@ -442,6 +442,29 @@ _RF_BUSY_VIOLATION = 0xB8        # 4'b1000 (alpide_word.rs trailer values)
 _RF_DATA_OVERRUN = 0xBC          # 4'b1100
 _RF_TRANSMISSION_IN_FATAL = 0xBE  # 4'b1110
 
+# APE (ALPIDE Protocol Extension) severity table — alpide_word.rs:35-49.
+# 0x00 (padding) is lane-status OK and a no-op; WARNING APEs report
+# only; every other TABLE byte is FATAL (lane joins the running fatal
+# set, lane_alpide_frame_analyzer.rs:166-170); unknown bytes WARN
+# ("Unknown ALPIDE word", :174-176).
+APE_OK = 0x00
+APE_WARNING = {
+    0xF2: "strip_start",
+    0xFD: "pe_data_missing",
+    0xFE: "oot_data_missing",
+}
+APE_FATAL = {
+    0xF4: "detector_timeout",
+    0xF5: "out_of_table",
+    0xF6: "protocol_error",
+    0xF7: "lane_fifo_overflow",
+    0xF8: "fsm_error",
+    0xF9: "pending_detector_event_limit",
+    0xFA: "pending_lane_event_limit",
+    0xFB: "o2n_error",
+    0xFC: "rate_missing_trigger",
+}
+
 
 def log_readout_flags(rf: int, counters: dict[str, int]) -> None:
     """ReadoutFlags::log twin (alpide_stats.rs:70-89). Mutates
@@ -463,6 +486,19 @@ def log_readout_flags(rf: int, counters: dict[str, int]) -> None:
         if rf & 0b001:
             counters["busy_transitions"] = (
                 counters.get("busy_transitions", 0) + 1)
+
+
+def ape_census_name(ape: int | None) -> str | None:
+    """Census bucket for an ``ape=`` value (None = unparseable byte).
+    Padding (0x00, lane status OK) is not counted; unknown bytes land
+    in ``ape_unknown`` (the reference log-warns on them)."""
+    if ape == APE_OK:
+        return None
+    if ape in APE_WARNING:
+        return f"ape_{APE_WARNING[ape]}"
+    if ape in APE_FATAL:
+        return f"ape_{APE_FATAL[ape]}"
+    return "ape_unknown"
 
 
 def _diag_field_checks(fields: dict[str, str], i: int, off: int, emit) -> None:
@@ -510,6 +546,23 @@ def _lane_span_checks(
         emit(i, off, S.E705_LANE_ORDER,
              f"lane {lane} out of order after lane {prev_lane_box[0]}")
     prev_lane_box[0] = lane
+    if "ape" in fields:
+        ape = _int_field(fields, "ape")
+        if ape is None or not (ape == APE_OK or ape in APE_WARNING
+                               or ape in APE_FATAL):
+            emit(i, off, S.E9007_APE,
+                 f"unknown APE byte {fields['ape']} on lane {lane}",
+                 S.SEV_WARNING)
+        elif ape in APE_WARNING:
+            emit(i, off, S.E9007_APE,
+                 f"APE {APE_WARNING[ape]} on lane {lane}", S.SEV_WARNING)
+        elif ape in APE_FATAL:
+            emit(i, off, S.E9007_APE,
+                 f"APE {APE_FATAL[ape]} on lane {lane}; lane status FATAL",
+                 S.SEV_FATAL)
+            fatal_lanes.add(lane)
+            return  # dead lane: no chip checks, excluded from later frames
+        # APE_OK (padding, 0x00): lane status OK — fall through
     if "chips" in fields:
         chips = _int_list_field(fields, "chips")
         if chips is None:

@@ -556,9 +556,15 @@ def _make_arrow_pass(fused: bool, trigger_period: int | None = None):
             lane_kv = ((codes == _K_TEXT) | (codes == _K_MEDIA)) & lane_pref
             rf_counts: dict[str, int] = {}
             for j in kv_idx[lane_kv[kv_idx]]:
-                rf = pyfsm._int_field(kv_flat[int(j)], "rf")
+                fields = kv_flat[int(j)]
+                rf = pyfsm._int_field(fields, "rf")
                 if rf is not None:
                     pyfsm.log_readout_flags(rf, rf_counts)
+                if "ape" in fields:
+                    name = pyfsm.ape_census_name(
+                        pyfsm._int_field(fields, "ape"))
+                    if name:
+                        rf_counts[name] = rf_counts.get(name, 0) + 1
             if rf_counts:
                 nrf = len(rf_counts)
                 out_batches.append(pa.RecordBatch.from_arrays(

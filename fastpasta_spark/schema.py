@@ -189,6 +189,12 @@ E9005_CHIP_ORDER = "E9005"        # chip ids not strictly increasing within a la
 E9006_LANE_FATAL = "E9006"        # undecodable chip stream -> lane FATAL; the lane is
                                   # excluded from expected-lane accounting for the rest
                                   # of the doc (readout_frame.rs:40-50 fatal_lanes)
+E9007_APE = "E9007"               # ALPIDE protocol extension word on a lane span
+                                  # (ape=<byte>): severity per the APE table
+                                  # (alpide_word.rs:35-49) — WARNING APEs report only,
+                                  # FATAL APEs also put the lane in the running fatal
+                                  # set (lane_alpide_frame_analyzer.rs:149-170);
+                                  # unknown bytes -> WARNING (reference log-warns)
 
 # Relational checks (north_rule extensions)
 E100_DUPLICATE_KEY = "E100"      # duplicate doc_id (uniqueness)
@@ -210,7 +216,7 @@ ALL_CODES = [
     E701_EMPTY_FRAME, E702_LANE_COUNT, E703_DUP_REF_IN_FRAME,
     E704_LANE_NOT_DECLARED, E705_LANE_ORDER,
     E9003_CHIP_BC_MISMATCH, E9004_CHIP_COUNT, E9005_CHIP_ORDER,
-    E9006_LANE_FATAL,
+    E9006_LANE_FATAL, E9007_APE,
     E100_DUPLICATE_KEY, E110_DANGLING_REF,
     E120_DRIFT, E130_GOLDEN_MISMATCH, E9001_CUSTOM_CHECK,
 ]

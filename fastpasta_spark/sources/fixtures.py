@@ -184,6 +184,18 @@ def bad_pad_content(spark: SparkSession, n_docs: int = 400) -> DataFrame:
     return _mutated(spark, synth.MUT_PAD_DIRTY, n_docs, cfg=_PAD_SPANS_CFG)
 
 
+def ape_warnings(spark: SparkSession, n_docs: int = 400) -> DataFrame:
+    """WARNING-class APE on a lane span -> E9007 WARNING, verdict still
+    PASS (alpide_word.rs:35-49 severity table)."""
+    return _mutated(spark, synth.MUT_APE_WARNING, n_docs, cfg=_LANE_CFG)
+
+
+def ape_fatal(spark: SparkSession, n_docs: int = 400) -> DataFrame:
+    """FATAL-class APE -> E9007 FATAL + the lane joins the running
+    fatal set (lane_alpide_frame_analyzer.rs:166-170)."""
+    return _mutated(spark, synth.MUT_APE_FATAL, n_docs, cfg=_LANE_CFG)
+
+
 def bad_diag_fields(spark: SparkSession, n_docs: int = 400) -> DataFrame:
     """Diag footer with resv != 0 -> E61 (DDW0 field sanity analogue,
     ddw.rs:9-46: reserved == 0, index >= 1)."""
@@ -228,6 +240,8 @@ FIXTURES = {
     "bad_pad_content": bad_pad_content,
     "bad_diag_fields": bad_diag_fields,
     "bad_diag_index": bad_diag_index,
+    "ape_warnings": ape_warnings,
+    "ape_fatal": ape_fatal,
     "drifted": drifted,
     "resume_corpus": resume_corpus,
 }
@@ -257,4 +271,6 @@ def expected_dominant_codes() -> dict[str, set[str]]:
         "bad_pad_content": {"E74"},
         "bad_diag_fields": {"E61"},
         "bad_diag_index": {"E61"},
+        "ape_warnings": {"E9007"},
+        "ape_fatal": {"E9007"},
     }

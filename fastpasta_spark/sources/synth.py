@@ -77,8 +77,13 @@ MUT_PAD_INSIDE = 24       # pad span inside an open frame       -> E82
 MUT_PAD_DIRTY = 25        # trailing pad carries text           -> E74
 # diag checked-field classes (DDW0 field sanity, any corpus)
 MUT_DIAG_RESV = 26        # diag resv= nonzero                  -> E61
-MUT_DIAG_IDX = 27         # diag idx= < 1                       -> E61
-N_MUTATIONS_ALL = 28
+MUT_DIAG_IDX = 27        # diag idx= < 1                        -> E61
+# APE classes (lane_layer corpora; alpide_word.rs severity table)
+MUT_APE_WARNING = 28      # lane span ape=0xF2 (strip_start)    -> E9007 WARNING
+MUT_APE_FATAL = 29        # lane span ape=0xF4 (det_timeout)    -> E9007 FATAL;
+                          # the lane's spans vanish from later frames (A8
+                          # propagation keeps E702 quiet)
+N_MUTATIONS_ALL = 30
 
 
 # readout-flag bytes for readout_flags corpora: the three exclusive
@@ -413,6 +418,27 @@ def _mutate(spans: list[dict], mut: int, h: int, cfg: CorpusConfig) -> list[dict
                       if s["kind"] == S.KIND_PAD), None)
         if p_idx is not None:
             spans[p_idx]["text"] = "deadbeef"
+    elif mut in (MUT_APE_WARNING, MUT_APE_FATAL):
+        lanes_idx = [k for k, s in enumerate(spans)
+                     if s["text"].startswith("lane=")]
+        if lanes_idx:
+            k = lanes_idx[0]
+            if mut == MUT_APE_WARNING:
+                spans[k]["text"] += f",ape={0xF2}"
+            else:
+                # fatal APE on the first frame's first lane; its spans
+                # vanish from LATER frames (fatal set snapshot at open
+                # means the CURRENT frame still expects it)
+                parts = dict(p.split("=", 1) for p in spans[k]["text"].split(","))
+                fatal_lane = parts["lane"]
+                spans[k]["text"] += f",ape={0xF4}"
+                first_trailer = next(j for j in range(k, len(spans))
+                                     if spans[j]["kind"] == S.KIND_TRAILER)
+                spans = [s for j, s in enumerate(spans)
+                         if j <= first_trailer
+                         or not s["text"].startswith(f"lane={fatal_lane},")]
+                for k2, s in enumerate(spans):
+                    s["offset"] = k2
     elif mut in (MUT_DIAG_RESV, MUT_DIAG_IDX):
         # corrupt (or add) the diag footer's checked fields; insertion
         # goes BEFORE any trailing pad run so only E61 fires (padding

@@ -186,6 +186,8 @@ _FAMS = [
     ("fatal_lanes", FX._LANE_CFG, synth.MUT_FATAL_LANE, None),
     ("bad_diag_fields", None, synth.MUT_DIAG_RESV, None),
     ("bad_diag_index", None, synth.MUT_DIAG_IDX, None),
+    ("ape_warnings", FX._LANE_CFG, synth.MUT_APE_WARNING, None),
+    ("ape_fatal", FX._LANE_CFG, synth.MUT_APE_FATAL, None),
 ]
 
 
@@ -308,3 +310,101 @@ def test_lane_corpora_without_rf_emit_no_census(spark):
     _, stats = split_sequence_output(sequence_pass(corpus_df(spark, cfg)))
     assert not [r.name for r in stats.collect()
                 if r.name.startswith("alpide_")]
+
+
+# ---------------------------------------------------------------------------
+# APE severity table (E9007; alpide_word.rs:35-49)
+# ---------------------------------------------------------------------------
+
+
+def _ape_doc(lane_texts, lanes=None):
+    n = len(lane_texts)
+    ids = ";".join(str(i) for i in range(lanes if lanes is not None else n))
+    doc = [span("header", f"lanes={lanes or n},lane_ids={ids},chips=2", off=0),
+           span("trig", "cont=0,bc=5", off=1)]
+    for i, t in enumerate(lane_texts):
+        doc.append(span("text", t, off=i + 2))
+    doc.append(span("trailer", "done=1", off=n + 2))
+    return doc
+
+
+def test_ape_warning_reports_but_lane_survives():
+    doc = _ape_doc([f"lane=0,chips=0;1,cbc=5,ape={0xF2}",
+                     "lane=1,chips=8;9,cbc=5"])
+    viols = validate_spans(doc)
+    assert [(v[2], v[3]) for v in viols] == [(S.E9007_APE, S.SEV_WARNING)]
+    assert "strip_start" in viols[0][4]
+
+
+def test_ape_ok_padding_is_noop():
+    doc = _ape_doc(["lane=0,chips=0;1,cbc=5,ape=0",
+                     "lane=1,chips=8;9,cbc=5"])
+    assert validate_spans(doc) == []
+
+
+def test_ape_unknown_byte_warns():
+    doc = _ape_doc([f"lane=0,chips=0;1,cbc=5,ape={0xF3}",
+                     "lane=1,chips=8;9,cbc=5"])
+    viols = validate_spans(doc)
+    assert [(v[2], v[3]) for v in viols] == [(S.E9007_APE, S.SEV_WARNING)]
+    assert "unknown APE" in viols[0][4]
+
+
+def test_ape_fatal_propagates_like_e9006():
+    # frame 1: lane 0 hit by a fatal APE (frame still expects it —
+    # snapshot at open); frame 2 omits lane 0 entirely and must NOT
+    # get an E702 because the fatal set shrinks the expectation
+    doc = [
+        span("header", "lanes=2,lane_ids=0;1,chips=2", off=0),
+        span("trig", "cont=0,bc=5", off=1),
+        span("text", f"lane=0,chips=0;1,cbc=5,ape={0xF4}", off=2),
+        span("text", "lane=1,chips=8;9,cbc=5", off=3),
+        span("trailer", "done=1", off=4),
+        span("header", "lanes=2,lane_ids=0;1,chips=2", off=5),
+        span("trig", "cont=0,bc=9", off=6),
+        span("text", "lane=1,chips=8;9,cbc=9", off=7),
+        span("trailer", "done=1", off=8),
+    ]
+    viols = validate_spans(doc)
+    assert [(v[2], v[3]) for v in viols] == [(S.E9007_APE, S.SEV_FATAL)]
+    assert "detector_timeout" in viols[0][4]
+    # chip checks skipped on the dead lane: corrupt its chips too -> same
+    doc2 = [dict_span for dict_span in doc]
+    doc2[2] = span("text", f"lane=0,chips=junk,ape={0xF4}", off=2)
+    assert [(v[2], v[3]) for v in validate_spans(doc2)] == [
+        (S.E9007_APE, S.SEV_FATAL)]
+
+
+def test_ape_census_names():
+    from fastpasta_spark.functions.fsm import ape_census_name
+
+    assert ape_census_name(0x00) is None
+    assert ape_census_name(0xF2) == "ape_strip_start"
+    assert ape_census_name(0xF4) == "ape_detector_timeout"
+    assert ape_census_name(0xFC) == "ape_rate_missing_trigger"
+    assert ape_census_name(0xF3) == "ape_unknown"
+    assert ape_census_name(None) == "ape_unknown"
+
+
+def test_ape_census_counts_in_stats(spark):
+    from fastpasta_spark.operators.sequence import (
+        sequence_pass,
+        split_sequence_output,
+    )
+
+    rows = [("d0", [
+        {"kind": "header", "text": "lanes=2,lane_ids=0;1,chips=2",
+         "media_ref": "", "offset": 0},
+        {"kind": "trig", "text": "cont=0,bc=5", "media_ref": "", "offset": 1},
+        {"kind": "text", "text": f"lane=0,chips=0;1,cbc=5,ape={0xF2}",
+         "media_ref": "", "offset": 2},
+        {"kind": "text", "text": f"lane=1,chips=8;9,cbc=5,ape={0xF4}",
+         "media_ref": "", "offset": 3},
+        {"kind": "trailer", "text": "done=1", "media_ref": "", "offset": 4},
+    ])]
+    df = spark.createDataFrame(rows, schema=S.DOCS_SCHEMA)
+    _, stats = split_sequence_output(sequence_pass(df))
+    got = {r.name: r.value for r in stats.collect()
+           if r.name.startswith("alpide_ape")}
+    assert got == {"alpide_ape_strip_start": 1.0,
+                   "alpide_ape_detector_timeout": 1.0}

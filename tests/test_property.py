@@ -26,7 +26,15 @@ TEXTS = ["", "lanes=3", "cont=0,bc=5", "cont=1,bc=2", "done=0", "done=1",
          # internal-trigger fields around the E45 period boundary (198)
          "cont=0,bc=100,int=1", "cont=0,bc=298,int=1", "cont=0,bc=496,int=1",
          "cont=0,bc=300,int=1", "cont=0,bc=3560,int=1", "cont=0,bc=130,int=0",
-         "int=1", "int=x,bc=5", "cont=1,bc=298,int=1"]
+         "int=1", "int=x,bc=5", "cont=1,bc=298,int=1",
+         # diag checked fields (E61), readout-flag census, APE table
+         # (E9007 WARNING/FATAL/unknown) — all opt-in kv, so they also
+         # land on non-diag/non-lane spans harmlessly
+         "idx=1,resv=0", "idx=0,resv=0", "resv=5", "idx=zz", "resv=",
+         "lane=0,chips=0;1,cbc=5,rf=184", "lane=1,chips=8;9,cbc=5,rf=177",
+         "lane=0,chips=0;1,cbc=5,ape=242", "lane=1,chips=8;9,cbc=5,ape=244",
+         "lane=0,ape=0", "lane=1,ape=243", "lane=0,ape=x", "ape=244",
+         "lane=0,chips=0;1,cbc=5,ape=253", "lane=1,rf=190,ape=251"]
 REFS = ["", "m1", "missing_9", None]
 
 span_st = st.tuples(
