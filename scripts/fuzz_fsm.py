@@ -14,6 +14,11 @@ earlier single-leg runs at 100,000 docs x seeds (41, 2027). The legs
 found and now guard three real divergences: NULL-offset normalization
 and NULL-kind E73 (SQL three-valued `<>`) in the Column battery, and
 the Unicode lower() tokenizer split (fixed in functions/hashing.py).
+
+Round-3 evidence: vocabulary extended with diag checked fields (E61),
+readout-flag bytes (rf=) and the APE table (E9007 incl. unknown/
+unparseable bytes); all three legs x 30,000 docs x seeds (7, 99)
+-> ~2.25M rows, exact multiset parity on every leg.
 """
 
 from __future__ import annotations
