@@ -294,8 +294,13 @@ def run_failfast(
         # the slice's internal caches (fused-pass output + violation
         # union) — otherwise a clean corpus leaks 2 cached tables per
         # slice for the session's lifetime. localCheckpoint severs the
-        # lineage, so the checkpointed rows survive the unpersist.
-        v = res.violations.localCheckpoint(eager=True)
+        # lineage, so the checkpointed rows survive the unpersist; the
+        # checkpoint itself registers with the session cache registry
+        # (it backs the RETURNED union, so it is only freed by an
+        # explicit release_tracked() after the caller consumes it).
+        from fastpasta_spark.functions.cache import tracked_local_checkpoint
+
+        v = tracked_local_checkpoint(res.violations)
         total += v.count()
         res.release()
         parts.append(v)

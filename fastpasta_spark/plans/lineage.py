@@ -132,4 +132,8 @@ def run_resumable(
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
     run_id = record_lineage(res.violations, todo, checkpoint_dir, n_buckets)
+    # everything is durably in parquet now and the returned frame reads
+    # from there — drop the check_all caches instead of leaking them for
+    # the session (a resumable LOOP calls this many times)
+    res.release()
     return spark.read.parquet(out_path), run_id

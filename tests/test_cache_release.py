@@ -65,3 +65,26 @@ def test_release_is_idempotent_and_safe(spark):
     release_tracked()
     release_tracked()
     assert tracked_count() == 0
+
+
+def test_failfast_and_resumable_release(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from fastpasta_spark.plans.check_all import run_failfast
+    from fastpasta_spark.plans.lineage import run_resumable
+    from fastpasta_spark.sources.synth import CorpusConfig, corpus_df, media_df
+
+    release_tracked()
+    base = _n_cached(spark)
+    cfg = CorpusConfig(n_docs=300, corrupt_per_mille=200)
+    docs, media = corpus_df(spark, cfg), media_df(spark, cfg)
+
+    viol, done, total = run_failfast(docs, media, max_errors=5, n_slices=4)
+    assert viol.count() >= 5 and done < 4
+    release_tracked()  # slice checkpoints freed after consumption
+    assert _n_cached(spark) == base
+
+    v, run_id = run_resumable(docs, media, str(tmp_path / "ckpt"))
+    assert run_id is not None and v.count() > 0
+    # run_resumable releases its own CheckResult; nothing to free
+    assert _n_cached(spark) == base
