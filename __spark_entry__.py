@@ -1666,6 +1666,58 @@ WHERE rank <= 5
 """
 
 
+def _q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed spherical k-means (2 Lloyd iterations, k=8) over the
+    embeddings table — the SemDeDup-style semantic-clustering step.
+    Deterministic: seeded init + 6dp-rounded centroid updates make the
+    fit replay exactly in DuckDB (iterations unrolled in the oracle)."""
+    from fastpasta_spark.operators.similarity import kmeans_assign
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return kmeans_assign(emb, k=8, iters=2).select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("list_id").cast("long").alias("list_id"),
+        F.col("sim").cast("double").alias("sim"),
+    )
+
+
+def _sql_kmeans(k: int = 8, iters: int = 2, dim: int = 64) -> str:
+    h = duckdb_md5_hash("vec_id::VARCHAR")
+    cos = _duckdb_cosine("e.embedding", "c.c", dim)
+
+    def assign(cents: str, out: str) -> str:
+        return f"""{out} AS (
+  SELECT vec_id, embedding, list_id FROM (
+    SELECT e.vec_id, e.embedding, c.list_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {cos} DESC, c.list_id) AS rn
+    FROM embeddings e CROSS JOIN {cents} c) t WHERE rn = 1)"""
+
+    parts = [f"""cents0 AS (
+  SELECT row_number() OVER (ORDER BY {h}, vec_id) - 1 AS list_id,
+         list_transform(embedding, x -> x::DOUBLE) AS c
+  FROM embeddings
+  QUALIFY row_number() OVER (ORDER BY {h}, vec_id) <= {k})"""]
+    for i in range(iters):
+        parts.append(assign(f"cents{i}", f"a{i}"))
+        parts.append(f"""m{i} AS (
+  SELECT list_id, dd.d, round(avg(embedding[dd.d]::DOUBLE), 6) AS m
+  FROM a{i}, (SELECT unnest(range(1, {dim + 1})) AS d) dd
+  GROUP BY list_id, dd.d)""")
+        parts.append(f"""built{i} AS (
+  SELECT list_id, list(m ORDER BY d) AS c FROM m{i} GROUP BY list_id)""")
+        parts.append(f"""cents{i + 1} AS (
+  SELECT list_id, c FROM built{i}
+  UNION ALL
+  SELECT list_id, c FROM cents{i}
+  WHERE list_id NOT IN (SELECT list_id FROM built{i}))""")
+    parts.append(assign(f"cents{iters}", "fin"))
+    final_cos = _duckdb_cosine("f.embedding", "c.c", dim)
+    return ("WITH " + ",\n".join(parts) + f"""
+SELECT f.vec_id, f.list_id, round({final_cos}, 6) AS sim
+FROM fin f JOIN cents{iters} c USING (list_id)""")
+
+
 def _sql_span_fsm_golden() -> str:
     import os
 
@@ -1726,6 +1778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann": _q_lsh_ann,
         "ivf_ann": _q_ivf_ann,
         "embedding_near_dup": _q_embedding_near_dup,
+        "kmeans_clusters": _q_kmeans,
     }
 
 
@@ -1777,6 +1830,7 @@ def oracle_sql() -> dict[str, str]:
         "lsh_ann": _sql_lsh_ann(),
         "embedding_near_dup": _sql_embedding_near_dup(),
         "ivf_ann": _sql_ivf_ann(),
+        "kmeans_clusters": _sql_kmeans(),
         # span_fsm is genuinely non-SQL (grammar FSM), so its oracle is
         # a PINNED golden parquet generated from the pure-Python oracle
         # (functions/fsm.py) by scripts/make_span_fsm_golden.py — valid

@@ -263,6 +263,73 @@ def ivf_topk(
     )
 
 
+def kmeans_fit(corpus: DataFrame, k: int = 16, iters: int = 2,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               dp: int = 6) -> list:
+    """Distributed spherical k-means (Lloyd's) — the trained-quantizer
+    upgrade to ivf_centroids' seeded sample, and the clustering step of
+    SemDeDup-style semantic dedup.
+
+    Scale shape per iteration (the only data-sized work):
+      * assignment — argmax-cosine against the literal centroid
+        codebook, a pure codegen expression per row (no shuffle, no
+        join; same `_assign_lists` machinery as IVF)
+      * update — posexplode to (list_id, pos, val) and ONE map-side-
+        combined groupBy(list_id, pos).avg; k*dim tiny rows reach the
+        driver (the codebook update, bounded like any quantizer
+        artifact, NOT data-sized)
+    Means round to ``dp`` decimals so the fit replays bit-identically
+    in the DuckDB oracle (cross-engine double-sum order differs at
+    ~1e-15; the rounding quantum absorbs it). Cosine argmax is
+    scale-invariant, so means need no normalization (spherical
+    k-means). Empty clusters keep their previous centroid.
+
+    Returns [(list_id, centroid list[float])] sorted by list_id.
+    """
+    cent = sorted(
+        (r.list_id, [float(v) for v in r.centroid])
+        for r in ivf_centroids(corpus, k, id_col, vec_col).collect())
+    src = corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"))
+    for _ in range(iters):
+        assigned = _assign_lists(src, cent, nprobe=1, vec_col="_vec")
+        rows = (
+            assigned.select("list_id", F.posexplode("_vec").alias("pos", "val"))
+            .groupBy("list_id", "pos")
+            .agg(F.round(F.avg(F.col("val").cast("double")), dp).alias("m"))
+            .collect()
+        )
+        by_list: dict[int, dict[int, float]] = {}
+        for r in rows:
+            by_list.setdefault(r.list_id, {})[r.pos] = r.m
+        cent = [
+            (lid, [by_list[lid][p] for p in range(len(vec))])
+            if lid in by_list else (lid, vec)
+            for lid, vec in cent
+        ]
+    return cent
+
+
+def kmeans_assign(corpus: DataFrame, k: int = 16, iters: int = 2,
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  dp: int = 6) -> DataFrame:
+    """Fit spherical k-means and return every vector's cluster:
+    (id_col, list_id, sim) with sim = cosine to its centroid. The
+    SemDeDup front half — follow with within-cluster
+    embedding_near_duplicates to prune semantic duplicates without an
+    all-pairs join."""
+    cent = kmeans_fit(corpus, k, iters, id_col, vec_col, dp)
+    assigned = _assign_lists(
+        corpus.select(F.col(id_col), F.col(vec_col).alias("_vec")),
+        cent, nprobe=1, vec_col="_vec")
+    cent_lit = ", ".join(
+        "array(" + ", ".join(f"CAST({v!r} AS DOUBLE)" for v in vec) + ")"
+        for _, vec in cent)
+    sim = COSINE_EXPR.format(
+        a="_vec", b=f"element_at(array({cent_lit}), list_id + 1)")
+    return assigned.select(
+        id_col, "list_id", F.round(F.expr(sim), 6).alias("sim"))
+
+
 def lsh_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,

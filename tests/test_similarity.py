@@ -111,3 +111,75 @@ def test_embedding_near_duplicates(spark, embeddings):
     # every bucket, so ALL injected pairs must be found
     assert expected <= found
     assert all(r.sim >= 0.999 for r in pairs)
+
+
+def test_kmeans_matches_numpy_replay(spark):
+    # independent Lloyd's replay in numpy: seeded init (smallest md5 of
+    # id), argmax cosine w/ list_id tie-break, 6dp-rounded means
+    import numpy as np
+
+    from fastpasta_spark.functions.hashing import py_md5_hash
+    from fastpasta_spark.operators.similarity import kmeans_assign
+
+    rng = np.random.RandomState(3)
+    vecs = {i: rng.randn(8).astype("float32") for i in range(60)}
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs.items()],
+        "vec_id long, embedding array<float>")
+    k, iters = 4, 2
+    got = {r.vec_id: (r.list_id, r.sim)
+           for r in kmeans_assign(emb, k=k, iters=iters).collect()}
+
+    def cos(a, b):
+        a = np.asarray(a, dtype=np.float64); b = np.asarray(b, dtype=np.float64)
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    init_order = sorted(vecs, key=lambda i: (py_md5_hash(str(i)), i))[:k]
+    cents = [np.asarray(vecs[i], dtype=np.float64) for i in init_order]
+
+    def assign_all():
+        out = {}
+        for i, v in vecs.items():
+            sims = [cos(v, c) for c in cents]
+            best = max(range(k), key=lambda j: (sims[j], -j))
+            out[i] = best
+        return out
+
+    for _ in range(iters):
+        a = assign_all()
+        for j in range(k):
+            members = [vecs[i] for i, lj in a.items() if lj == j]
+            if members:
+                cents[j] = np.round(
+                    np.mean(np.asarray(members, dtype=np.float64), axis=0), 6)
+    final = assign_all()
+    for i in vecs:
+        assert got[i][0] == final[i], i
+        assert abs(got[i][1] - round(cos(vecs[i], cents[final[i]]), 6)) < 2e-6, i
+
+
+def test_kmeans_partition_invariant(spark):
+    from fastpasta_spark.operators.similarity import kmeans_assign
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = sorted(map(tuple, kmeans_assign(emb, k=4, iters=1).collect()))
+    b = sorted(map(tuple, kmeans_assign(emb.repartition(7), k=4,
+                                        iters=1).collect()))
+    assert a == b
+
+
+def test_kmeans_semdedup_composition(spark):
+    # SemDeDup shape: cluster, then near-dup only WITHIN clusters —
+    # exact copies must land in the same cluster with sim 1.0 to its
+    # centroid's argmax (they are identical vectors)
+    from fastpasta_spark.operators.similarity import kmeans_assign
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet") \
+        .select("vec_id", "embedding")
+    copies = emb.filter("vec_id < 5").selectExpr(
+        "vec_id + 1000000 AS vec_id", "embedding")
+    got = {r.vec_id: r.list_id
+           for r in kmeans_assign(emb.unionByName(copies), k=4,
+                                  iters=1).collect()}
+    for i in range(5):
+        assert got[i] == got[i + 1000000]
