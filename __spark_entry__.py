@@ -1681,7 +1681,11 @@ def _q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_kmeans(k: int = 8, iters: int = 2, dim: int = 64) -> str:
+def _kmeans_ctes(k: int, iters: int, dim: int,
+                 src: str = "embeddings") -> list[str]:
+    """The unrolled Lloyd's replay as CTE parts: cents0 (seeded init),
+    a{i}/m{i}/built{i}/cents{i+1} per iteration, `fin` (final assign).
+    Shared by the kmeans_clusters and semantic_dup oracles."""
     h = duckdb_md5_hash("vec_id::VARCHAR")
     cos = _duckdb_cosine("e.embedding", "c.c", dim)
 
@@ -1691,12 +1695,12 @@ def _sql_kmeans(k: int = 8, iters: int = 2, dim: int = 64) -> str:
     SELECT e.vec_id, e.embedding, c.list_id,
            row_number() OVER (PARTITION BY e.vec_id
                               ORDER BY {cos} DESC, c.list_id) AS rn
-    FROM embeddings e CROSS JOIN {cents} c) t WHERE rn = 1)"""
+    FROM {src} e CROSS JOIN {cents} c) t WHERE rn = 1)"""
 
     parts = [f"""cents0 AS (
   SELECT row_number() OVER (ORDER BY {h}, vec_id) - 1 AS list_id,
          list_transform(embedding, x -> x::DOUBLE) AS c
-  FROM embeddings
+  FROM {src}
   QUALIFY row_number() OVER (ORDER BY {h}, vec_id) <= {k})"""]
     for i in range(iters):
         parts.append(assign(f"cents{i}", f"a{i}"))
@@ -1712,10 +1716,49 @@ def _sql_kmeans(k: int = 8, iters: int = 2, dim: int = 64) -> str:
   SELECT list_id, c FROM cents{i}
   WHERE list_id NOT IN (SELECT list_id FROM built{i}))""")
     parts.append(assign(f"cents{iters}", "fin"))
+    return parts
+
+
+def _sql_kmeans(k: int = 8, iters: int = 2, dim: int = 64) -> str:
+    parts = _kmeans_ctes(k, iters, dim)
     final_cos = _duckdb_cosine("f.embedding", "c.c", dim)
     return ("WITH " + ",\n".join(parts) + f"""
 SELECT f.vec_id, f.list_id, round({final_cos}, 6) AS sim
 FROM fin f JOIN cents{iters} c USING (list_id)""")
+
+
+def _q_semantic_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup composition: k-means clusters, then exact-cosine pairs
+    WITHIN clusters only; ten exact copies injected so duplicate pairs
+    provably surface."""
+    from fastpasta_spark.operators.similarity import semantic_duplicates
+
+    emb = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    copies = emb.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding")
+    return semantic_duplicates(
+        emb.unionByName(copies), threshold=0.999, k=8, iters=1).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("sim").cast("double").alias("sim"),
+        F.col("list_id").cast("long").alias("list_id"),
+    )
+
+
+def _sql_semantic_dup(k: int = 8, iters: int = 1, dim: int = 64) -> str:
+    base = """base AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id < 10)"""
+    parts = [base] + _kmeans_ctes(k, iters, dim, src="base")
+    cos = _duckdb_cosine("a.embedding", "b.embedding", dim)
+    return ("WITH " + ",\n".join(parts) + f"""
+SELECT id_a, id_b, sim, list_id FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({cos}, 6) AS sim,
+         a.list_id
+  FROM fin a JOIN fin b
+    ON a.list_id = b.list_id AND a.vec_id < b.vec_id) t
+WHERE sim >= 0.999""")
 
 
 def _sql_span_fsm_golden() -> str:
@@ -1779,6 +1822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann": _q_ivf_ann,
         "embedding_near_dup": _q_embedding_near_dup,
         "kmeans_clusters": _q_kmeans,
+        "semantic_dup": _q_semantic_dup,
     }
 
 
@@ -1831,6 +1875,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dup": _sql_embedding_near_dup(),
         "ivf_ann": _sql_ivf_ann(),
         "kmeans_clusters": _sql_kmeans(),
+        "semantic_dup": _sql_semantic_dup(),
         # span_fsm is genuinely non-SQL (grammar FSM), so its oracle is
         # a PINNED golden parquet generated from the pure-Python oracle
         # (functions/fsm.py) by scripts/make_span_fsm_golden.py — valid

@@ -330,6 +330,46 @@ def kmeans_assign(corpus: DataFrame, k: int = 16, iters: int = 2,
         id_col, "list_id", F.round(F.expr(sim), 6).alias("sim"))
 
 
+def semantic_duplicates(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    k: int = 16,
+    iters: int = 2,
+    max_cluster: int = 2000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs: spherical k-means
+    clusters the corpus, then the exact cosine self-join runs WITHIN
+    clusters only — pair volume drops from N^2 to sum(|cluster|^2),
+    with clusters larger than ``max_cluster`` dropped before the join
+    (the same degenerate-region lever as every LSH bucket join; a giant
+    cluster means the quantizer collapsed there and its pairs are
+    below-threshold noise). Returns (id_a, id_b, sim, list_id) with
+    id_a < id_b and sim >= threshold.
+    """
+    assigned = tracked_persist(kmeans_assign(
+        corpus, k=k, iters=iters, id_col=id_col, vec_col=vec_col
+    ).select(id_col, "list_id"))
+    vecs = corpus.select(F.col(id_col), F.col(vec_col).alias("_vec"))
+    members = assigned.join(vecs, id_col)
+    if max_cluster is not None:
+        hot = (assigned.groupBy("list_id").agg(F.count(F.lit(1)).alias("_n"))
+               .filter(F.col("_n") > max_cluster).select("list_id"))
+        members = members.join(F.broadcast(hot), "list_id", "left_anti")
+    a, b = members.alias("a"), members.alias("b")
+    sim = F.expr(COSINE_EXPR.format(a="a._vec", b="b._vec"))
+    return (
+        a.join(b, (F.col("a.list_id") == F.col("b.list_id"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                F.round(sim, 6).alias("sim"),
+                F.col("a.list_id").alias("list_id"))
+        .filter(F.col("sim") >= threshold)
+    )
+
+
 def lsh_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,

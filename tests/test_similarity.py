@@ -183,3 +183,32 @@ def test_kmeans_semdedup_composition(spark):
                                   iters=1).collect()}
     for i in range(5):
         assert got[i] == got[i + 1000000]
+
+
+def test_semantic_duplicates_finds_copies_within_clusters(spark):
+    from fastpasta_spark.functions.cache import release_tracked
+    from fastpasta_spark.operators.similarity import semantic_duplicates
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet") \
+        .select("vec_id", "embedding")
+    copies = emb.filter("vec_id < 8").selectExpr(
+        "vec_id + 1000000 AS vec_id", "embedding")
+    pairs = semantic_duplicates(emb.unionByName(copies), threshold=0.999,
+                                k=4, iters=1).collect()
+    got = {(r.id_a, r.id_b): r.sim for r in pairs}
+    for i in range(8):
+        assert (i, i + 1000000) in got, i
+        assert got[(i, i + 1000000)] == 1.0
+    release_tracked()
+
+
+def test_semantic_duplicates_hot_cluster_cap(spark):
+    from fastpasta_spark.functions.cache import release_tracked
+    from fastpasta_spark.operators.similarity import semantic_duplicates
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet") \
+        .select("vec_id", "embedding")
+    # cap below every cluster size -> all clusters dropped -> no pairs
+    assert semantic_duplicates(emb, threshold=0.0, k=2, iters=1,
+                               max_cluster=1).count() == 0
+    release_tracked()
