@@ -1736,8 +1736,12 @@ def _q_semantic_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     copies = emb.filter(F.col("vec_id") < 10).select(
         (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding")
+    # max_cluster=None: the oracle replays NO hot-cluster drop, and the
+    # cap would diverge the two sides the first time a cluster exceeds
+    # it at a larger sf (the operator default keeps the cap for real use)
     return semantic_duplicates(
-        emb.unionByName(copies), threshold=0.999, k=8, iters=1).select(
+        emb.unionByName(copies), threshold=0.999, k=8, iters=1,
+        max_cluster=None).select(
         F.col("id_a").cast("long").alias("id_a"),
         F.col("id_b").cast("long").alias("id_b"),
         F.col("sim").cast("double").alias("sim"),

@@ -395,7 +395,8 @@ def simhash_duplicates(df: DataFrame, id_col: str = "doc_id",
             "pigeonhole recall guarantee (a qualifying pair may share "
             "no band); raise bands alongside max_hamming")
     if bits % bands != 0:
-        raise ValueError(f"bits={bits} must divide evenly into bands={bands}")
+        raise ValueError(
+            f"bands={bands} must divide evenly into bits={bits}")
     # persist: the fingerprint expr is referenced by `bands` band exprs +
     # both join sides — same ProjectionCollapse inlining hazard as minhash
     h = tracked_persist(simhash(df, text_col, bits).select(id_col, "simhash"))

@@ -85,7 +85,10 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
             .filter(F.col("n.label") != F.col("o.label"))
         )
         converged = changed.isEmpty()
-        release_local_checkpoint(labels)  # prev round: consumed above
+        try:  # best-effort (private plan internals), like the registry
+            release_local_checkpoint(labels)  # prev round: consumed above
+        except Exception:
+            pass
         labels = new_labels
         if converged:
             break

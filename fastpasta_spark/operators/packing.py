@@ -49,8 +49,14 @@ def global_cumsum(df: DataFrame, order_col: str, value_col: str,
     spark = df.sparkSession
     n = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    # persist: _pid is read twice (totals + join side); without a
-    # barrier the range partitioner could re-sample on recompute
+    # persist: _pid is read twice (totals + join side). Releasing this
+    # cache (functions/cache.release_tracked) before the result is
+    # consumed is still CORRECT, not just slower: the returned frame
+    # references the same JVM Dataset, whose cached query execution
+    # reuses the SAME RangePartitioner instance on recompute — and the
+    # partitioner's sample seed derives deterministically from the rdd
+    # id, so even a rebuilt plan draws identical bounds. The _pid
+    # boundaries the driver-collected totals came from cannot drift.
     r = tracked_persist(
         df.repartitionByRange(n, F.col(order_col))
           .sortWithinPartitions(order_col)

@@ -54,6 +54,38 @@ def _dedup_batch(batch_df: DataFrame, state: DataFrame | None) -> DataFrame:
     return kept
 
 
+def _claim_identity(sp: SparkSession, marker: str, checkpoint_dir: str) -> str:
+    """Return the checkpoint_dir that OWNS the marker file, claiming it
+    atomically for ``checkpoint_dir`` if unowned. Uses the Hadoop
+    FileSystem API so the create-if-absent is atomic on HDFS/object
+    stores (local fs narrows the race to the create call itself)."""
+    jvm = sp._jvm
+    path = jvm.org.apache.hadoop.fs.Path(marker)
+    fs = path.getFileSystem(sp._jsc.hadoopConfiguration())
+
+    def read_owner() -> str:
+        stream = fs.open(path)
+        try:
+            reader = jvm.java.io.BufferedReader(
+                jvm.java.io.InputStreamReader(stream, "UTF-8"))
+            return reader.readLine() or ""
+        finally:
+            stream.close()
+
+    if fs.exists(path):
+        return read_owner()
+    try:
+        out = fs.create(path, False)  # overwrite=False: create-if-absent
+        try:
+            out.write(bytearray(checkpoint_dir.encode("utf-8")))
+        finally:
+            out.close()
+        return checkpoint_dir
+    except Exception:
+        # lost the creation race (or dir perms) — defer to whoever won
+        return read_owner()
+
+
 def incremental_dedup(
     spark: SparkSession,
     input_dir: str,
@@ -77,18 +109,15 @@ def incremental_dedup(
         # a checkpoint resumed against the WRONG out_dir at epoch N>0
         # would silently anti-join the batch against a foreign hash
         # ledger and dynamically overwrite that ledger's partitions. The
-        # marker parquet binds out_dir to the checkpoint that owns it on
-        # first write; any later epoch from a different checkpoint aborts.
-        ident_path = f"{out_dir}/_identity"
-        try:
-            owner = sp.read.parquet(ident_path).first()["checkpoint_dir"]
-        except AnalysisException:
-            owner = None
-        if owner is None:
-            sp.createDataFrame([(checkpoint_dir,)], "checkpoint_dir string"
-                               ).coalesce(1).write.mode("overwrite"
-                                                        ).parquet(ident_path)
-        elif owner != checkpoint_dir:
+        # marker FILE binds out_dir to the checkpoint that owns it on
+        # first write; any epoch from a different checkpoint aborts.
+        # Claimed via Hadoop FileSystem.create(overwrite=False) — atomic
+        # on HDFS/object stores (and a microsecond window on local fs),
+        # so two brand-new streams racing the same out_dir cannot BOTH
+        # claim it: the create loser reads the winner's id and aborts
+        # before touching the ledger.
+        owner = _claim_identity(sp, f"{out_dir}/_identity", checkpoint_dir)
+        if owner != checkpoint_dir:
             raise RuntimeError(
                 f"{out_dir} is owned by stream checkpoint {owner!r} but "
                 f"this stream runs from {checkpoint_dir!r} — refusing to "

@@ -81,6 +81,12 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
             print(f"FAIL  {name}: spark error {str(e)[:200]}")
             failures += 1
             continue
+        if name == "span_fsm" and not sf_dir.rstrip("/").endswith("sf0.01"):
+            # the span_fsm oracle is a PINNED sf0.01 golden parquet
+            # (driver runs the gate at sf0.01); other corpora fall back
+            # to the rows-only check instead of false-failing
+            print(f"ok*   {name}: rows-only at {sf_dir} ({len(srows)} rows)")
+            continue
         if name not in oracles:
             print(f"ok*   {name}: rows-only ({len(srows)} rows)")
             continue

@@ -102,3 +102,12 @@ def test_foreign_checkpoint_rejected_every_epoch(spark, tmp_path):
     q = incremental_dedup(spark, in_dir, out, str(tmp_path / "ckpt_other"))
     with pytest.raises(StreamingQueryException, match="owned by stream"):
         q.awaitTermination(120)
+
+
+def test_claim_identity_first_writer_wins(spark, tmp_path):
+    from fastpasta_spark.streaming.dedup_stream import _claim_identity
+
+    m = str(tmp_path / "out" / "_identity")
+    assert _claim_identity(spark, m, "/ck/a") == "/ck/a"   # claims
+    assert _claim_identity(spark, m, "/ck/b") == "/ck/a"   # defers to owner
+    assert _claim_identity(spark, m, "/ck/a") == "/ck/a"   # idempotent
