@@ -27,7 +27,9 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 BENCH_DOCS = int(os.environ.get("BENCH_DOCS", 500_000))
 # best-of-N per timing (hyperfine-min analogue): the shared host has
 # neighbor bursts that can inflate ONE query 10x in a single-shot run
-BENCH_REPS = int(os.environ.get("BENCH_REPS", 2))
+# (round-3 observed identical code swing 20.4s..49.4s suite-total with
+# ambient loadavg 2 -> 14 mid-run; 3 reps ride out most bursts)
+BENCH_REPS = int(os.environ.get("BENCH_REPS", 3))
 
 HEADLINE_QUERIES = [
     "span_fsm",
