@@ -223,3 +223,36 @@ def test_unigram_scoring_is_map_only(spark):
     # model building collects tiny artifacts in separate jobs; the
     # returned SCORING dataframe is a pure projection — zero exchanges
     assert "Exchange" not in plan
+
+
+def test_kmeans_assignment_is_shuffle_free(spark):
+    # the per-row argmax against the literal centroid codebook must be a
+    # pure projection — no Exchange, no join (the scale property that
+    # makes each Lloyd iteration one scan)
+    from fastpasta_spark.operators.similarity import (
+        _assign_lists,
+        ivf_centroids,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet") \
+        .select("vec_id", F.col("embedding").alias("_vec"))
+    cent = sorted((r.list_id, [float(v) for v in r.centroid])
+                  for r in ivf_centroids(emb, 4, vec_col="_vec").collect())
+    assigned = _assign_lists(emb, cent, nprobe=1, vec_col="_vec")
+    plan = plan_of(assigned)
+    assert n_exchanges(plan) == 0
+    assert "Join" not in plan
+
+
+def test_semantic_dup_hot_cluster_drop_is_broadcast_anti(spark):
+    from fastpasta_spark.functions.cache import release_tracked
+    from fastpasta_spark.operators.similarity import semantic_duplicates
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet") \
+        .select("vec_id", "embedding")
+    pairs = semantic_duplicates(emb, threshold=0.99, k=4, iters=1,
+                                max_cluster=50)
+    plan = plan_of(pairs)
+    assert re.search(r"Broadcast.*Join.*LeftAnti", plan) or \
+        ("LeftAnti" in plan and "Broadcast" in plan)
+    release_tracked()
