@@ -1350,6 +1350,33 @@ SELECT doc_id, {rep} AS rep_ratio, {counts} FROM docs2
 """
 
 
+def _q_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over documents + the crafted _PII_DOCS rows (the
+    acting counterpart of the text_patterns census)."""
+    from fastpasta_spark.operators.textstats import redact_patterns
+
+    d = _read(spark, sf_dir, "documents").withColumn(
+        "doc_id", F.col("doc_id").cast("long")).select("doc_id", "text")
+    fam = spark.createDataFrame(_PII_DOCS, "doc_id long, text string")
+    return redact_patterns(d.unionByName(fam), out_col="clean_text") \
+        .select("doc_id", "clean_text")
+
+
+def _sql_redact() -> str:
+    from fastpasta_spark.operators.textstats import PATTERNS, REDACTIONS
+
+    expr = "text"
+    for name, token in REDACTIONS:
+        expr = f"regexp_replace({expr}, '{PATTERNS[name]}', '{token}', 'g')"
+    fam = ", ".join(f"({i}, '{t}')" for i, t in _PII_DOCS)
+    return f"""
+WITH docs2 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT * FROM (VALUES {fam}) v(doc_id, text))
+SELECT doc_id, {expr} AS clean_text FROM docs2
+"""
+
+
 def _q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sub-document (paragraph-style) dedup: 10-token segments, corpus-
     wide first-seen-wins, cleaned text rebuilt per doc."""
@@ -1816,6 +1843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation": _q_curation,
         "segment_dedup": _q_segment_dedup,
         "text_patterns": _q_text_patterns,
+        "redact": _q_redact,
         "stratified_sample": _q_stratified_sample,
         "mix_report": _q_mix_report,
         "simhash": _q_simhash,
@@ -1869,6 +1897,7 @@ def oracle_sql() -> dict[str, str]:
         "curation": _sql_curation(),
         "segment_dedup": _sql_segment_dedup(),
         "text_patterns": _sql_text_patterns(),
+        "redact": _sql_redact(),
         "stratified_sample": _sql_stratified_sample(),
         "mix_report": _sql_mix_report(),
         "simhash": _sql_simhash(),

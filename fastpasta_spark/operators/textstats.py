@@ -193,6 +193,33 @@ def pattern_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out
 
 
+# replacement tokens per pattern (ORDER MATTERS and is shared with the
+# DuckDB oracle: emails first — an email would otherwise lose its
+# domain-digit runs to the number pass; urls before numbers for the
+# same reason; numbers last)
+REDACTIONS = [
+    ("emails", "[EMAIL]"),
+    ("urls", "[URL]"),
+    ("long_numbers", "[NUM]"),
+]
+
+
+def redact_patterns(df: DataFrame, text_col: str = "text",
+                    out_col: str | None = None) -> DataFrame:
+    """PII-ish redaction: replace emails / URLs / long digit runs with
+    placeholder tokens — the acting counterpart of pattern_counts'
+    census (curation pipelines redact or drop, never just count).
+    Pure chained regexp_replace, JVM-side, embarrassingly parallel;
+    same portable RE subset as PATTERNS so the DuckDB oracle replays
+    the exact replacement order. NULL text stays NULL.
+    """
+    out_col = out_col or text_col
+    expr = F.col(text_col)
+    for name, token in REDACTIONS:
+        expr = F.regexp_replace(expr, F.lit(PATTERNS[name]), F.lit(token))
+    return df.withColumn(out_col, expr)
+
+
 def profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-corpus text profile (one row): counts, null rate, length
     stats — the doc-table face of the reference's stats report."""

@@ -174,3 +174,25 @@ def test_unigram_vocab_sql_safety_guard():
     for bad in ("it's", 'a"b', "a\\b", "", None, "café"):
         with pytest.raises(ValueError, match="SQL-literal"):
             _assert_sql_safe_tokens({bad: 1})
+
+
+def test_redact_patterns(spark):
+    from fastpasta_spark.operators.textstats import redact_patterns
+
+    rows = [
+        (1, "mail alice@example.com and see https://x.co/p?id=12345678 now"),
+        (2, "card 1234567890123456 ok"),
+        (3, None),
+        (4, "clean text stays untouched"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.text for r in redact_patterns(df).collect()}
+    # email redacted BEFORE the number pass (order matters: the URL is
+    # consumed whole incl. its digit run)
+    assert got[1] == "mail [EMAIL] and see [URL] now"
+    assert got[2] == "card [NUM] ok"
+    assert got[3] is None
+    assert got[4] == "clean text stays untouched"
+    # out_col keeps the original when asked
+    both = redact_patterns(df, out_col="clean").collect()
+    assert all(r.text == dict(rows)[r.doc_id] for r in both)
