@@ -17,8 +17,9 @@ the Unicode lower() tokenizer split (fixed in functions/hashing.py).
 
 Round-3 evidence: vocabulary extended with diag checked fields (E61),
 readout-flag bytes (rf=) and the APE table (E9007 incl. unknown/
-unparseable bytes); all three legs x 30,000 docs x seeds (7, 99)
--> ~2.25M rows, exact multiset parity on every leg.
+unparseable bytes); all three legs x 30,000 docs x seeds (7, 99, 2026)
+-> ~3.4M rows, exact multiset parity on every leg (also re-run after
+the kv-parse memoization landed).
 """
 
 from __future__ import annotations
