@@ -329,7 +329,10 @@ def _parse_kv_spans(kv_idx: np.ndarray, text_c: pa.Array,
     tried here and was ~15% SLOWER than parse_kv end-to-end (the struct
     to_pylist + per-row dict assembly costs more than the simple
     split/partition loop on these short texts) — keep the one obvious
-    implementation, which is also the oracle's.
+    implementation, which is also the oracle's. A per-key INT-parse
+    memo on the shared dicts (Fields subclass + lazy _ints) was also
+    benched and was ~7% SLOWER than plain int(): the getattr+probe per
+    _int_field call costs more than re-parsing short integers.
 
     ``cache`` memoizes text -> parsed dict across spans AND batches of
     one partition: status-word texts are repetitive by nature (trailer
