@@ -289,6 +289,10 @@ def kmeans_fit(corpus: DataFrame, k: int = 16, iters: int = 2,
     cent = sorted(
         (r.list_id, [float(v) for v in r.centroid])
         for r in ivf_centroids(corpus, k, id_col, vec_col).collect())
+    if not cent:
+        # an untyped empty array() literal in the assignment expression
+        # would otherwise fail analysis far from the real cause
+        raise ValueError("kmeans_fit: corpus has no vectors")
     src = corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"))
     for _ in range(iters):
         assigned = _assign_lists(src, cent, nprobe=1, vec_col="_vec")

@@ -212,3 +212,24 @@ def test_semantic_duplicates_hot_cluster_cap(spark):
     assert semantic_duplicates(emb, threshold=0.0, k=2, iters=1,
                                max_cluster=1).count() == 0
     release_tracked()
+
+
+def test_kmeans_empty_corpus_raises(spark):
+    import pytest
+
+    from fastpasta_spark.operators.similarity import kmeans_fit
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="no vectors"):
+        kmeans_fit(empty, k=4)
+
+
+def test_kmeans_k_exceeds_corpus(spark):
+    # fewer vectors than k: the codebook just has fewer centroids
+    from fastpasta_spark.operators.similarity import kmeans_assign
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, embedding array<float>")
+    got = kmeans_assign(emb, k=8, iters=1).collect()
+    assert len(got) == 2
+    assert {r.list_id for r in got} <= {0, 1}
