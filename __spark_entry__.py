@@ -1300,6 +1300,15 @@ FROM per
 
 # crafted rows so the pattern census provably fires (testdata text has
 # no emails/urls/digit runs) — appended on BOTH sides, _BAD_DOCS pattern
+def _sq(s: str) -> str:
+    """Escape a string for splicing into a single-quoted DuckDB literal.
+    DuckDB unescapes '' -> ' before any regex compile, so this is safe
+    for both plain text AND regex patterns; without it a future crafted
+    row or pattern containing a quote breaks the oracle with a
+    confusing parse error."""
+    return s.replace("'", "''")
+
+
 _PII_DOCS = [
     (970001, "contact me at alice@example.com or bob@test.org today"),
     (970002, "see https://example.com/path and http://foo.bar/x now"),
@@ -1339,9 +1348,9 @@ def _sql_text_patterns() -> str:
     rep = (f"round(CASE WHEN len({grams}) = 0 THEN 0.0 "
            f"ELSE 1.0 - len(list_distinct({grams}))::DOUBLE / len({grams}) END, 6)")
     counts = ", ".join(
-        f"len(regexp_extract_all(coalesce(text, ''), '{pat}'))::BIGINT AS n_{name}"
+        f"len(regexp_extract_all(coalesce(text, ''), '{_sq(pat)}'))::BIGINT AS n_{name}"
         for name, pat in PATTERNS.items())
-    fam = ", ".join(f"({i}, '{t}')" for i, t in _PII_DOCS)
+    fam = ", ".join(f"({i}, '{_sq(t)}')" for i, t in _PII_DOCS)
     return f"""
 WITH docs2 AS (
   SELECT doc_id, text FROM documents
@@ -1367,8 +1376,8 @@ def _sql_redact() -> str:
 
     expr = "text"
     for name, token in REDACTIONS:
-        expr = f"regexp_replace({expr}, '{PATTERNS[name]}', '{token}', 'g')"
-    fam = ", ".join(f"({i}, '{t}')" for i, t in _PII_DOCS)
+        expr = f"regexp_replace({expr}, '{_sq(PATTERNS[name])}', '{_sq(token)}', 'g')"
+    fam = ", ".join(f"({i}, '{_sq(t)}')" for i, t in _PII_DOCS)
     return f"""
 WITH docs2 AS (
   SELECT doc_id, text FROM documents

@@ -95,19 +95,31 @@ def main() -> None:
 
     from fastpasta_spark.functions.cache import release_tracked
 
-    def best_of(fn) -> tuple[float, object]:
+    # per-timing evidence so a BENCH json is self-interpreting on this
+    # shared host (round-3 lesson: identical code swung 18.9s -> 26.7s
+    # between rounds with nothing to tell "regression" from "neighbor
+    # burst"): every rep's seconds AND the 1-min loadavg sampled at each
+    # rep's start are emitted alongside the best-of value
+    reps: dict[str, list[float]] = {}
+    rep_load: dict[str, list[float]] = {}
+
+    def best_of(fn, name: str) -> tuple[float, object]:
         best, out = float("inf"), None
+        r, ld = reps.setdefault(name, []), rep_load.setdefault(name, [])
         for _ in range(max(BENCH_REPS, 1)):
             release_tracked()  # drop operator caches from the last rep
             spark.catalog.clearCache()
+            ld.append(round(os.getloadavg()[0], 1))
             t0 = time.perf_counter()
             out = fn()
-            best = min(best, time.perf_counter() - t0)
+            dt = time.perf_counter() - t0
+            r.append(round(dt, 3))
+            best = min(best, dt)
         return best, out
 
     t_validate, n_viol = best_of(lambda: (
         lambda r: (r.violations.count(), r.metrics.collect())[0]
-    )(check_all(docs, media)))
+    )(check_all(docs, media)), "check_all_validation")
     n_docs = docs.count()
 
     timings: dict[str, float] = {"check_all_validation": round(t_validate, 3)}
@@ -115,7 +127,8 @@ def main() -> None:
     # --- headline queries at SF_DIR --------------------------------------
     qs = entrymod.queries()
     for name in HEADLINE_QUERIES:
-        t, _ = best_of(lambda name=name: qs[name](spark, SF_DIR).collect())
+        t, _ = best_of(lambda name=name: qs[name](spark, SF_DIR).collect(),
+                       name)
         timings[name] = round(t, 3)
 
     total = round(sum(timings.values()), 3)
@@ -130,6 +143,10 @@ def main() -> None:
         "validation_violations": n_viol,
         "docs_per_sec": round(n_docs / t_validate, 1),
         "cpus": CPUS,
+        "bench_reps": BENCH_REPS,
+        "reps": reps,
+        "loadavg_per_rep": rep_load,
+        "loadavg_end": round(os.getloadavg()[0], 1),
     }))
 
 

@@ -77,12 +77,29 @@ def tracked_count() -> int:
     return len(_TRACKED)
 
 
+_warned_release_failure = False
+
+
 def release_tracked() -> None:
     """Run every registered release (newest first); never raises — a
-    frame whose SparkContext already stopped is simply dropped."""
+    frame whose SparkContext already stopped is simply dropped. The
+    FIRST failure per process warns once: release_local_checkpoint
+    reaches through private Spark plan internals, and a Spark upgrade
+    that changes the plan shape would otherwise turn the frees into
+    silently-swallowed no-ops (reinstating the executor-storage leak
+    the registry exists to prevent)."""
+    global _warned_release_failure
     while _TRACKED:
         rel = _TRACKED.pop()
         try:
             rel()
-        except Exception:
-            pass
+        except Exception as e:
+            if not _warned_release_failure:
+                _warned_release_failure = True
+                import warnings
+
+                warnings.warn(
+                    "release_tracked: a cache release failed "
+                    f"({type(e).__name__}: {e}); further failures are "
+                    "silent — executor storage may be leaking",
+                    RuntimeWarning, stacklevel=2)

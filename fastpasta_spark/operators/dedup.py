@@ -194,7 +194,7 @@ def minhash_near_duplicates(df: DataFrame, id_col: str = "doc_id",
 def jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                   n: int = 3, threshold: float = 0.5,
                   within_col: str | None = None,
-                  max_df: int | None = None,
+                  max_df: int | None = 1000,
                   hash_shingles: bool = True) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs sharing >=1 shingle.
 
@@ -219,6 +219,10 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     falls from sum(df^2) to sum(min(df, max_df)^2). With a cap the
     jaccard of pairs sharing mostly-common shingles is underestimated;
     document it as df-capped jaccard (oracle applies the same cap).
+    The DEFAULT is capped (1000): one boilerplate shingle shared by 10^6
+    docs otherwise makes a standalone call quadratic (10^12 join rows).
+    Pass max_df=None to opt into the uncapped exact jaccard — only sane
+    on small corpora or pre-filtered LSH candidates.
     within_col optionally restricts pairs to the same group (e.g. source).
     """
     sh = with_shingles(df, text_col, n).select(

@@ -33,6 +33,7 @@ tests assert row-for-row equality between this pass and the oracle.
 from __future__ import annotations
 
 from collections.abc import Iterator
+from types import MappingProxyType
 
 import numpy as np
 import pyarrow as pa
@@ -353,7 +354,11 @@ def _parse_kv_spans(kv_idx: np.ndarray, text_c: pa.Array,
     for j, t in zip(kv_idx, kv_texts):
         d = get(t)
         if d is None:
-            d = pyfsm.parse_kv(t or "")
+            # MappingProxyType enforces the read-only contract at near-
+            # zero cost: the SAME parsed dict is shared by every span
+            # with this text across batches, so a consumer mutating it
+            # would corrupt unrelated spans' parses seed-dependently
+            d = MappingProxyType(pyfsm.parse_kv(t or ""))
             cache[t] = d
         out[int(j)] = d
     return out

@@ -39,10 +39,12 @@ class CheckResult:
     violations: DataFrame  # VIOLATION_SCHEMA, sorted
     metrics: DataFrame     # (name, value)
     passed: DataFrame      # (doc_id, verdict) per-doc pass/fail
-    # internal persisted frames (pass output, violation union) — callers
-    # that run MANY check_all's in one session (run_failfast slices,
-    # resumable loops) call release() after consuming the result, or the
-    # cache entries pin executor storage for the session's lifetime
+    # internal persisted frames (pass output, violation union). They are
+    # ALSO registered with the session cache registry (tracked_persist),
+    # so either release path works: callers that run MANY check_all's in
+    # one session (run_failfast slices, resumable loops) call release()
+    # per result; a bare caller frees everything at once with
+    # functions.cache.release_tracked(). Double-release is a no-op.
     _cached: tuple = ()
 
     def release(self) -> None:
@@ -140,11 +142,13 @@ def check_all(
     spark = docs.sparkSession
     out = sequence_pass(docs, fused=True, trigger_period=trigger_period)
 
+    from fastpasta_spark.functions.cache import tracked_persist
+
     if work_dir:
         (out.write.mode("overwrite").partitionBy("row_type").parquet(work_dir))
         out = spark.read.parquet(work_dir)
     else:
-        out = out.persist()
+        out = tracked_persist(out)
 
     violations_seq, stats = split_sequence_output(out)
     keys = out.filter(F.col("row_type") == "k").select("doc_id")
@@ -182,7 +186,7 @@ def check_all(
     # but feeds FOUR consumers (count, per-code rollup, verdicts, caller)
     # — persist it so the union (incl. the uniqueness shuffle and the
     # anti-join) runs once, and sort only the returned view
-    violations = violations.persist()
+    violations = tracked_persist(violations)
     violations_sorted = violations.orderBy("doc_id", "offset", "check_code")
     if max_errors is not None:
         # the cap limits the RETURNED TABLE only; metrics and verdicts

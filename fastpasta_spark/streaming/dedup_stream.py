@@ -81,9 +81,15 @@ def _claim_identity(sp: SparkSession, marker: str, checkpoint_dir: str) -> str:
         finally:
             out.close()
         return checkpoint_dir
-    except Exception:
-        # lost the creation race (or dir perms) — defer to whoever won
-        return read_owner()
+    except Exception as create_exc:
+        # lost the creation race — defer to whoever won. A NON-race
+        # failure (permissions, transient FS error) leaves no marker to
+        # read; re-raise the ORIGINAL create error then, not a confusing
+        # FileNotFound from the fallback read.
+        try:
+            return read_owner()
+        except Exception as read_exc:
+            raise create_exc from read_exc
 
 
 def incremental_dedup(

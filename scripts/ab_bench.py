@@ -1,0 +1,167 @@
+"""Interleaved A/B benchmark between two code states of this repo.
+
+The round-3 lesson: on this shared host, identical code swings 2.4x in
+wall time between runs minutes apart, so two BENCH_r{N}.json files from
+different rounds CANNOT be compared directly. The reference pins
+performance with hyperfine (>=20 runs, warmups, ±5/10% CI budget —
+`tests/regression/regression_performance.sh:249-279`); this script is
+the engine's equivalent for cross-revision comparisons:
+
+  * side A = a git ref (default: the round-2 snapshot), checked out into
+    a throwaway worktree; side B = the current working tree
+  * each rep is a FRESH JVM (a full `python bench.py` subprocess with
+    BENCH_REPS=1), so no side inherits the other's JIT/codegen state
+  * reps alternate A,B,B,A,A,B,... (mirrored pairs cancel slow drift in
+    ambient load; pure alternation only cancels linear drift)
+  * 1-min loadavg is recorded at every rep boundary
+  * the comparison statistic is MIN over reps per query (hyperfine-min
+    analogue: min is the noise-free estimator on a machine where noise
+    is strictly additive)
+
+Usage:
+    python scripts/ab_bench.py [ref_a] [n_rounds] [out_md]
+        ref_a     default 67b23c1 (round-2 code)
+        n_rounds  default 4  (=> 4 reps per side, 8 JVMs)
+        out_md    default BENCH/AB_<refa>_vs_worktree.md
+
+NEVER run other Spark jobs concurrently — every rep measures wall time.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_bench(tree: str, env_extra: dict[str, str]) -> dict:
+    env = dict(os.environ)
+    env.update(env_extra)
+    t0 = time.time()
+    load0 = os.getloadavg()[0]
+    proc = subprocess.run(
+        [sys.executable, "bench.py"], cwd=tree, env=env,
+        capture_output=True, text=True, timeout=900,
+    )
+    wall = time.time() - t0
+    load1 = os.getloadavg()[0]
+    line = None
+    for ln in reversed(proc.stdout.strip().splitlines()):
+        if ln.startswith("{"):
+            line = ln
+            break
+    if proc.returncode != 0 or line is None:
+        raise RuntimeError(
+            f"bench failed in {tree} (rc={proc.returncode}):\n"
+            f"{proc.stderr[-2000:]}")
+    rec = json.loads(line)
+    rec["_wall"] = round(wall, 1)
+    rec["_load_pre"] = round(load0, 1)
+    rec["_load_post"] = round(load1, 1)
+    return rec
+
+
+def ensure_worktree(ref: str) -> str:
+    path = f"/tmp/ab_worktree_{ref}"
+    if not os.path.exists(os.path.join(path, "bench.py")):
+        subprocess.run(["git", "worktree", "add", "--detach", "-f",
+                        path, ref], cwd=REPO, check=True,
+                       capture_output=True)
+    return path
+
+
+def main() -> int:
+    ref_a = sys.argv[1] if len(sys.argv) > 1 else "67b23c1"
+    n_rounds = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    out_md = (sys.argv[3] if len(sys.argv) > 3
+              else os.path.join(REPO, "BENCH", f"AB_{ref_a}_vs_worktree.md"))
+    tree_a = ensure_worktree(ref_a)
+    tree_b = REPO
+    env_extra = {"BENCH_REPS": "1"}
+
+    runs: dict[str, list[dict]] = {"A": [], "B": []}
+    # mirrored pairs: round 0 -> A,B  round 1 -> B,A  round 2 -> A,B ...
+    for rnd in range(n_rounds):
+        order = ["A", "B"] if rnd % 2 == 0 else ["B", "A"]
+        for side in order:
+            tree = tree_a if side == "A" else tree_b
+            rec = run_bench(tree, env_extra)
+            runs[side].append(rec)
+            print(f"round {rnd} side {side}: suite {rec['value']}s "
+                  f"docs/sec {rec.get('docs_per_sec')} "
+                  f"load {rec['_load_pre']}->{rec['_load_post']}",
+                  flush=True)
+
+    # ---- aggregate -------------------------------------------------------
+    def per_query_min(side: str) -> dict[str, float]:
+        out: dict[str, float] = {}
+        for rec in runs[side]:
+            for q, v in rec["queries"].items():
+                out[q] = min(out.get(q, float("inf")), v)
+        return out
+
+    qa, qb = per_query_min("A"), per_query_min("B")
+    common = [q for q in qb if q in qa]
+    suite_a = round(sum(qa[q] for q in common), 3)
+    suite_b = round(sum(qb[q] for q in common), 3)
+    dps_a = max(r.get("docs_per_sec", 0) for r in runs["A"])
+    dps_b = max(r.get("docs_per_sec", 0) for r in runs["B"])
+
+    lines = [
+        f"# Interleaved A/B: `{ref_a}` (A) vs current worktree (B)",
+        "",
+        f"{n_rounds} mirrored rounds (A,B / B,A alternating), fresh JVM "
+        "per rep (`python bench.py`, BENCH_REPS=1), statistic = min over "
+        "reps. Loadavg (1-min) recorded at each rep boundary.",
+        "",
+        "| round | side | suite s | docs/sec | load pre->post |",
+        "|---|---|---|---|---|",
+    ]
+    seq: list[tuple[int, str, dict]] = []
+    ia = ib = 0
+    for rnd in range(n_rounds):
+        order = ["A", "B"] if rnd % 2 == 0 else ["B", "A"]
+        for side in order:
+            i = ia if side == "A" else ib
+            seq.append((rnd, side, runs[side][i]))
+            if side == "A":
+                ia += 1
+            else:
+                ib += 1
+    for rnd, side, rec in seq:
+        lines.append(
+            f"| {rnd} | {side} | {rec['value']} | "
+            f"{rec.get('docs_per_sec')} | "
+            f"{rec['_load_pre']} -> {rec['_load_post']} |")
+    lines += [
+        "",
+        f"**Suite min-of-reps (common queries): A {suite_a}s, "
+        f"B {suite_b}s ({suite_b / suite_a:.2f}x)**  ",
+        f"**Validation docs/sec (best rep): A {dps_a}, B {dps_b} "
+        f"({dps_b / dps_a:.2f}x)**",
+        "",
+        "| query | A min s | B min s | B/A |",
+        "|---|---|---|---|",
+    ]
+    for q in sorted(common, key=lambda q: -qa[q]):
+        ratio = qb[q] / qa[q] if qa[q] else float("nan")
+        lines.append(f"| {q} | {qa[q]} | {qb[q]} | {ratio:.2f} |")
+    only_b = sorted(set(qb) - set(qa))
+    if only_b:
+        lines += ["", "Queries only in B (not compared): "
+                  + ", ".join(f"{q} ({qb[q]}s)" for q in only_b)]
+    os.makedirs(os.path.dirname(out_md), exist_ok=True)
+    with open(out_md, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"\nwrote {out_md}")
+    print(f"suite A {suite_a}s vs B {suite_b}s -> B/A "
+          f"{suite_b / suite_a:.2f}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -37,6 +37,23 @@ OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                    "tests", "golden", "span_fsm_sf0.01.parquet")
 MAX_CONTENT = 8
 
+# parquet key-value metadata key holding the SOURCE corpus fingerprint —
+# scripts/oracle_check.py compares it against the sf_dir it is run on,
+# so the golden gates on corpus IDENTITY, not on the directory's name
+FINGERPRINT_KEY = b"source_corpus_fingerprint"
+
+
+def corpus_fingerprint_sql(documents_parquet: str) -> str:
+    """DuckDB query producing a cheap content fingerprint of a documents
+    table (row count + id range + total text length — enough to tell
+    'same corpus under another name' from 'different corpus/scale')."""
+    return (
+        "SELECT count(*) || ':' || coalesce(min(doc_id)::VARCHAR, '') "
+        "|| ':' || coalesce(max(doc_id)::VARCHAR, '') || ':' || "
+        "coalesce(sum(length(text)), 0) "
+        f"FROM read_parquet('{documents_parquet}')"
+    )
+
 
 def derive_spans(doc_id: str, text: str | None, n_chars) -> list | None:
     """Pure-Python twin of sources/from_documents.docs_from_documents
@@ -100,8 +117,12 @@ def main() -> None:
     table = pa.Table.from_arrays(
         [pa.array(list(c), t.type) for c, t in zip(cols, schema)],
         schema=schema)
+    fp = duckdb.sql(
+        corpus_fingerprint_sql(f"{SF_DIR}/documents.parquet")).fetchone()[0]
+    table = table.replace_schema_metadata({FINGERPRINT_KEY: fp.encode()})
     pq.write_table(table, OUT)
-    print(f"wrote {len(rows)} golden violation rows -> {OUT}")
+    print(f"wrote {len(rows)} golden violation rows -> {OUT} "
+          f"(source fingerprint {fp})")
 
 
 if __name__ == "__main__":

@@ -56,6 +56,29 @@ def value_hash(rows, colnames):
     return h.hexdigest()[:16]
 
 
+def _span_fsm_golden_matches(con, sf_dir: str) -> bool:
+    """True iff sf_dir's documents table IS the corpus the pinned
+    span_fsm golden was generated from (fingerprint recorded in the
+    golden's parquet metadata by scripts/make_span_fsm_golden.py)."""
+    import pyarrow.parquet as pq
+
+    from scripts.make_span_fsm_golden import (
+        FINGERPRINT_KEY, OUT, corpus_fingerprint_sql)
+
+    meta = pq.read_schema(OUT).metadata or {}
+    golden_fp = meta.get(FINGERPRINT_KEY)
+    if golden_fp is None:
+        # pre-fingerprint golden: keep the old directory-name heuristic
+        return sf_dir.rstrip("/").endswith("sf0.01")
+    try:
+        actual = con.sql(
+            corpus_fingerprint_sql(f"{sf_dir}/documents.parquet")
+        ).fetchone()[0]
+    except Exception:
+        return False
+    return actual == golden_fp.decode()
+
+
 def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
     import __spark_entry__ as entrymod
     from fastpasta_spark.session import get_spark
@@ -81,11 +104,13 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
             print(f"FAIL  {name}: spark error {str(e)[:200]}")
             failures += 1
             continue
-        if name == "span_fsm" and not sf_dir.rstrip("/").endswith("sf0.01"):
-            # the span_fsm oracle is a PINNED sf0.01 golden parquet
-            # (driver runs the gate at sf0.01); other corpora fall back
-            # to the rows-only check instead of false-failing
-            print(f"ok*   {name}: rows-only at {sf_dir} ({len(srows)} rows)")
+        if name == "span_fsm" and not _span_fsm_golden_matches(con, sf_dir):
+            # the span_fsm oracle is a PINNED golden parquet generated
+            # from one specific corpus; when run against ANY other
+            # corpus (keyed on content fingerprint, not directory name)
+            # fall back to the rows-only check instead of false-failing
+            print(f"ok*   {name}: rows-only at {sf_dir} "
+                  f"(corpus != golden's source; {len(srows)} rows)")
             continue
         if name not in oracles:
             print(f"ok*   {name}: rows-only ({len(srows)} rows)")

@@ -61,6 +61,31 @@ def test_every_persisting_operator_releases(spark):
     assert _n_cached(spark) == base     # every entry released
 
 
+def test_bare_check_all_releases_via_registry(spark):
+    """Round-3 verdict #3: a caller that ignores CheckResult.release()
+    (e.g. __spark_entry__.entry) must still be able to free check_all's
+    two internal persists through the session registry."""
+    from fastpasta_spark.plans.check_all import check_all
+    from fastpasta_spark.sources.synth import CorpusConfig, corpus_df, media_df
+
+    release_tracked()
+    base = _n_cached(spark)
+    cfg = CorpusConfig(n_docs=200, corrupt_per_mille=100)
+    res = check_all(corpus_df(spark, cfg), media_df(spark, cfg))
+    assert res.violations.count() > 0
+    assert res.metrics.count() > 0
+    assert _n_cached(spark) > base      # internal persists are live
+    release_tracked()                   # no res.release() needed
+    assert _n_cached(spark) == base
+
+    # and the two release paths coexist: release() then release_tracked()
+    res2 = check_all(corpus_df(spark, cfg), media_df(spark, cfg))
+    res2.violations.count()
+    res2.release()
+    release_tracked()                   # double-release is a no-op
+    assert _n_cached(spark) == base
+
+
 def test_release_is_idempotent_and_safe(spark):
     release_tracked()
     release_tracked()
