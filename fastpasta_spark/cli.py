@@ -51,6 +51,11 @@ def main(argv: list[str] | None = None) -> int:
     chk.add_argument("--trigger-period", type=int, default=None,
                      help="expected bc period between internal triggers "
                           "(E45 check; reference --its-trigger-period)")
+    chk.add_argument("--custom-checks", default=None, metavar="TOML",
+                     help="custom-check TOML using the reference's field "
+                          "names (cdps, triggers_pht, chip_count_ob, "
+                          "chip_orders_ob + [expect_metrics]); see "
+                          "plans/report.CustomChecksConfig.from_toml")
     chk.add_argument("-w", "--show-only-errors-with-codes", nargs="+",
                      default=None, metavar="CODE",
                      help="display only these error codes, e.g. -w E45 702 "
@@ -206,14 +211,25 @@ def main(argv: list[str] | None = None) -> int:
         print(f"run_id={run_id} violations={n}")
         return 2 if n else 0
 
+    custom = None
+    if args.custom_checks:
+        from fastpasta_spark.plans.report import CustomChecksConfig
+
+        custom = CustomChecksConfig.from_toml(args.custom_checks)
     res = check_all(docs, media, max_errors=args.max_errors,
-                    trigger_period=args.trigger_period)
+                    trigger_period=args.trigger_period, custom=custom)
     exit_code = 0
     for r in code_filter(res.violations).take(50):
         print(f"{r.doc_id}:{r.offset}: [{r.check_code}] {r.message}")
     metrics = metrics_to_dict(res.metrics)
     print(format_report(metrics))
     if metrics.get("total_errors", 0) > 0:
+        exit_code = 2
+    elif custom is not None and res.violations.filter(
+            F.col("check_code") == S.E9001_CUSTOM_CHECK).count() > 0:
+        # E9001 stats-expectation failures sit outside total_errors
+        # (they assert on the finished stats) but still fail the run,
+        # like the reference's stats_validation errors
         exit_code = 2
     if args.violations_out:
         res.violations.write.mode("overwrite").parquet(args.violations_out)

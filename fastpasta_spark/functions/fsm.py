@@ -184,6 +184,8 @@ def stateless_doc_checks(
 def validate_spans(
     spans: list[tuple[str, str, str, int]],
     trigger_period: int | None = None,
+    chips_per_lane: int | None = None,
+    legal_chip_orderings: list[list[int]] | None = None,
 ) -> list[tuple[int, int, str, str, str]]:
     """Run the grammar FSM over one document's spans.
 
@@ -191,6 +193,13 @@ def validate_spans(
     stored order (callers sort by offset first when offsets are sane).
     ``trigger_period`` enables the E45 check (user-configurable, like the
     reference's --its-trigger-period; off by default).
+    ``chips_per_lane`` / ``legal_chip_orderings`` are user-config
+    OVERRIDES for the chip layer (the reference's custom TOML checks,
+    custom_checks_cfg.rs:7-28: chip_count_ob + chip_orderings_ob):
+    chips_per_lane replaces the header-derived ``chips=`` expectation
+    (E9004); legal_chip_orderings replaces the default strictly-
+    increasing legality with an explicit list of legal chip-id
+    sequences (E9005).
     Returns violations as (span_idx, offset, code, severity, message).
     Stateless per-span sanity (E70/E71/E72/E73) is NOT done here — that
     battery is vectorized Column expressions (operators/sanity.py).
@@ -342,8 +351,11 @@ def validate_spans(
             if text and text.startswith("lane="):
                 box = [prev_lane]
                 _lane_span_checks(parse_kv(text), i, off, emit, fatal_lanes,
-                                  declared_lane_ids, declared_chips,
-                                  frame_cbcs, box)
+                                  declared_lane_ids,
+                                  chips_per_lane if chips_per_lane is not None
+                                  else declared_chips,
+                                  frame_cbcs, box,
+                                  legal_orderings=legal_chip_orderings)
                 prev_lane = box[0]
             content_in_frame += 1
             noncalib_in_frame += 1
@@ -529,11 +541,16 @@ def _lane_span_checks(
     declared_chips: int | None,
     frame_cbcs: set[int],
     prev_lane_box: list,
+    legal_orderings: list[list[int]] | None = None,
 ) -> None:
     """Lane-identity + chip-layer checks for ONE participating content span
     (text starts with 'lane='). Mutates fatal_lanes / frame_cbcs /
     prev_lane_box in place. Shared by both FSM implementations so the
-    message formats cannot drift."""
+    message formats cannot drift. ``legal_orderings``, when configured,
+    REPLACES the default strictly-increasing chip-id legality with an
+    explicit list of legal sequences (the reference's configurable OB
+    chip orderings, custom_checks_cfg.rs:7-28 via
+    lane_alpide_frame_analyzer.rs:288-320)."""
     lane = _int_field(fields, "lane")
     if lane is None:
         return
@@ -577,6 +594,10 @@ def _lane_span_checks(
         if declared_chips is not None and len(chips) != declared_chips:
             emit(i, off, S.E9004_CHIP_COUNT,
                  f"chip count {len(chips)} != declared {declared_chips}")
+        elif legal_orderings is not None:
+            if chips not in legal_orderings:
+                emit(i, off, S.E9005_CHIP_ORDER,
+                     f"chip ids {chips} not in configured legal orderings")
         elif any(chips[j] >= chips[j + 1] for j in range(len(chips) - 1)):
             emit(i, off, S.E9005_CHIP_ORDER,
                  f"chip ids not strictly increasing: {chips}")

@@ -88,6 +88,22 @@ def synth_blobs(spark: SparkSession, n: int = 64, blob_bytes: int = 256) -> Data
     )
 
 
+def _pil_dims(data: bytes) -> tuple[int, int] | None:
+    """REAL-codec dimension probe (PIL when REAL_CODECS_AVAILABLE);
+    None when unavailable or not a decodable image."""
+    if not REAL_CODECS_AVAILABLE:
+        return None
+    import io
+
+    import PIL.Image
+
+    try:
+        with PIL.Image.open(io.BytesIO(data)) as img:
+            return img.size
+    except Exception:
+        return None
+
+
 def _fake_decode(data: bytes) -> tuple[int, int]:
     """STUB CODEC: parses the synthetic FPSK header. A real deployment
     swaps this for PIL/ffmpeg; everything around it (Arrow batching,
@@ -121,6 +137,9 @@ def extract_features(blobs: DataFrame, feat_dim: int = 8) -> DataFrame:
                     seed_vec = buf[8:]
                 except ValueError:
                     w, h, seed_vec = 0, 0, buf
+                    dims = _pil_dims(bytes(data))
+                    if dims is not None:
+                        w, h = dims
                 hist = np.bincount(seed_vec % feat_dim, minlength=feat_dim)
                 denom = max(len(seed_vec), 1)
                 feats = (hist / denom).astype(np.float32)
@@ -138,16 +157,38 @@ def extract_features(blobs: DataFrame, feat_dim: int = 8) -> DataFrame:
     )
 
 
+def _pil_resize(data: bytes, width: int, height: int) -> bytes | None:
+    """REAL-codec body (used only when REAL_CODECS_AVAILABLE): decode
+    with PIL, resize, re-encode in the source format. None when the
+    bytes are not a decodable image — callers pass the blob through
+    untouched then, same as the stub path."""
+    if not REAL_CODECS_AVAILABLE:
+        return None
+    import io
+
+    import PIL.Image
+
+    try:
+        img = PIL.Image.open(io.BytesIO(data))
+        fmt = img.format or "PNG"
+        out = io.BytesIO()
+        img.resize((width, height)).save(out, format=fmt)
+        return out.getvalue()
+    except Exception:
+        return None
+
+
 def resize_images(blobs: DataFrame, width: int, height: int) -> DataFrame:
     """Resize stage for image blobs — mapInPandas over the binary column,
     returning the same BLOB_SCHEMA with updated payload + meta.
 
-    STUB CODEC: rewrites the FPSK header to the target dims and
-    nearest-neighbor subsamples the payload bytes to the proportional
-    size (vectorized numpy index take — the same batch shape and memory
-    behavior as a real resample). A real deployment swaps the body for
-    PIL.Image.resize when REAL_CODECS_AVAILABLE. Non-image rows and
-    undecodable blobs pass through untouched.
+    Codec selection per blob: synthetic FPSK blobs go through the STUB
+    codec (rewrites the FPSK header to the target dims and
+    nearest-neighbor subsamples the payload bytes — the same batch
+    shape and memory behavior as a real resample); non-FPSK image bytes
+    go through PIL.Image.resize when REAL_CODECS_AVAILABLE (guard-skip
+    tested, so the branch is live on hosts that have PIL). Non-image
+    rows and undecodable blobs pass through untouched.
     """
     import numpy as np
 
@@ -162,7 +203,13 @@ def resize_images(blobs: DataFrame, width: int, height: int) -> DataFrame:
                 try:
                     old_w, old_h = _fake_decode(bytes(data))
                 except ValueError:
-                    rows.append((mid, mtype, data, meta))
+                    resized = _pil_resize(bytes(data), width, height)
+                    if resized is not None:
+                        new_meta = dict(meta) if meta is not None else {}
+                        new_meta.update({"width": width, "height": height})
+                        rows.append((mid, mtype, resized, new_meta))
+                    else:
+                        rows.append((mid, mtype, data, meta))
                     continue
                 body = np.frombuffer(bytes(data), dtype=np.uint8)[8:]
                 scale = (width * height) / max(old_w * old_h, 1)

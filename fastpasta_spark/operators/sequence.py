@@ -115,7 +115,8 @@ def _viol_batch(doc_ids, span_idx, offsets, codes, sevs, msgs) -> pa.RecordBatch
 
 
 def _fsm_over_codes(codes, offs, kv, refs, n_spans, kind_name,
-                    trigger_period=None):
+                    trigger_period=None, chips_per_lane=None,
+                    legal_chip_orderings=None):
     """The grammar FSM over int kind-codes for ONE document.
 
     codes: list[int|-1] kind codes; offs: list[int|-1] span offsets;
@@ -266,8 +267,12 @@ def _fsm_over_codes(codes, offs, kv, refs, n_spans, kind_name,
                 frame_refs.add(ref)
             if i in kv:  # lane-layer participant (text starts with 'lane=')
                 pyfsm._lane_span_checks(kv[i], i, off, emit, fatal_lanes,
-                                        declared_lane_ids, declared_chips,
-                                        frame_cbcs, prev_lane_box)
+                                        declared_lane_ids,
+                                        chips_per_lane
+                                        if chips_per_lane is not None
+                                        else declared_chips,
+                                        frame_cbcs, prev_lane_box,
+                                        legal_orderings=legal_chip_orderings)
             noncalib += 1
 
         elif k == _K_CALIB:
@@ -367,7 +372,9 @@ def _parse_kv_spans(kv_idx: np.ndarray, text_c: pa.Array,
 _KV_CACHE_MAX = 1 << 16
 
 
-def _make_arrow_pass(fused: bool, trigger_period: int | None = None):
+def _make_arrow_pass(fused: bool, trigger_period: int | None = None,
+                     chips_per_lane: int | None = None,
+                     legal_chip_orderings: list[list[int]] | None = None):
     def arrow_pass(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         kv_cache: dict = {}  # text -> parsed fields, partition-scoped
         for batch in batches:
@@ -411,7 +418,17 @@ def _make_arrow_pass(fused: bool, trigger_period: int | None = None):
                          .to_numpy(zero_copy_only=False) == 0) | \
                 pc.is_null(ref_c).to_numpy(zero_copy_only=False)
 
-            doc_ids_py = doc_id_arr.to_pylist()
+            # lazy: a clean batch never needs Python doc_id objects —
+            # the vectorized emitters below use pc.take on the Arrow
+            # array; the full to_pylist happens only when the FSM loop
+            # actually emits violations (round-3 verdict item 4)
+            doc_ids_py: list | None = None
+
+            def _doc_ids() -> list:
+                nonlocal doc_ids_py
+                if doc_ids_py is None:
+                    doc_ids_py = doc_id_arr.to_pylist()
+                return doc_ids_py
 
             out_batches: list[pa.RecordBatch] = []
 
@@ -452,40 +469,76 @@ def _make_arrow_pass(fused: bool, trigger_period: int | None = None):
                         schema=_ARROW_SCHEMA,
                     ))
 
-                # ---- stateless battery (vectorized) ---------------------
-                v_doc, v_span, v_off, v_code, v_sev, v_msg = [], [], [], [], [], []
+                # ---- stateless battery (fully vectorized emits) ---------
+                # one RecordBatch per firing check, columns assembled
+                # with numpy index arrays + pc.take — no per-row Python
+                # appends (round-3 verdict item 4); nothing is built at
+                # all for checks that do not fire in this batch
 
-                def emit_flat(idx_arr, code, msg_fn):
-                    for j in idx_arr:
-                        d = parent[j]
-                        v_doc.append(doc_ids_py[d])
-                        v_span.append(int(j - bounds[d]))
-                        v_off.append(int(offs[j]))
-                        v_code.append(code)
-                        v_sev.append(S.SEV_ERROR)
-                        v_msg.append(msg_fn(j))
+                def emit_span_viol(idx, code, msgs):
+                    """idx: np.int64 indices into the FLAT span arrays;
+                    msgs: one constant str, or a list aligned with idx."""
+                    n = len(idx)
+                    if not n:
+                        return
+                    par = parent[idx]
+                    out_batches.append(pa.RecordBatch.from_arrays(
+                        [
+                            pa.array(["v"] * n, pa.string()),
+                            pc.take(doc_id_arr, pa.array(par)).cast(pa.string()),
+                            pa.array((idx - bounds[par]).astype(np.int32)),
+                            pa.array(offs[idx].astype(np.int32)),
+                            pa.array([code] * n, pa.string()),
+                            pa.array([S.SEV_ERROR] * n, pa.string()),
+                            pa.array([msgs] * n if isinstance(msgs, str)
+                                     else msgs, pa.string()),
+                            _empty_cols(n, pa.string()),
+                            _empty_cols(n, pa.float64()),
+                        ],
+                        schema=_ARROW_SCHEMA,
+                    ))
 
-                kind_py = None
+                def emit_doc_viol(dsel, code, msgs):
+                    """dsel: np doc indices; span_idx NULL, offset -1."""
+                    n = len(dsel)
+                    if not n:
+                        return
+                    out_batches.append(pa.RecordBatch.from_arrays(
+                        [
+                            pa.array(["v"] * n, pa.string()),
+                            pc.take(doc_id_arr, pa.array(dsel)).cast(pa.string()),
+                            _empty_cols(n, pa.int32()),
+                            pa.array(np.full(n, -1, np.int32)),
+                            pa.array([code] * n, pa.string()),
+                            pa.array([S.SEV_ERROR] * n, pa.string()),
+                            pa.array([msgs] * n if isinstance(msgs, str)
+                                     else msgs, pa.string()),
+                            _empty_cols(n, pa.string()),
+                            _empty_cols(n, pa.float64()),
+                        ],
+                        schema=_ARROW_SCHEMA,
+                    ))
+
                 e70 = np.nonzero(codes == -1)[0]
                 if len(e70):
-                    kind_py = kind_c.to_pylist()
-                    emit_flat(e70, S.E70_INVALID_KIND, lambda j: (
-                        f"invalid span kind: {kind_py[j] if kind_py[j] is not None else 'NULL'}"))
-                e71 = np.nonzero((codes == _K_TEXT) & text_empty)[0]
-                emit_flat(e71, S.E71_TEXT_EMPTY,
-                          lambda j: "text span with empty text")
-                e72 = np.nonzero((codes == _K_MEDIA) & ref_empty)[0]
-                emit_flat(e72, S.E72_MEDIA_REF_MISSING,
-                          lambda j: "media span with empty media_ref")
+                    kp = pc.take(kind_c, pa.array(e70)).to_pylist()
+                    emit_span_viol(e70, S.E70_INVALID_KIND, [
+                        f"invalid span kind: {k if k is not None else 'NULL'}"
+                        for k in kp])
+                emit_span_viol(
+                    np.nonzero((codes == _K_TEXT) & text_empty)[0],
+                    S.E71_TEXT_EMPTY, "text span with empty text")
+                emit_span_viol(
+                    np.nonzero((codes == _K_MEDIA) & ref_empty)[0],
+                    S.E72_MEDIA_REF_MISSING, "media span with empty media_ref")
                 e73 = np.nonzero((codes != _K_MEDIA) & ~ref_empty)[0]
-                ref_py = None
                 if len(e73):
-                    ref_py = ref_c.to_pylist()
-                    emit_flat(e73, S.E73_UNEXPECTED_REF,
-                              lambda j: f"non-media span carries media_ref {ref_py[j]}")
-                e74 = np.nonzero((codes == _K_PAD) & ~text_empty)[0]
-                emit_flat(e74, S.E74_PAD_NOT_EMPTY,
-                          lambda j: "pad span with non-empty text")
+                    rp = pc.take(ref_c, pa.array(e73)).to_pylist()
+                    emit_span_viol(e73, S.E73_UNEXPECTED_REF, [
+                        f"non-media span carries media_ref {r}" for r in rp])
+                emit_span_viol(
+                    np.nonzero((codes == _K_PAD) & ~text_empty)[0],
+                    S.E74_PAD_NOT_EMPTY, "pad span with non-empty text")
 
                 # doc-level: E10/E13 (doc_id), E12 (spans), E11 (offsets)
                 did_null = pc.is_null(doc_id_arr).to_numpy(zero_copy_only=False)
@@ -496,42 +549,26 @@ def _make_arrow_pass(fused: bool, trigger_period: int | None = None):
                     pc.match_substring_regex(pc.fill_null(doc_id_arr, ""),
                                              _DOC_ID_RE), False
                 ).to_numpy(zero_copy_only=False)
-                for d in np.nonzero(did_null | (did_len == 0))[0]:
-                    v_doc.append(doc_ids_py[d]); v_span.append(None)
-                    v_off.append(-1); v_code.append(S.E10_DOC_ID_NULL)
-                    v_sev.append(S.SEV_ERROR)
-                    v_msg.append("doc_id is null or empty")
-                for d in np.nonzero(~did_null & (did_len > 0) & did_bad)[0]:
-                    v_doc.append(doc_ids_py[d]); v_span.append(None)
-                    v_off.append(-1); v_code.append(S.E13_DOC_ID_FORMAT)
-                    v_sev.append(S.SEV_ERROR)
-                    v_msg.append(f"malformed doc_id: {doc_ids_py[d]}")
-                for d in np.nonzero(spans_null | (counts_np == 0))[0]:
-                    v_doc.append(doc_ids_py[d]); v_span.append(None)
-                    v_off.append(-1); v_code.append(S.E12_SPANS_NULL)
-                    v_sev.append(S.SEV_ERROR)
-                    v_msg.append("spans array is null or empty")
+                emit_doc_viol(np.nonzero(did_null | (did_len == 0))[0],
+                              S.E10_DOC_ID_NULL, "doc_id is null or empty")
+                e13 = np.nonzero(~did_null & (did_len > 0) & did_bad)[0]
+                if len(e13):
+                    dp = pc.take(doc_id_arr, pa.array(e13)).to_pylist()
+                    emit_doc_viol(e13, S.E13_DOC_ID_FORMAT,
+                                  [f"malformed doc_id: {x}" for x in dp])
+                emit_doc_viol(np.nonzero(spans_null | (counts_np == 0))[0],
+                              S.E12_SPANS_NULL, "spans array is null or empty")
 
                 # E11: first index where offset != position-in-doc
                 pos_in_doc = np.arange(n_spans_total) - bounds[parent]
                 mism = np.nonzero(offs != pos_in_doc)[0]
                 if len(mism):
-                    # first mismatch per doc
-                    md = parent[mism]
-                    first = np.unique(md, return_index=True)[1]
-                    for f_i in first:
-                        j = mism[f_i]
-                        d = parent[j]
-                        i_in_doc = int(j - bounds[d])
-                        v_doc.append(doc_ids_py[d]); v_span.append(i_in_doc)
-                        v_off.append(int(offs[j]))
-                        v_code.append(S.E11_OFFSET_SEQUENCE)
-                        v_sev.append(S.SEV_ERROR)
-                        v_msg.append(f"offset sequence broken at span {i_in_doc}")
-
-                if v_doc:
-                    out_batches.append(_viol_batch(v_doc, v_span, v_off,
-                                                   v_code, v_sev, v_msg))
+                    # first mismatch per doc (parent is sorted, so
+                    # unique's return_index points at each doc's first)
+                    firsts = mism[np.unique(parent[mism], return_index=True)[1]]
+                    i_in = firsts - bounds[parent[firsts]]
+                    emit_span_viol(firsts, S.E11_OFFSET_SEQUENCE, [
+                        f"offset sequence broken at span {i}" for i in i_in])
 
             # ---- stats partials (vectorized) ----------------------------
             stats: dict[str, float] = {"docs_seen": float(n_docs),
@@ -599,8 +636,21 @@ def _make_arrow_pass(fused: bool, trigger_period: int | None = None):
                         pyfsm._int_field(fields, "ape"))
                     if name:
                         rf_counts[name] = rf_counts.get(name, 0) + 1
-            if rf_counts:
-                nrf = len(rf_counts)
+            extra_stats = {f"alpide_{k}": float(v)
+                           for k, v in rf_counts.items()}
+            # internal-trigger census (PhT-trigger-count analogue,
+            # trigger_stats.rs is_pht_trigger / stats_validation.rs
+            # expected-PhT custom check): count trig spans with int=1 —
+            # kv already parsed+memoized, so this is O(#trig spans)
+            # dict probes per batch
+            n_int_trig = 0
+            for j in kv_idx[codes[kv_idx] == _K_TRIG]:
+                if pyfsm._int_field(kv_flat[int(j)], "int") == 1:
+                    n_int_trig += 1
+            if n_int_trig:
+                extra_stats["trig_internal_count"] = float(n_int_trig)
+            if extra_stats:
+                nrf = len(extra_stats)
                 out_batches.append(pa.RecordBatch.from_arrays(
                     [
                         pa.array(["s"] * nrf, pa.string()),
@@ -610,10 +660,8 @@ def _make_arrow_pass(fused: bool, trigger_period: int | None = None):
                         _empty_cols(nrf, pa.string()),
                         _empty_cols(nrf, pa.string()),
                         _empty_cols(nrf, pa.string()),
-                        pa.array([f"alpide_{k}" for k in rf_counts],
-                                 pa.string()),
-                        pa.array([float(v) for v in rf_counts.values()],
-                                 pa.float64()),
+                        pa.array(list(extra_stats), pa.string()),
+                        pa.array(list(extra_stats.values()), pa.float64()),
                     ],
                     schema=_ARROW_SCHEMA,
                 ))
@@ -651,11 +699,17 @@ def _make_arrow_pass(fused: bool, trigger_period: int | None = None):
                     continue
                 kv = kv_by_doc.get(d, _EMPTY)
                 refs = refs_by_doc.get(d, _EMPTY)
-                for i, off, code, sev, msg in _fsm_over_codes(
-                        codes_l[lo:hi], offs_l[lo:hi], kv, refs, hi - lo,
-                        lambda i, _lo=lo: _kind_at(_lo + i),
-                        trigger_period=trigger_period):
-                    f_doc.append(doc_ids_py[d]); f_span.append(i)
+                vs = _fsm_over_codes(
+                    codes_l[lo:hi], offs_l[lo:hi], kv, refs, hi - lo,
+                    lambda i, _lo=lo: _kind_at(_lo + i),
+                    trigger_period=trigger_period,
+                    chips_per_lane=chips_per_lane,
+                    legal_chip_orderings=legal_chip_orderings)
+                if not vs:
+                    continue
+                did = _doc_ids()[d]
+                for i, off, code, sev, msg in vs:
+                    f_doc.append(did); f_span.append(i)
                     f_off.append(off); f_code.append(code)
                     f_sev.append(sev); f_msg.append(msg)
             if f_doc:
@@ -669,13 +723,20 @@ def _make_arrow_pass(fused: bool, trigger_period: int | None = None):
 
 
 def sequence_pass(docs: DataFrame, fused: bool = False,
-                  trigger_period: int | None = None) -> DataFrame:
+                  trigger_period: int | None = None,
+                  chips_per_lane: int | None = None,
+                  legal_chip_orderings: list[list[int]] | None = None
+                  ) -> DataFrame:
     """Run the FSM (+stats) pass. fused=True also emits key/ref rows and
     the stateless battery (single-scan check_all mode). trigger_period
     enables the E45 internal-trigger period check (reference
-    --its-trigger-period analogue; off by default)."""
+    --its-trigger-period analogue; off by default). chips_per_lane /
+    legal_chip_orderings override the header-derived chip-layer
+    expectations (reference custom TOML checks,
+    custom_checks_cfg.rs:7-28; see functions/fsm.validate_spans)."""
     return docs.select("doc_id", "spans").mapInArrow(
-        _make_arrow_pass(fused, trigger_period), schema=SEQ_OUT_SCHEMA
+        _make_arrow_pass(fused, trigger_period, chips_per_lane,
+                         legal_chip_orderings), schema=SEQ_OUT_SCHEMA
     )
 
 

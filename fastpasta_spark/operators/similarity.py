@@ -13,12 +13,26 @@ Two paths, as a 100 TB training pipeline needs:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from fastpasta_spark.functions.cache import tracked_persist
 
 from fastpasta_spark.functions.hashing import py_md5_hash
+
+# Ceiling for inlining a codebook / projection matrix as SQL literals
+# (round-3 verdict #2): below it, the literal array-of-arrays is the
+# right zero-shuffle plan — the expression evaluates inside codegen,
+# equivalent to broadcasting a tiny table. Beyond it, the EXPRESSION
+# TREE is the problem (k*dim literal nodes hit analysis/codegen long
+# before the data does — SemDeDup-realistic k~10^4-10^5 at dim 768
+# would be tens of millions of nodes), so the operators below switch to
+# an Arrow-batched pandas UDF closing over a broadcast numpy codebook:
+# same math in float64, same lowest-index tie-break, one Python stage
+# instead of a codegen expression. Tests pin path parity.
+LITERAL_CODEBOOK_MAX = 8192
 
 COSINE_EXPR = (
     "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * y), "
@@ -91,16 +105,45 @@ def _bucket_expr(vec_col: str, dim: int, n_planes: int, table: int) -> str:
     )
 
 
+def _lsh_bucket_udf(dim: int, n_planes: int, tables: list[int]):
+    """pandas UDF: embedding -> [bucket id per table] — the
+    large-matrix twin of _bucket_expr (same md5-derived planes, same
+    sign rule, same table * 2^n_planes disjoint offsets)."""
+    from pyspark.sql import types as T
+
+    mats = np.array([_projection_matrix(dim, n_planes, t) for t in tables],
+                    dtype=np.float64)            # (T, P, dim)
+    offsets = np.array([t << n_planes for t in tables], dtype=np.int64)
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def buckets(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        v = np.array(vecs.tolist(), dtype=np.float64)       # (n, dim)
+        signs = np.einsum("nd,tpd->ntp", v, mats) > 0       # (n, T, P)
+        ids = (signs * weights[None, None, :]).sum(axis=2) + offsets[None, :]
+        return pd.Series(list(ids))
+
+    return buckets
+
+
 def with_lsh_bucket(
     df: DataFrame, dim: int, n_planes: int = 8, vec_col: str = "embedding",
     out_col: str = "lsh_bucket", table: int = 0,
 ) -> DataFrame:
     """Sign-random-projection bucket id as a column (one hash table).
 
-    The tiny projection matrix is inlined as a literal array-of-arrays —
-    evaluated inside codegen; equivalent to broadcasting it. Bucket ids
-    of different tables are disjoint (offset by table * 2^n_planes).
+    A small projection matrix (n_planes*dim <= LITERAL_CODEBOOK_MAX) is
+    inlined as a literal array-of-arrays — evaluated inside codegen;
+    equivalent to broadcasting it. Larger matrices switch to the
+    Arrow-batched numpy path (see LITERAL_CODEBOOK_MAX). Bucket ids of
+    different tables are disjoint (offset by table * 2^n_planes).
     """
+    if n_planes * dim > LITERAL_CODEBOOK_MAX:
+        return df.withColumn(out_col, F.get(
+            _lsh_bucket_udf(dim, n_planes, [table])(F.col(vec_col)),
+            F.lit(0)))
     return df.withColumn(out_col, F.expr(_bucket_expr(vec_col, dim, n_planes, table)))
 
 
@@ -110,7 +153,13 @@ def with_lsh_buckets(
 ) -> DataFrame:
     """Multi-table LSH: one row per (vector, table) with that table's
     bucket id — candidates are unioned across tables (standard L-tables
-    construction; raises recall at the cost of L bucket joins)."""
+    construction; raises recall at the cost of L bucket joins). The
+    n_tables*n_planes*dim projection literals switch to the Arrow path
+    past LITERAL_CODEBOOK_MAX like every codebook here."""
+    if n_tables * n_planes * dim > LITERAL_CODEBOOK_MAX:
+        return df.withColumn(out_col, F.explode(
+            _lsh_bucket_udf(dim, n_planes, list(range(n_tables)))(
+                F.col(vec_col))))
     exprs = ", ".join(
         _bucket_expr(vec_col, dim, n_planes, t) for t in range(n_tables)
     )
@@ -188,17 +237,59 @@ def ivf_centroids(corpus: DataFrame, n_lists: int,
     )
 
 
+def _codebook_matrix(centroids: list) -> np.ndarray:
+    """(k, dim) float64 matrix; row index == list_id (both codebook
+    paths rely on ivf_centroids' 0-based contiguous list_ids)."""
+    assert [lid for lid, _ in centroids] == list(range(len(centroids))), \
+        "codebook list_ids must be contiguous 0-based"
+    return np.array([v for _, v in centroids], dtype=np.float64)
+
+
+def _assign_udf(centroids: list, nprobe: int):
+    """pandas UDF: embedding -> the nprobe nearest list_ids (cosine,
+    ties broken toward the LOWER list_id — np.argsort(kind='stable')
+    matches the literal path's (negsim, list_id) array_sort order)."""
+    from pyspark.sql import types as T
+
+    mat = _codebook_matrix(centroids)
+    cnorm = np.sqrt((mat * mat).sum(axis=1))
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def assign(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        v = np.array(vecs.tolist(), dtype=np.float64)
+        sims = (v @ mat.T) / (np.sqrt((v * v).sum(axis=1, keepdims=True))
+                              * cnorm[None, :])
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series(list(order.astype(np.int32)))
+
+    return assign
+
+
 def _assign_lists(df: DataFrame, centroids: list, nprobe: int,
                   vec_col: str) -> DataFrame:
     """Attach the nprobe nearest list_ids to every row.
 
-    The centroid table (bounded: n_lists rows, collected once on the
-    driver like any quantizer codebook) is inlined as a literal
-    array-of-arrays, so the per-row argmin is a pure codegen expression
-    — NO shuffle and no per-row join. A window-rank formulation here
-    would exchange the whole corpus just to rank n_lists candidates per
-    row.
+    Small codebooks (k*dim <= LITERAL_CODEBOOK_MAX): the centroid table
+    (bounded: n_lists rows, collected once on the driver like any
+    quantizer codebook) is inlined as a literal array-of-arrays, so the
+    per-row argmin is a pure codegen expression — NO shuffle and no
+    per-row join. A window-rank formulation here would exchange the
+    whole corpus just to rank n_lists candidates per row.
+
+    Large codebooks: an Arrow-batched pandas UDF closing over the numpy
+    codebook (ships to executors once via the closure/broadcast) — the
+    scan is still one pass with no shuffle; only the argmin leaves
+    codegen. See LITERAL_CODEBOOK_MAX for why.
     """
+    k = len(centroids)
+    dim = len(centroids[0][1]) if centroids else 0
+    if k * dim > LITERAL_CODEBOOK_MAX:
+        ranked = _assign_udf(centroids, nprobe)(F.col(vec_col))
+        if nprobe == 1:
+            return df.withColumn("list_id", F.get(ranked, F.lit(0)))
+        return df.withColumn("list_id", F.explode(ranked))
     cent_lit = ", ".join(
         "array(" + ", ".join(f"CAST({v!r} AS DOUBLE)" for v in vec) + ")"
         for _, vec in centroids
@@ -325,13 +416,38 @@ def kmeans_assign(corpus: DataFrame, k: int = 16, iters: int = 2,
     assigned = _assign_lists(
         corpus.select(F.col(id_col), F.col(vec_col).alias("_vec")),
         cent, nprobe=1, vec_col="_vec")
-    cent_lit = ", ".join(
-        "array(" + ", ".join(f"CAST({v!r} AS DOUBLE)" for v in vec) + ")"
-        for _, vec in cent)
-    sim = COSINE_EXPR.format(
-        a="_vec", b=f"element_at(array({cent_lit}), list_id + 1)")
+    dim = len(cent[0][1])
+    if len(cent) * dim > LITERAL_CODEBOOK_MAX:
+        sim_col = _centroid_sim_udf(cent)(F.col("_vec"), F.col("list_id"))
+    else:
+        cent_lit = ", ".join(
+            "array(" + ", ".join(f"CAST({v!r} AS DOUBLE)" for v in vec) + ")"
+            for _, vec in cent)
+        sim_col = F.expr(COSINE_EXPR.format(
+            a="_vec", b=f"element_at(array({cent_lit}), list_id + 1)"))
     return assigned.select(
-        id_col, "list_id", F.round(F.expr(sim), 6).alias("sim"))
+        id_col, "list_id", F.round(sim_col, 6).alias("sim"))
+
+
+def _centroid_sim_udf(centroids: list):
+    """pandas UDF (embedding, list_id) -> cosine to that centroid — the
+    large-codebook twin of the literal element_at(array(...), list_id+1)
+    expression in kmeans_assign."""
+    mat = _codebook_matrix(centroids)
+    cnorm = np.sqrt((mat * mat).sum(axis=1))
+
+    @F.pandas_udf("double")
+    def csim(vecs: pd.Series, lids: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=np.float64)
+        v = np.array(vecs.tolist(), dtype=np.float64)
+        li = lids.to_numpy()
+        c = mat[li]
+        num = (v * c).sum(axis=1)
+        den = np.sqrt((v * v).sum(axis=1)) * cnorm[li]
+        return pd.Series(num / den)
+
+    return csim
 
 
 def semantic_duplicates(

@@ -123,6 +123,7 @@ def check_all(
     work_dir: str | None = None,
     max_errors: int | None = None,
     trigger_period: int | None = None,
+    custom=None,
 ) -> CheckResult:
     """Full validation: one scan of docs, everything downstream is small.
 
@@ -138,9 +139,18 @@ def check_all(
 
     trigger_period: enable the E45 internal-trigger period check
     (reference --its-trigger-period, cdp_running.rs:400-427).
+
+    custom: a plans.report.CustomChecksConfig — the reference's custom
+    TOML checks (custom_checks_cfg.rs:7-28): count expectations become
+    E9001 rows appended to the returned violation table, and
+    chips_per_lane / legal_chip_orderings override the header-derived
+    chip-layer expectations inside the fused pass.
     """
     spark = docs.sparkSession
-    out = sequence_pass(docs, fused=True, trigger_period=trigger_period)
+    out = sequence_pass(
+        docs, fused=True, trigger_period=trigger_period,
+        chips_per_lane=custom.chips_per_lane if custom else None,
+        legal_chip_orderings=custom.legal_chip_orderings if custom else None)
 
     from fastpasta_spark.functions.cache import tracked_persist
 
@@ -249,6 +259,16 @@ def check_all(
         .otherwise(F.col("doc_id")).alias("doc_id"),
         "verdict",
     )
+
+    if custom is not None and custom.expectations():
+        # stats-expectation failures (E9001) assert on the FINISHED
+        # metrics — appended after the rollup like the reference
+        # validating stats at end of run (stats_validation.rs), so they
+        # do not feed back into total_errors/error_count_*. The
+        # max_errors display cap above applies to scan errors only.
+        violations_sorted = violations_sorted.unionByName(
+            custom.violations(metrics)
+        ).orderBy("doc_id", "offset", "check_code")
 
     return CheckResult(violations=violations_sorted, metrics=metrics,
                        passed=passed,

@@ -13,6 +13,8 @@ from __future__ import annotations
 
 import json
 import os
+from dataclasses import dataclass
+from dataclasses import field as dataclass_field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -93,18 +95,28 @@ def golden_diff(metrics: DataFrame, golden: DataFrame) -> DataFrame:
 
 
 def custom_checks(metrics: DataFrame, expectations: dict[str, float],
-                  rtol: float = 0.0) -> DataFrame:
+                  rtol: float = 0.0,
+                  absent_is_zero: frozenset[str] | set[str] = frozenset()
+                  ) -> DataFrame:
     """User-configured expectations against the metrics table — the V2
     analogue of the reference's custom TOML checks (expected CDP count,
     expected trigger count; custom_checks_cfg.rs:7-28,
     stats_validation.rs:4-38). One E9001 row per failed expectation;
-    a missing metric also fails."""
+    a missing metric also fails — EXCEPT names in ``absent_is_zero``
+    (counter partials that simply never fired: absent means 0 there,
+    so an expectation of 0 passes on a corpus with none)."""
     spark = metrics.sparkSession
     exp = spark.createDataFrame(
         [(k, float(v)) for k, v in sorted(expectations.items())],
         schema=S.METRICS_SCHEMA,
     ).select(F.col("name"), F.col("value").alias("expected"))
     j = exp.join(metrics.withColumnRenamed("value", "actual"), "name", "left")
+    if absent_is_zero:
+        j = j.withColumn(
+            "actual",
+            F.when(F.col("actual").isNull()
+                   & F.col("name").isin(*sorted(absent_is_zero)),
+                   F.lit(0.0)).otherwise(F.col("actual")))
     bad = j.filter(
         F.col("actual").isNull()
         | (F.abs(F.col("actual") - F.col("expected"))
@@ -123,6 +135,80 @@ def custom_checks(metrics: DataFrame, expectations: dict[str, float],
             F.coalesce(F.col("actual").cast("string"), F.lit("<absent>")),
         ).alias("message"),
     )
+
+
+@dataclass
+class CustomChecksConfig:
+    """The reference's four custom-check kinds (custom_checks_cfg.rs:7-28,
+    validated in stats_validation.rs:4-38), re-expressed for the
+    interleaved-docs model:
+
+      cdps            -> expect_doc_count           (docs_seen)
+      triggers_pht    -> expect_internal_trig_count (trig_internal_count:
+                         trig spans with int=1 — the internal/physics
+                         trigger census the pass counts)
+      chip_count_ob   -> chips_per_lane: overrides the header-derived
+                         ``chips=`` expectation in the E9004 check
+      chip_orders_ob  -> legal_chip_orderings: replaces the default
+                         strictly-increasing chip-id legality (E9005)
+                         with an explicit list of legal sequences
+
+    expect_metrics carries any further name -> value expectations
+    (generic E9001, like the raw custom_checks function). Count
+    expectations land as E9001 violation rows appended AFTER the error
+    rollup — they assert on the finished stats, mirroring the reference
+    running stats validation at the very end of a run, so they do not
+    feed back into total_errors/error_count_* metrics.
+    """
+
+    expect_doc_count: int | None = None
+    expect_internal_trig_count: int | None = None
+    chips_per_lane: int | None = None
+    legal_chip_orderings: list[list[int]] | None = None
+    expect_metrics: dict[str, float] = dataclass_field(default_factory=dict)
+
+    # metric names where an absent partial means a count of zero
+    _ABSENT_ZERO = frozenset({"trig_internal_count"})
+
+    def expectations(self) -> dict[str, float]:
+        exp = dict(self.expect_metrics)
+        if self.expect_doc_count is not None:
+            exp["docs_seen"] = float(self.expect_doc_count)
+        if self.expect_internal_trig_count is not None:
+            exp["trig_internal_count"] = float(self.expect_internal_trig_count)
+        return exp
+
+    def violations(self, metrics: DataFrame) -> DataFrame:
+        return custom_checks(metrics, self.expectations(),
+                             absent_is_zero=self._ABSENT_ZERO)
+
+    @classmethod
+    def from_toml(cls, path: str) -> "CustomChecksConfig":
+        """Load from a TOML file using the REFERENCE's field names
+        (custom_checks_cfg.rs:7-28) so a fastPASTA custom-checks file
+        translates 1:1:
+
+            cdps = 20                 # expected doc count
+            triggers_pht = 4          # expected internal-trigger count
+            chip_count_ob = 7
+            chip_orders_ob = [[0,1,2,3,4,5,6], [8,9,10,11,12,13,14]]
+
+            [expect_metrics]          # engine extension: any metric
+            total_errors = 0.0
+        """
+        import tomllib
+
+        with open(path, "rb") as f:
+            d = tomllib.load(f)
+        return cls(
+            expect_doc_count=d.get("cdps"),
+            expect_internal_trig_count=d.get("triggers_pht"),
+            chips_per_lane=d.get("chip_count_ob"),
+            legal_chip_orderings=[list(o) for o in d["chip_orders_ob"]]
+            if "chip_orders_ob" in d else None,
+            expect_metrics={k: float(v)
+                            for k, v in d.get("expect_metrics", {}).items()},
+        )
 
 
 def format_report(metrics: dict[str, float], max_width: int = 60) -> str:

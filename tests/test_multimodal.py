@@ -78,3 +78,48 @@ def test_resize_images(spark):
         if r["mtype"] != "image":
             assert bytes(r["data"]) == bytes(orig[mid]["data"])
             assert r["meta"] == orig[mid]["meta"]
+
+
+def test_undecodable_image_blob_passes_through(spark):
+    """Random bytes are neither FPSK nor (when PIL exists) a decodable
+    image: resize must pass the row through untouched on EVERY host."""
+    from fastpasta_spark.operators import multimodal as M
+
+    df = spark.createDataFrame(
+        [("x0", "image", bytearray(b"\x89notanimage-random-bytes"), None)],
+        M.BLOB_SCHEMA)
+    out = M.resize_images(df, 4, 3).collect()
+    assert len(out) == 1
+    assert bytes(out[0].data) == b"\x89notanimage-random-bytes"
+    assert out[0].meta is None
+
+
+def test_resize_images_real_codec(spark):
+    """Guard-skip: exercises the REAL_CODECS_AVAILABLE=True branch on
+    hosts that have PIL, so the path is not dead code there (round-3
+    verdict item 7)."""
+    from fastpasta_spark.operators import multimodal as M
+
+    if not M.REAL_CODECS_AVAILABLE:
+        import pytest
+
+        pytest.skip("PIL not installed in this environment")
+    import io
+
+    import PIL.Image
+
+    buf = io.BytesIO()
+    PIL.Image.new("RGB", (10, 6), (30, 60, 90)).save(buf, format="PNG")
+    df = spark.createDataFrame(
+        [("p0", "image", bytearray(buf.getvalue()),
+          {"width": 10, "height": 6, "sample_rate": None,
+           "duration_ms": None})], M.BLOB_SCHEMA)
+    out = M.resize_images(df, 4, 3).collect()
+    assert len(out) == 1
+    img = PIL.Image.open(io.BytesIO(bytes(out[0].data)))
+    assert img.size == (4, 3)
+    assert out[0].meta.width == 4 and out[0].meta.height == 3
+
+    feats = M.extract_features(df).collect()[0]
+    # PIL dims feed the feature projection's w/h terms
+    assert feats.features is not None and len(feats.features) == 8

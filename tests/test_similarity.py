@@ -233,3 +233,116 @@ def test_kmeans_k_exceeds_corpus(spark):
     got = kmeans_assign(emb, k=8, iters=1).collect()
     assert len(got) == 2
     assert {r.list_id for r in got} <= {0, 1}
+
+
+# ---------------------------------------------------------------------------
+# large-codebook Arrow path (round-3 verdict #2): past LITERAL_CODEBOOK_MAX
+# the literal array-of-arrays becomes an expression-tree problem, so the
+# operators switch to an Arrow-batched numpy path; these tests pin (a)
+# exact parity between the two paths and (b) that a genuinely large
+# codebook (k=256, dim=256 -> 65536 would-be literals) compiles and runs.
+# ---------------------------------------------------------------------------
+
+
+def _vecs_df(spark, n, dim, seed=7):
+    rng = np.random.default_rng(seed)
+    rows = [(i, [float(x) for x in rng.normal(size=dim)]) for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_assign_lists_arrow_matches_literal(spark, monkeypatch):
+    df = _vecs_df(spark, 60, 16).select(
+        "vec_id", similarity.F.col("embedding").alias("_vec"))
+    cent = similarity.kmeans_fit(
+        _vecs_df(spark, 60, 16), k=6, iters=1)
+    lit = sorted((r.vec_id, r.list_id) for r in similarity._assign_lists(
+        df, cent, nprobe=2, vec_col="_vec").collect())
+    monkeypatch.setattr(similarity, "LITERAL_CODEBOOK_MAX", 0)
+    arrow = sorted((r.vec_id, r.list_id) for r in similarity._assign_lists(
+        df, cent, nprobe=2, vec_col="_vec").collect())
+    assert lit == arrow
+
+
+def test_kmeans_assign_arrow_matches_literal(spark, monkeypatch):
+    df = _vecs_df(spark, 50, 12, seed=11)
+    lit = sorted((r.vec_id, r.list_id, r.sim)
+                 for r in similarity.kmeans_assign(df, k=5, iters=1).collect())
+    monkeypatch.setattr(similarity, "LITERAL_CODEBOOK_MAX", 0)
+    arrow = sorted((r.vec_id, r.list_id, r.sim)
+                   for r in similarity.kmeans_assign(df, k=5, iters=1).collect())
+    assert [x[:2] for x in lit] == [x[:2] for x in arrow]
+    for a, b in zip(lit, arrow):
+        assert abs(a[2] - b[2]) < 2e-6  # 6dp rounding on both paths
+
+
+def test_lsh_buckets_arrow_matches_literal(spark, monkeypatch):
+    df = _vecs_df(spark, 40, 8, seed=13)
+    lit = sorted((r.vec_id, r.lsh_bucket) for r in similarity.with_lsh_buckets(
+        df, dim=8, n_planes=4, n_tables=3).collect())
+    monkeypatch.setattr(similarity, "LITERAL_CODEBOOK_MAX", 0)
+    arrow = sorted((r.vec_id, r.lsh_bucket) for r in similarity.with_lsh_buckets(
+        df, dim=8, n_planes=4, n_tables=3).collect())
+    assert lit == arrow
+    one = sorted((r.vec_id, r.lsh_bucket) for r in similarity.with_lsh_bucket(
+        df, dim=8, n_planes=4, table=2).collect())
+    monkeypatch.undo()
+    one_lit = sorted((r.vec_id, r.lsh_bucket) for r in similarity.with_lsh_bucket(
+        df, dim=8, n_planes=4, table=2).collect())
+    assert one == one_lit
+
+
+def test_large_codebook_compiles_and_self_assigns(spark):
+    # k=256, dim=256 -> 65536 would-be literals: far past the ceiling,
+    # exercises the auto-routed Arrow path end to end. Every corpus
+    # vector IS a centroid (ivf_centroids samples k=n of them), so each
+    # must assign to itself with sim ~ 1.
+    df = _vecs_df(spark, 256, 256, seed=17)
+    cent = sorted(
+        (r.list_id, [float(v) for v in r.centroid])
+        for r in similarity.ivf_centroids(df, 256).collect())
+    assert len(cent) == 256
+    assert 256 * 256 > similarity.LITERAL_CODEBOOK_MAX
+    assigned = similarity._assign_lists(
+        df.select("vec_id", similarity.F.col("embedding").alias("_vec")),
+        cent, nprobe=1, vec_col="_vec")
+    sim = similarity._centroid_sim_udf(cent)(
+        similarity.F.col("_vec"), similarity.F.col("list_id"))
+    rows = assigned.select("vec_id", "list_id",
+                           similarity.F.round(sim, 6).alias("sim")).collect()
+    assert len(rows) == 256
+    assert all(r.sim >= 0.999999 for r in rows), min(r.sim for r in rows)
+    # distinct centroids of a 256-dim gaussian -> all self-assignments
+    assert len({r.list_id for r in rows}) == 256
+
+
+def test_semantic_duplicates_recall_vs_brute_force(spark):
+    """End-to-end recall of the SemDeDup composition (kmeans clustering
+    + within-cluster exact cosine) against the brute-force pair set on
+    a corpus with planted near-duplicate pairs. The components are
+    tested individually; this pins the COMPOSITION's recall."""
+    rng = np.random.default_rng(23)
+    base = rng.normal(size=(12, 16))
+    rows = []
+    vid = 0
+    for b in base:
+        for _ in range(3):  # 3 close variants of each base vector
+            v = b + rng.normal(scale=0.01, size=16)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    # brute-force oracle: all pairs with cosine >= threshold
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    sims = (mat @ mat.T) / np.outer(norms, norms)
+    truth = {(i, j) for i in range(vid) for j in range(i + 1, vid)
+             if round(sims[i, j], 6) >= 0.95}
+    assert len(truth) >= 12  # the planted variants are near-dups
+
+    got = {(r.id_a, r.id_b) for r in similarity.semantic_duplicates(
+        df, threshold=0.95, k=8, iters=2).collect()}
+    # no false positives: every reported pair is exact-cosine verified
+    assert got <= truth
+    # recall: clustering should co-locate most planted variant pairs
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.6, recall
