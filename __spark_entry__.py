@@ -1505,6 +1505,39 @@ def _q_span_fsm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return viol.orderBy("doc_id", "offset", "check_code")
 
 
+def _q_custom_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Config-driven custom checks (V2 true form — the reference's TOML
+    expectations, custom_checks_cfg.rs:7-28 / stats_validation.rs:4-38):
+    run the full check_all with deliberately-wrong count expectations
+    and return the E9001 failure rows. Exercises both the present-metric
+    path (docs_seen) and the absent-counter-means-zero path
+    (trig_internal_count: derived docs carry no int= trig field)."""
+    _ship(spark)
+    from fastpasta_spark.plans.check_all import check_all
+    from fastpasta_spark.plans.report import CustomChecksConfig
+    from fastpasta_spark.sources.from_documents import docs_from_documents
+
+    docs = docs_from_documents(_read_spread(spark, sf_dir, "documents"))
+    cfg = CustomChecksConfig(expect_doc_count=1,
+                             expect_internal_trig_count=7)
+    res = check_all(docs, custom=cfg)
+    return res.violations.filter(F.col("check_code") == "E9001").select(
+        "check_code", "message").orderBy("message")
+
+
+def _sql_custom_check() -> str:
+    return """
+SELECT 'E9001' AS check_code,
+       'custom check failed: docs_seen expected=1.0 actual=' ||
+       (count(*)::DOUBLE)::VARCHAR AS message
+FROM documents
+UNION ALL
+SELECT 'E9001',
+       'custom check failed: trig_internal_count expected=7.0 actual=0.0'
+ORDER BY message
+"""
+
+
 def _q_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-duplicate candidate pairs. Fully deterministic
     (portable md5 band buckets), so it carries an exact DuckDB oracle —
@@ -1829,6 +1862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_content": _q_dup_content,
         "uniqueness_totals": _q_uniqueness_totals,
         "span_fsm": _q_span_fsm,
+        "custom_check": _q_custom_check,
         # relational coverage (§2.2, 2.6, 2.9)
         "q1_pricing_summary": _q1_pricing_summary,
         "join_revenue": _q_join_revenue,
@@ -1918,6 +1952,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_ann": _sql_ivf_ann(),
         "kmeans_clusters": _sql_kmeans(),
         "semantic_dup": _sql_semantic_dup(),
+        "custom_check": _sql_custom_check(),
         # span_fsm is genuinely non-SQL (grammar FSM), so its oracle is
         # a PINNED golden parquet generated from the pure-Python oracle
         # (functions/fsm.py) by scripts/make_span_fsm_golden.py — valid
