@@ -1526,14 +1526,17 @@ def _q_custom_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_custom_check() -> str:
+    # integral counts render as integers on BOTH sides (the engine's
+    # custom_checks fmt()): Spark CAST(1e7 AS STRING) = '1.0E7' vs
+    # DuckDB '10000000.0' would otherwise split at >= 10^7 docs
     return """
 SELECT 'E9001' AS check_code,
-       'custom check failed: docs_seen expected=1.0 actual=' ||
-       (count(*)::DOUBLE)::VARCHAR AS message
+       'custom check failed: docs_seen expected=1 actual=' ||
+       count(*)::VARCHAR AS message
 FROM documents
 UNION ALL
 SELECT 'E9001',
-       'custom check failed: trig_internal_count expected=7.0 actual=0.0'
+       'custom check failed: trig_internal_count expected=7 actual=0'
 ORDER BY message
 """
 

@@ -204,9 +204,19 @@ def main(argv: list[str] | None = None) -> int:
         return 2 if n else 0
 
     if args.checkpoint:
+        if args.custom_checks:
+            # count expectations assert on WHOLE-corpus stats; a
+            # resumable run validates only the remaining buckets, so
+            # evaluating them there would false-fire — reject loudly
+            # instead of silently ignoring the flag
+            raise SystemExit(
+                "--custom-checks cannot be combined with --checkpoint: "
+                "count expectations need whole-corpus stats; run a "
+                "non-resumable `check all` for custom checks")
         from fastpasta_spark.plans.lineage import run_resumable
 
-        viol, run_id = run_resumable(docs, media, args.checkpoint)
+        viol, run_id = run_resumable(docs, media, args.checkpoint,
+                                     trigger_period=args.trigger_period)
         n = viol.count()
         print(f"run_id={run_id} violations={n}")
         return 2 if n else 0

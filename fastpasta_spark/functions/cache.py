@@ -21,8 +21,9 @@ Semantics: release_tracked() is DESTRUCTIVE for unconsumed results —
 a persisted frame recomputes (correct, slower); a localCheckpointed
 frame has truncated lineage and CANNOT recompute, so actions on it
 after release fail. Release after consuming, the way run_failfast uses
-CheckResult.release(). check_all's own persists stay on
-CheckResult.release() because resumable loops release per-slice.
+CheckResult.release(). check_all's internal persists register HERE as
+well as in CheckResult._cached, so per-slice loops use release() and
+bare callers use release_tracked(); double-release is a no-op.
 
 At cluster scale the same boundaries become bucketed scratch tables
 (the operators' docstrings say where); this registry is the in-session
@@ -43,6 +44,24 @@ def tracked_persist(df: DataFrame) -> DataFrame:
     df.persist()
     _TRACKED.append(df.unpersist)
     return df
+
+
+def untrack_release(df: DataFrame) -> None:
+    """unpersist a tracked_persist'ed frame AND drop its registry entry.
+
+    For per-result release paths (CheckResult.release in slice loops):
+    without the deregistration, a loop of N check_all's would leave 2N
+    dead closures in the registry — each pinning the JVM-side plan via
+    py4j for the session's lifetime (unbounded driver growth, the same
+    class of leak the registry exists to prevent). Bound methods of the
+    same instance compare equal, so list.remove finds the entry."""
+    try:
+        df.unpersist()
+    finally:
+        try:
+            _TRACKED.remove(df.unpersist)
+        except ValueError:
+            pass  # released via release_tracked() already, or untracked
 
 
 def release_local_checkpoint(df: DataFrame) -> None:
@@ -94,6 +113,12 @@ def release_tracked() -> None:
         try:
             rel()
         except Exception as e:
+            from pyspark import SparkContext
+
+            if SparkContext._active_spark_context is None:
+                # the context is gone: nothing can leak, the failure is
+                # the documented benign teardown case — stay silent
+                continue
             if not _warned_release_failure:
                 _warned_release_failure = True
                 import warnings

@@ -111,8 +111,13 @@ def _lsh_bucket_udf(dim: int, n_planes: int, tables: list[int]):
     sign rule, same table * 2^n_planes disjoint offsets)."""
     from pyspark.sql import types as T
 
-    mats = np.array([_projection_matrix(dim, n_planes, t) for t in tables],
-                    dtype=np.float64)            # (T, P, dim)
+    # IDENTICAL planes to the literal path: _bucket_expr inlines each
+    # weight as CAST({v:.9f} AS DOUBLE), so the Arrow twin must round
+    # the same way or a vector whose projection sits within ~1e-9 of
+    # zero flips sign between paths (and vs the DuckDB oracle replay)
+    mats = np.array([[[float(f"{v:.9f}") for v in row]
+                      for row in _projection_matrix(dim, n_planes, t)]
+                     for t in tables], dtype=np.float64)  # (T, P, dim)
     offsets = np.array([t << n_planes for t in tables], dtype=np.int64)
     weights = (1 << np.arange(n_planes)).astype(np.int64)
 
@@ -120,10 +125,15 @@ def _lsh_bucket_udf(dim: int, n_planes: int, tables: list[int]):
     def buckets(vecs: pd.Series) -> pd.Series:
         if len(vecs) == 0:
             return pd.Series([], dtype=object)
-        v = np.array(vecs.tolist(), dtype=np.float64)       # (n, dim)
-        signs = np.einsum("nd,tpd->ntp", v, mats) > 0       # (n, T, P)
-        ids = (signs * weights[None, None, :]).sum(axis=2) + offsets[None, :]
-        return pd.Series(list(ids))
+        mask, v = _safe_matrix(vecs, mats.shape[2])
+        out: list = [None] * len(vecs)
+        if len(v):
+            signs = np.einsum("nd,tpd->ntp", v, mats) > 0   # (n, T, P)
+            ids = (signs * weights[None, None, :]).sum(axis=2) \
+                + offsets[None, :]
+            for pos, row in zip(np.nonzero(mask)[0], ids):
+                out[pos] = row
+        return pd.Series(out, dtype=object)
 
     return buckets
 
@@ -245,6 +255,21 @@ def _codebook_matrix(centroids: list) -> np.ndarray:
     return np.array([v for _, v in centroids], dtype=np.float64)
 
 
+def _safe_matrix(vecs, dim: int):
+    """(valid_mask, (n_valid, dim) float64 matrix) from a pandas Series
+    of embeddings — rows that are NULL or the wrong length are masked
+    out instead of crashing the whole Arrow batch (the literal-
+    expression paths degrade per-row on such input; the UDF paths must
+    not be worse)."""
+    vals = vecs.tolist()
+    mask = np.array([v is not None and len(v) == dim for v in vals],
+                    dtype=bool)
+    good = [vals[i] for i in np.nonzero(mask)[0]]
+    v = (np.array(good, dtype=np.float64) if good
+         else np.empty((0, dim), dtype=np.float64))
+    return mask, v
+
+
 def _assign_udf(centroids: list, nprobe: int):
     """pandas UDF: embedding -> the nprobe nearest list_ids (cosine,
     ties broken toward the LOWER list_id — np.argsort(kind='stable')
@@ -258,11 +283,15 @@ def _assign_udf(centroids: list, nprobe: int):
     def assign(vecs: pd.Series) -> pd.Series:
         if len(vecs) == 0:
             return pd.Series([], dtype=object)
-        v = np.array(vecs.tolist(), dtype=np.float64)
-        sims = (v @ mat.T) / (np.sqrt((v * v).sum(axis=1, keepdims=True))
-                              * cnorm[None, :])
-        order = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
-        return pd.Series(list(order.astype(np.int32)))
+        mask, v = _safe_matrix(vecs, mat.shape[1])
+        out: list = [None] * len(vecs)
+        if len(v):
+            sims = (v @ mat.T) / (np.sqrt((v * v).sum(axis=1, keepdims=True))
+                                  * cnorm[None, :])
+            order = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+            for pos, row in zip(np.nonzero(mask)[0], order.astype(np.int32)):
+                out[pos] = row
+        return pd.Series(out, dtype=object)
 
     return assign
 
@@ -440,12 +469,15 @@ def _centroid_sim_udf(centroids: list):
     def csim(vecs: pd.Series, lids: pd.Series) -> pd.Series:
         if len(vecs) == 0:
             return pd.Series([], dtype=np.float64)
-        v = np.array(vecs.tolist(), dtype=np.float64)
-        li = lids.to_numpy()
-        c = mat[li]
-        num = (v * c).sum(axis=1)
-        den = np.sqrt((v * v).sum(axis=1)) * cnorm[li]
-        return pd.Series(num / den)
+        mask, v = _safe_matrix(vecs, mat.shape[1])
+        out = np.full(len(vecs), np.nan)
+        if len(v):
+            li = lids.to_numpy()[mask].astype(np.int64)
+            c = mat[li]
+            num = (v * c).sum(axis=1)
+            den = np.sqrt((v * v).sum(axis=1)) * cnorm[li]
+            out[mask] = num / den
+        return pd.Series(out)
 
     return csim
 

@@ -48,8 +48,10 @@ class CheckResult:
     _cached: tuple = ()
 
     def release(self) -> None:
+        from fastpasta_spark.functions.cache import untrack_release
+
         for df in self._cached:
-            df.unpersist()
+            untrack_release(df)
 
 
 def _uniqueness_branch(keys: DataFrame) -> tuple[DataFrame, DataFrame]:

@@ -101,6 +101,7 @@ def run_resumable(
     checkpoint_dir: str,
     n_buckets: int = 64,
     out_dir: str | None = None,
+    trigger_period: int | None = None,
 ):
     """check_all with lineage: validate only not-yet-done buckets, append
     lineage, write violations per bucket. Returns (violations_df, run_id).
@@ -116,7 +117,8 @@ def run_resumable(
         out_path = os.path.join(out_dir or checkpoint_dir, "violations")
         return spark.read.parquet(out_path), None
 
-    res = check_all(todo.drop(BUCKET_COL), media)
+    res = check_all(todo.drop(BUCKET_COL), media,
+                    trigger_period=trigger_period)
     viol = res.violations.withColumn(
         "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int")
     )

@@ -122,6 +122,16 @@ def custom_checks(metrics: DataFrame, expectations: dict[str, float],
         | (F.abs(F.col("actual") - F.col("expected"))
            > F.abs(F.col("expected")) * rtol)
     )
+    def fmt(c):
+        # integral doubles render as integers: Spark's CAST(1e7 AS
+        # STRING) is '1.0E7' while DuckDB's is '10000000.0' — count
+        # expectations at >=10^7 docs would hash-mismatch any oracle
+        # on formatting alone. Integral render is engine-portable.
+        return F.when(
+            (c == F.floor(c)) & (F.abs(c) < F.lit(9.0e15)),
+            c.cast("bigint").cast("string")
+        ).otherwise(c.cast("string"))
+
     return bad.select(
         F.lit(None).cast("string").alias("doc_id"),
         F.lit(None).cast("int").alias("span_idx"),
@@ -130,9 +140,9 @@ def custom_checks(metrics: DataFrame, expectations: dict[str, float],
         F.lit(S.SEV_ERROR).alias("severity"),
         F.concat(
             F.lit("custom check failed: "), F.col("name"),
-            F.lit(" expected="), F.col("expected").cast("string"),
+            F.lit(" expected="), fmt(F.col("expected")),
             F.lit(" actual="),
-            F.coalesce(F.col("actual").cast("string"), F.lit("<absent>")),
+            F.coalesce(fmt(F.col("actual")), F.lit("<absent>")),
         ).alias("message"),
     )
 

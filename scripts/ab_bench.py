@@ -67,10 +67,23 @@ def run_bench(tree: str, env_extra: dict[str, str]) -> dict:
 
 def ensure_worktree(ref: str) -> str:
     path = f"/tmp/ab_worktree_{ref}"
+    sha = subprocess.run(["git", "rev-parse", f"{ref}^{{commit}}"],
+                         cwd=REPO, check=True, capture_output=True,
+                         text=True).stdout.strip()
     if not os.path.exists(os.path.join(path, "bench.py")):
         subprocess.run(["git", "worktree", "add", "--detach", "-f",
-                        path, ref], cwd=REPO, check=True,
+                        path, sha], cwd=REPO, check=True,
                        capture_output=True)
+    # a reused worktree may hold a STALE checkout when ref is movable
+    # (a branch that advanced since the last run) — side A would then
+    # silently bench old code, the exact error this script exists to
+    # prevent; re-pin HEAD to the resolved sha
+    head = subprocess.run(["git", "rev-parse", "HEAD"], cwd=path,
+                          check=True, capture_output=True,
+                          text=True).stdout.strip()
+    if head != sha:
+        subprocess.run(["git", "checkout", "--detach", sha], cwd=path,
+                       check=True, capture_output=True)
     return path
 
 
@@ -154,7 +167,8 @@ def main() -> int:
     if only_b:
         lines += ["", "Queries only in B (not compared): "
                   + ", ".join(f"{q} ({qb[q]}s)" for q in only_b)]
-    os.makedirs(os.path.dirname(out_md), exist_ok=True)
+    if os.path.dirname(out_md):
+        os.makedirs(os.path.dirname(out_md), exist_ok=True)
     with open(out_md, "w") as f:
         f.write("\n".join(lines) + "\n")
     print(f"\nwrote {out_md}")

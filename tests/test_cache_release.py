@@ -113,3 +113,21 @@ def test_failfast_and_resumable_release(spark, tmp_path):
     assert run_id is not None and v.count() > 0
     # run_resumable releases its own CheckResult; nothing to free
     assert _n_cached(spark) == base
+
+
+def test_release_deregisters_from_registry(spark):
+    """CheckResult.release() must also remove its registry closures —
+    a slice loop calling release() per result previously grew _TRACKED
+    by 2 dead entries per call for the session's lifetime."""
+    from fastpasta_spark.plans.check_all import check_all
+    from fastpasta_spark.sources.synth import CorpusConfig, corpus_df, media_df
+
+    release_tracked()
+    base = _n_cached(spark)
+    cfg = CorpusConfig(n_docs=150, corrupt_per_mille=100)
+    for _ in range(3):
+        res = check_all(corpus_df(spark, cfg), media_df(spark, cfg))
+        res.violations.count()
+        res.release()
+    assert tracked_count() == 0          # no dead closures accumulate
+    assert _n_cached(spark) == base

@@ -346,3 +346,25 @@ def test_semantic_duplicates_recall_vs_brute_force(spark):
     # recall: clustering should co-locate most planted variant pairs
     recall = len(got & truth) / len(truth)
     assert recall >= 0.6, recall
+
+
+def test_arrow_paths_tolerate_null_and_ragged_vectors(spark, monkeypatch):
+    """The literal-expression paths degrade per-row on null/ragged
+    embeddings; the Arrow UDF paths must not be worse (a single bad row
+    previously crashed the whole batch with np.array ValueError)."""
+    monkeypatch.setattr(similarity, "LITERAL_CODEBOOK_MAX", 0)
+    rows = [(0, [1.0, 0.0, 0.0, 0.0]), (1, None), (2, [1.0, 2.0]),
+            (3, [0.0, 1.0, 0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cent = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])]
+
+    assigned = similarity._assign_lists(
+        df.select("vec_id", similarity.F.col("embedding").alias("_vec")),
+        cent, nprobe=1, vec_col="_vec").collect()
+    got = {r.vec_id: r.list_id for r in assigned}
+    assert got[0] == 0 and got[3] == 1
+    assert got[1] is None and got[2] is None
+
+    b = similarity.with_lsh_buckets(df, dim=4, n_planes=2, n_tables=2)
+    ok = {r.vec_id for r in b.collect()}
+    assert ok == {0, 3}  # explode drops the null bucket arrays

@@ -226,3 +226,18 @@ def test_cli_custom_checks_flag(spark, tmp_path):
     bad = tmp_path / "bad.toml"
     bad.write_text("cdps = 99\n")
     assert cli_main(["check", "all", inp, "--custom-checks", str(bad)]) == 2
+
+
+def test_cli_rejects_custom_checks_with_checkpoint(spark, tmp_path):
+    import pytest
+
+    from fastpasta_spark.cli import main as cli_main
+
+    docs = _docs_df(spark, [_lane_doc()])
+    inp = str(tmp_path / "docs.parquet")
+    docs.write.parquet(inp)
+    toml = tmp_path / "c.toml"
+    toml.write_text("cdps = 1\n")
+    with pytest.raises(SystemExit, match="custom-checks cannot be combined"):
+        cli_main(["check", "all", inp, "--checkpoint",
+                  str(tmp_path / "ckpt"), "--custom-checks", str(toml)])
