@@ -95,6 +95,21 @@ def main(argv: list[str] | None = None) -> int:
 
     args = p.parse_args(argv)
 
+    # flag-combination validation BEFORE any Spark work (fail fast,
+    # never silently ignore a requested check — review finding):
+    # custom checks assert on check-all metrics, and count expectations
+    # need whole-corpus stats (a bucket-sliced resume would false-fire)
+    if args.cmd == "check" and getattr(args, "custom_checks", None):
+        if args.mode != "all":
+            raise SystemExit("--custom-checks requires `check all` "
+                             f"(mode '{args.mode}' computes no metrics "
+                             "for expectations to assert on)")
+        if args.checkpoint:
+            raise SystemExit(
+                "--custom-checks cannot be combined with --checkpoint: "
+                "count expectations need whole-corpus stats; run a "
+                "non-resumable `check all` for custom checks")
+
     from fastpasta_spark.session import get_spark
 
     spark = get_spark(app_name=f"fastpasta_spark_{args.cmd}", cores=args.cores)
@@ -204,15 +219,6 @@ def main(argv: list[str] | None = None) -> int:
         return 2 if n else 0
 
     if args.checkpoint:
-        if args.custom_checks:
-            # count expectations assert on WHOLE-corpus stats; a
-            # resumable run validates only the remaining buckets, so
-            # evaluating them there would false-fire — reject loudly
-            # instead of silently ignoring the flag
-            raise SystemExit(
-                "--custom-checks cannot be combined with --checkpoint: "
-                "count expectations need whole-corpus stats; run a "
-                "non-resumable `check all` for custom checks")
         from fastpasta_spark.plans.lineage import run_resumable
 
         viol, run_id = run_resumable(docs, media, args.checkpoint,

@@ -23,6 +23,15 @@ the kv-parse memoization landed). A fourth leg compares the ALPIDE
 readout-flag/APE census (stats partials, invisible to the violation
 legs) against an independent Python replay — ~22k counts across the
 three seeds, exact parity.
+
+Round-4: a fifth leg runs the chip-layer CONFIG overrides
+(chips_per_lane + legal_chip_orderings, the custom-TOML surface) over
+the same hostile rows — the orderings list deliberately legalizes a
+non-increasing sequence and outlaws an increasing one, so the
+replacement semantics are fuzzed, not just defaults. Evidence: all
+five legs x 30,000 docs x seeds (7, 99, 2026) -> ~6.7M violation rows
++ ~22k census counts, exact multiset parity on every leg (run on the
+post-vectorization fused pass with lazy doc-id materialization).
 """
 
 from __future__ import annotations
@@ -144,7 +153,30 @@ def main(n_docs: int = 30_000, seeds: tuple[int, ...] = (7, 99, 2026)) -> int:
                 if got_census.get(k) != exp_census.get(k):
                     print(f"  {k}: engine={got_census.get(k)} "
                           f"oracle={exp_census.get(k)}")
-        if not (ok1 and ok2 and ok3 and ok4):
+        # leg 5: config-driven chip-layer overrides (round-4
+        # CustomChecksConfig): chips_per_lane replaces every header-
+        # derived chips= expectation (E9004) and legal_chip_orderings
+        # REPLACES the strictly-increasing legality (E9005) — [9, 8] is
+        # legal under this config while the vocabulary's increasing
+        # [8, 9] becomes illegal, so the replacement semantics (not just
+        # the happy path) are exercised in BOTH implementations
+        CPL, ORDS = 2, [[0, 1], [9, 8]]
+        expected_cfg: Counter = Counter()
+        for doc_id, spans in rows:
+            tuples = (None if spans is None else
+                      [(s["kind"], s["text"], s["media_ref"], s["offset"])
+                       for s in spans])
+            for v in stateless_doc_checks(doc_id, tuples or None):
+                expected_cfg[(doc_id,) + tuple(v)] += 1
+            for v in validate_spans(tuples or [], chips_per_lane=CPL,
+                                    legal_chip_orderings=ORDS):
+                expected_cfg[(doc_id,) + tuple(v)] += 1
+        viol_cfg, _ = split_sequence_output(sequence_pass(
+            docs, fused=True, chips_per_lane=CPL,
+            legal_chip_orderings=ORDS))
+        ok5 = compare(f"fused + chip config cpl={CPL}", viol_cfg,
+                      expected_cfg)
+        if not (ok1 and ok2 and ok3 and ok4 and ok5):
             rc = 1
     return rc
 

@@ -61,6 +61,27 @@ def test_fsm_oracle_total_and_deterministic(spans):
     assert c == stateless_doc_checks("doc1", spans or None)
 
 
+@settings(max_examples=300, deadline=None)
+@given(doc_st)
+def test_fsm_oracle_total_under_chip_config(spans):
+    """The config-override path (round-4 CustomChecksConfig) is as total
+    and deterministic as the default path, the orderings config fully
+    REPLACES the strictly-increasing rule, and a no-op config equals
+    the default behavior."""
+    cfg = dict(chips_per_lane=2, legal_chip_orderings=[[0, 1], [9, 8]])
+    a = validate_spans(spans, **cfg)
+    assert a == validate_spans(spans, **cfg)
+    for _idx, _off, code, sev, msg in a:
+        assert code in S.ALL_CODES
+        assert sev in (S.SEV_ERROR, S.SEV_WARNING, S.SEV_FATAL)
+        if code == S.E9005_CHIP_ORDER:
+            # the default rule's message cannot appear under a config
+            assert "strictly increasing" not in msg
+    # None-config is byte-identical to the legacy two-arg call
+    assert validate_spans(spans, chips_per_lane=None,
+                          legal_chip_orderings=None) == validate_spans(spans)
+
+
 def test_engine_matches_oracle_on_random_docs(spark):
     """Run the Arrow pass over a Hypothesis-style randomized corpus and
     compare row-for-row with the oracle. (One Spark job over many random
