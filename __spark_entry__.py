@@ -1541,6 +1541,147 @@ ORDER BY message
 """
 
 
+def _view_docs_input(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> a simple 4-span doc per row (header/trig/text/
+    trailer) whose derivation is SQL-expressible, so the VIEW operators
+    (W1/W2) can carry exact DuckDB oracles."""
+    d = _read(spark, sf_dir, "documents")
+    return d.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.expr(
+            "array("
+            "named_struct('kind','header','text','lanes=1',"
+            "'media_ref','','offset',0), "
+            "named_struct('kind','trig','text',"
+            "concat('cont=0,bc=', coalesce(cast(n_chars as string),'0')),"
+            "'media_ref','','offset',1), "
+            "named_struct('kind','text','text',coalesce(text,''),"
+            "'media_ref','','offset',2), "
+            "named_struct('kind','trailer','text','done=1',"
+            "'media_ref','','offset',3))"
+        ).alias("spans"))
+
+
+def _q_view_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: one formatted row per document (`view rdh` analogue,
+    rdh_view.rs)."""
+    from fastpasta_spark.operators.views import view_docs
+
+    return view_docs(_view_docs_input(spark, sf_dir))
+
+
+def _sql_view_docs() -> str:
+    # payload_chars = len('lanes=1') + len('cont=0,bc='||n) +
+    #                 len(text) + len('done=1') = 7 + 10 + ... + 6
+    return """
+SELECT doc_id::VARCHAR AS doc_id, 4 AS n_spans, 1 AS n_frames,
+       1 AS n_text, 0 AS n_media,
+       (23 + length(coalesce(n_chars::VARCHAR, '0'))
+           + length(coalesce(text, '')))::BIGINT AS payload_chars
+FROM documents ORDER BY doc_id
+"""
+
+
+def _q_view_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: one row per span with kind decode (`view its-readout-frames`
+    analogue, its_readout_frame.rs:89-126)."""
+    from fastpasta_spark.operators.views import view_frames
+
+    return view_frames(_view_docs_input(spark, sf_dir))
+
+
+def _sql_view_frames() -> str:
+    return """
+SELECT doc_id::VARCHAR AS doc_id, 0 AS "offset", 'header' AS kind,
+       'frame header' AS describe FROM documents
+UNION ALL
+SELECT doc_id::VARCHAR, 1, 'trig',
+       'trigger cont=0,bc=' || coalesce(n_chars::VARCHAR, '0')
+FROM documents
+UNION ALL
+SELECT doc_id::VARCHAR, 2, 'text',
+       'content(' || length(coalesce(text, ''))::VARCHAR || ' chars)'
+FROM documents
+UNION ALL
+SELECT doc_id::VARCHAR, 3, 'trailer', 'frame trailer done=1'
+FROM documents
+ORDER BY doc_id, "offset"
+"""
+
+
+# crafted lane spans driving every census bucket class: plain flag
+# bits, the three exclusive full-trailer states, WARNING/FATAL/unknown
+# APE bytes (fsm.py ALPIDE_FLAG_NAMES / APE tables)
+_CENSUS_DOCS = [
+    ("c1", [("header", "lanes=2,lane_ids=0;1", "", 0),
+            ("trig", "cont=0,bc=1", "", 1),
+            ("text", "lane=0,chips=0;1,cbc=5,rf=184", "", 2),
+            ("text", "lane=1,chips=0;1,cbc=5,rf=7", "", 3),
+            ("trailer", "done=1", "", 4)]),
+    ("c2", [("header", "lanes=2,lane_ids=0;1", "", 0),
+            ("trig", "cont=0,bc=2", "", 1),
+            ("text", "lane=0,chips=0;1,cbc=6,rf=188,ape=242", "", 2),
+            ("text", "lane=1,chips=0;1,cbc=6,rf=190,ape=244", "", 3),
+            ("trailer", "done=1", "", 4)]),
+    ("c3", [("header", "lanes=1,lane_ids=0", "", 0),
+            ("trig", "cont=0,bc=3", "", 1),
+            ("text", "lane=0,chips=0;1,cbc=7,rf=177,ape=99", "", 2),
+            ("trailer", "done=1", "", 3)]),
+]
+
+
+def _census_expected() -> dict[str, int]:
+    """Replay the census with the PURE-PYTHON twins (provenance = the
+    oracle, like the span_fsm golden) — used to build the DuckDB
+    VALUES oracle."""
+    from fastpasta_spark.functions.fsm import (
+        _int_field, ape_census_name, log_readout_flags, parse_kv)
+
+    counts: dict[str, int] = {}
+    for _did, spans in _CENSUS_DOCS:
+        for kind, text, _ref, _off in spans:
+            if kind == "text" and text.startswith("lane="):
+                fields = parse_kv(text)
+                rf = _int_field(fields, "rf")
+                if rf is not None:
+                    log_readout_flags(rf, counts)
+                if "ape" in fields:
+                    nm = ape_census_name(_int_field(fields, "ape"))
+                    if nm:
+                        counts[nm] = counts.get(nm, 0) + 1
+    return counts
+
+
+def _q_alpide_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G5 true form: the ALPIDE readout-flag/APE census (partial+final
+    merged stats, alpide_stats.rs:55-134) over crafted lane docs —
+    driver-gate pinning for the census pipeline end to end."""
+    _ship(spark)
+    from fastpasta_spark.operators.sequence import (
+        sequence_pass, split_sequence_output)
+
+    rows = [(did, [{"kind": k, "text": t, "media_ref": r, "offset": o}
+                   for k, t, r, o in spans])
+            for did, spans in _CENSUS_DOCS]
+    docs = spark.createDataFrame(
+        rows, "doc_id string, spans array<struct<kind:string,text:string,"
+              "media_ref:string,offset:int>>")
+    _, stats = split_sequence_output(sequence_pass(docs, fused=True))
+    return (stats.filter(F.col("name").startswith("alpide_"))
+            .select("name", F.col("value").cast("double").alias("value"))
+            .orderBy("name"))
+
+
+def _sql_alpide_census() -> str:
+    vals = ", ".join(
+        f"('alpide_{name}', {float(cnt)!r})"
+        for name, cnt in sorted(_census_expected().items()))
+    # ::DOUBLE: DuckDB types the VALUES literals as DECIMAL, which the
+    # driver's hasher normalizes differently from Spark's DOUBLE
+    return (f"SELECT name, value::DOUBLE AS value "
+            f"FROM (VALUES {vals}) v(name, value) ORDER BY name")
+
+
 def _q_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-duplicate candidate pairs. Fully deterministic
     (portable md5 band buckets), so it carries an exact DuckDB oracle —
@@ -1866,6 +2007,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "uniqueness_totals": _q_uniqueness_totals,
         "span_fsm": _q_span_fsm,
         "custom_check": _q_custom_check,
+        "view_docs": _q_view_docs,
+        "view_frames": _q_view_frames,
+        "alpide_census": _q_alpide_census,
         # relational coverage (§2.2, 2.6, 2.9)
         "q1_pricing_summary": _q1_pricing_summary,
         "join_revenue": _q_join_revenue,
@@ -1956,6 +2100,11 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_clusters": _sql_kmeans(),
         "semantic_dup": _sql_semantic_dup(),
         "custom_check": _sql_custom_check(),
+        "view_docs": _sql_view_docs(),
+        "view_frames": _sql_view_frames(),
+        # VALUES oracle computed by the PURE-PYTHON census twins at
+        # build time (provenance = the oracle, like the span_fsm golden)
+        "alpide_census": _sql_alpide_census(),
         # span_fsm is genuinely non-SQL (grammar FSM), so its oracle is
         # a PINNED golden parquet generated from the pure-Python oracle
         # (functions/fsm.py) by scripts/make_span_fsm_golden.py — valid
