@@ -1682,6 +1682,35 @@ def _sql_alpide_census() -> str:
             f"FROM (VALUES {vals}) v(name, value) ORDER BY name")
 
 
+def _q_golden_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V1 true form (validate_fields! / golden-stats regression,
+    stats/lib.rs:9-31): diff the run's metrics against a golden that is
+    an exact copy EXCEPT docs_seen perturbed by +1 — the full-outer
+    field-wise diff must flag exactly that one field (E130)."""
+    _ship(spark)
+    from fastpasta_spark.plans.check_all import check_all
+    from fastpasta_spark.plans.report import golden_diff
+    from fastpasta_spark.sources.from_documents import docs_from_documents
+
+    docs = docs_from_documents(_read_spread(spark, sf_dir, "documents"))
+    res = check_all(docs)
+    golden = res.metrics.withColumn(
+        "value",
+        F.when(F.col("name") == "docs_seen", F.col("value") + 1)
+        .otherwise(F.col("value")))
+    return golden_diff(res.metrics, golden).select("check_code", "message")
+
+
+def _sql_golden_diff() -> str:
+    return """
+SELECT 'E130' AS check_code,
+       'stats field mismatch: docs_seen current=' ||
+       (count(*)::DOUBLE)::VARCHAR || ' golden=' ||
+       ((count(*) + 1)::DOUBLE)::VARCHAR AS message
+FROM documents
+"""
+
+
 def _q_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-duplicate candidate pairs. Fully deterministic
     (portable md5 band buckets), so it carries an exact DuckDB oracle —
@@ -2010,6 +2039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "view_docs": _q_view_docs,
         "view_frames": _q_view_frames,
         "alpide_census": _q_alpide_census,
+        "golden_diff": _q_golden_diff,
         # relational coverage (§2.2, 2.6, 2.9)
         "q1_pricing_summary": _q1_pricing_summary,
         "join_revenue": _q_join_revenue,
@@ -2102,6 +2132,7 @@ def oracle_sql() -> dict[str, str]:
         "custom_check": _sql_custom_check(),
         "view_docs": _sql_view_docs(),
         "view_frames": _sql_view_frames(),
+        "golden_diff": _sql_golden_diff(),
         # VALUES oracle computed by the PURE-PYTHON census twins at
         # build time (provenance = the oracle, like the span_fsm golden)
         "alpide_census": _sql_alpide_census(),

@@ -29,9 +29,9 @@ Round-4: a fifth leg runs the chip-layer CONFIG overrides
 the same hostile rows — the orderings list deliberately legalizes a
 non-increasing sequence and outlaws an increasing one, so the
 replacement semantics are fuzzed, not just defaults. Evidence: all
-five legs x 30,000 docs x seeds (7, 99, 2026) -> ~6.7M violation rows
-+ ~22k census counts, exact multiset parity on every leg (run on the
-post-vectorization fused pass with lazy doc-id materialization).
+five legs x 30,000 docs x seeds (7, 99, 2026, 31337) -> ~9M violation
+rows + ~29k census counts, exact multiset parity on every leg (run on
+the post-vectorization fused pass with lazy doc-id materialization).
 """
 
 from __future__ import annotations
