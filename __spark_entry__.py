@@ -1702,11 +1702,15 @@ def _q_golden_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_golden_diff() -> str:
+    # integral metric values render as integers on BOTH sides — the
+    # engine's report._fmt_metric (shared with custom_checks): Spark
+    # CAST(1e7 AS STRING)='1.0E7' vs DuckDB '10000000.0' would split
+    # the hash at >= 10^7 docs otherwise
     return """
 SELECT 'E130' AS check_code,
        'stats field mismatch: docs_seen current=' ||
-       (count(*)::DOUBLE)::VARCHAR || ' golden=' ||
-       ((count(*) + 1)::DOUBLE)::VARCHAR AS message
+       count(*)::VARCHAR || ' golden=' ||
+       (count(*) + 1)::VARCHAR AS message
 FROM documents
 """
 
@@ -2016,6 +2020,10 @@ def _sql_span_fsm_golden() -> str:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDERING MATTERS: the driver's correctness gate verifies the FIRST 50
+    # entries in dict order. Keep every query that needs fresh driver-green
+    # evidence within the first 50; multi-round-green cheap relational SQL
+    # queries are rotated to the back (rotation policy: COVERAGE.md).
     return {
         # validation engine (SURVEY §2.3-2.7, north_rule)
         "doc_sanity": _q_doc_sanity,
@@ -2040,14 +2048,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "view_frames": _q_view_frames,
         "alpide_census": _q_alpide_census,
         "golden_diff": _q_golden_diff,
-        # relational coverage (§2.2, 2.6, 2.9)
-        "q1_pricing_summary": _q1_pricing_summary,
+        # relational coverage (§2.2, 2.6, 2.9) — survivors of the rotation
         "join_revenue": _q_join_revenue,
         "q9_profit": _q9_profit,
-        "topk_per_group": _q_topk_per_group,
-        "error_filter_limit": _q_error_filter_limit,
-        "rollup_agg": _q_rollup,
-        "sessionize": _q_sessionize,
         "source_uniformity": _q_source_uniformity,
         "asof_join": _q_asof_join,
         "trigger_period": _q_trigger_period,
@@ -2075,6 +2078,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": _q_embedding_near_dup,
         "kmeans_clusters": _q_kmeans,
         "semantic_dup": _q_semantic_dup,
+        # --- entries 51+: multi-round driver-green (r1-r4), rotated out of
+        # the driver's 50-query window; still verified every round by
+        # scripts/oracle_check.py (55/55 gate) and pytest.
+        "q1_pricing_summary": _q1_pricing_summary,
+        "topk_per_group": _q_topk_per_group,
+        "error_filter_limit": _q_error_filter_limit,
+        "rollup_agg": _q_rollup,
+        "sessionize": _q_sessionize,
     }
 
 

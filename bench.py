@@ -133,7 +133,7 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(json.dumps({
+    headline = {
         "metric": "headline_suite_seconds",
         "value": total,
         "unit": "sec",
@@ -144,10 +144,19 @@ def main() -> None:
         "docs_per_sec": round(n_docs / t_validate, 1),
         "cpus": CPUS,
         "bench_reps": BENCH_REPS,
-        "reps": reps,
-        "loadavg_per_rep": rep_load,
-        "loadavg_end": round(os.getloadavg()[0], 1),
-    }))
+    }
+    # Full per-rep evidence (seconds + loadavg per rep) goes to a sidecar
+    # file: round-4 lesson — inlining it grew the JSON line past the
+    # driver's tail-capture window and BENCH_r04.json recorded
+    # "parsed": null. The driver-visible line stays compact and is
+    # printed LAST.
+    sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH", "last_run_full.json")
+    os.makedirs(os.path.dirname(sidecar), exist_ok=True)
+    with open(sidecar, "w") as f:
+        json.dump({**headline, "reps": reps, "loadavg_per_rep": rep_load,
+                   "loadavg_end": round(os.getloadavg()[0], 1)}, f, indent=1)
+    print(json.dumps(headline))
 
 
 if __name__ == "__main__":

@@ -191,10 +191,24 @@ def minhash_near_duplicates(df: DataFrame, id_col: str = "doc_id",
 # ---------------------------------------------------------------------------
 
 
+#: Default shingle document-frequency cap for jaccard_pairs. Sentinel:
+#: when the caller does not pass max_df explicitly, a one-time warning
+#: notes the df-capped semantics (round-4 advice: the default changed
+#: from uncapped in round 3; callers who want old exact behavior pass
+#: max_df=None, callers who accept the cap pass max_df=1000 and the
+#: warning never fires). In-repo default-arg caller audit (r5): only
+#: tests/test_dedup.py::test_jaccard_pairs_match_python, on 60 docs
+#: where no shingle can exceed the cap — its exact-python oracle is
+#: unaffected; every other caller passes max_df explicitly.
+DEFAULT_MAX_DF = 1000
+_MAX_DF_UNSET = -1
+_warned_default_max_df = False
+
+
 def jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                   n: int = 3, threshold: float = 0.5,
                   within_col: str | None = None,
-                  max_df: int | None = 1000,
+                  max_df: int | None = _MAX_DF_UNSET,
                   hash_shingles: bool = True) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs sharing >=1 shingle.
 
@@ -225,6 +239,19 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     on small corpora or pre-filtered LSH candidates.
     within_col optionally restricts pairs to the same group (e.g. source).
     """
+    if max_df == _MAX_DF_UNSET:
+        global _warned_default_max_df
+        if not _warned_default_max_df:
+            _warned_default_max_df = True
+            import warnings
+
+            warnings.warn(
+                "jaccard_pairs defaults to df-capped jaccard "
+                f"(max_df={DEFAULT_MAX_DF}): pairs sharing shingles more "
+                f"common than {DEFAULT_MAX_DF} docs are underestimated. "
+                "Pass max_df=None for exact (quadratic-risk) jaccard, or "
+                "max_df explicitly to silence this.", stacklevel=2)
+        max_df = DEFAULT_MAX_DF
     sh = with_shingles(df, text_col, n).select(
         F.col(id_col), F.col("shingles"),
         *( [F.col(within_col)] if within_col else [] ),

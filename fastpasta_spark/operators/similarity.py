@@ -126,7 +126,13 @@ def _lsh_bucket_udf(dim: int, n_planes: int, tables: list[int]):
         if len(vecs) == 0:
             return pd.Series([], dtype=object)
         mask, v = _safe_matrix(vecs, mats.shape[2])
-        out: list = [None] * len(vecs)
+        # NULL/ragged embeddings: the literal _bucket_expr degrades to
+        # the all-zero-signs bucket per table (every IF(NULL > 0, ...)
+        # contributes 0, leaving the table offset) — the Arrow twin must
+        # land such rows in the SAME buckets, not drop them, or crossing
+        # LITERAL_CODEBOOK_MAX would change candidate generation on
+        # corrupt vectors (parity pinned in test_similarity).
+        out: list = [offsets] * len(vecs)
         if len(v):
             signs = np.einsum("nd,tpd->ntp", v, mats) > 0   # (n, T, P)
             ids = (signs * weights[None, None, :]).sum(axis=2) \
@@ -279,12 +285,19 @@ def _assign_udf(centroids: list, nprobe: int):
     mat = _codebook_matrix(centroids)
     cnorm = np.sqrt((mat * mat).sum(axis=1))
 
+    # NULL/ragged embeddings: the literal path's array_sort sees NULL
+    # negsim everywhere and (stably) keeps codebook order, yielding
+    # list_ids 0..nprobe-1 — the Arrow twin emits the same (parity
+    # pinned in test_similarity; empirically verified against the
+    # literal plan on null / short / long / empty vectors).
+    invalid = np.arange(min(nprobe, len(mat)), dtype=np.int32)
+
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def assign(vecs: pd.Series) -> pd.Series:
         if len(vecs) == 0:
             return pd.Series([], dtype=object)
         mask, v = _safe_matrix(vecs, mat.shape[1])
-        out: list = [None] * len(vecs)
+        out: list = [invalid] * len(vecs)
         if len(v):
             sims = (v @ mat.T) / (np.sqrt((v * v).sum(axis=1, keepdims=True))
                                   * cnorm[None, :])
@@ -477,7 +490,10 @@ def _centroid_sim_udf(centroids: list):
             num = (v * c).sum(axis=1)
             den = np.sqrt((v * v).sum(axis=1)) * cnorm[li]
             out[mask] = num / den
-        return pd.Series(out)
+        # literal COSINE_EXPR yields SQL NULL on null/ragged vectors;
+        # emit None (not NaN) so both paths agree on the sim column
+        res: list = [None if not m else s for m, s in zip(mask, out)]
+        return pd.Series(res, dtype=object)
 
     return csim
 

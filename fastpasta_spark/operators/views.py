@@ -31,8 +31,23 @@ def view_docs(docs: DataFrame) -> DataFrame:
     ).orderBy("doc_id")
 
 
-def view_frames(docs: DataFrame) -> DataFrame:
-    """One row per span with doc position + kind decode (W2 analogue)."""
+#: Default cap on view_frames output rows. The reference streams every
+#: word to a terminal (view/lib.rs:11-24) — a human-facing artifact — so
+#: an unbounded global sort over a full corpus is never the right plan at
+#: scale. With a limit the sort compiles to TakeOrderedAndProject
+#: (per-partition top-K + driver merge, no range shuffle); pass
+#: ``limit=None`` explicitly to get the full ordered dump.
+VIEW_FRAMES_DEFAULT_LIMIT = 100_000
+
+
+def view_frames(docs: DataFrame, limit: int | None = VIEW_FRAMES_DEFAULT_LIMIT,
+                doc_ids: list[str] | None = None) -> DataFrame:
+    """One row per span with doc position + kind decode (W2 analogue).
+
+    ``doc_ids`` filters to the named documents BEFORE the explode (filter
+    pushes to the parquet scan); ``limit`` bounds the ordered output so
+    the sort is a top-K, not a full-corpus range shuffle.
+    """
     describe = (
         f"CASE s.kind WHEN '{S.KIND_HEADER}' THEN 'frame header' "
         f"WHEN '{S.KIND_TRIG}' THEN concat('trigger ', s.text) "
@@ -42,7 +57,9 @@ def view_frames(docs: DataFrame) -> DataFrame:
         f"WHEN '{S.KIND_MEDIA}' THEN concat('media -> ', s.media_ref) "
         "ELSE concat('content(', CAST(length(coalesce(s.text, '')) AS STRING), ' chars)') END"
     )
-    return (
+    if doc_ids is not None:
+        docs = docs.filter(F.col("doc_id").isin(list(doc_ids)))
+    out = (
         docs.select("doc_id", F.explode("spans").alias("s"))
         .select(
             "doc_id",
@@ -52,3 +69,4 @@ def view_frames(docs: DataFrame) -> DataFrame:
         )
         .orderBy("doc_id", "offset")
     )
+    return out if limit is None else out.limit(limit)

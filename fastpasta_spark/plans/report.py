@@ -60,6 +60,19 @@ def read_stats(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def _fmt_metric(c):
+    """Engine-portable metric render: integral doubles as integers.
+
+    Spark's CAST(1e7 AS STRING) is '1.0E7' while DuckDB's is
+    '10000000.0' — any message embedding a count >= 10^7 would
+    hash-mismatch its oracle on formatting alone. Shared by
+    custom_checks and golden_diff (and mirrored in their SQL oracles)."""
+    return F.when(
+        (c == F.floor(c)) & (F.abs(c) < F.lit(9.0e15)),
+        c.cast("bigint").cast("string")
+    ).otherwise(c.cast("string"))
+
+
 def golden_diff(metrics: DataFrame, golden: DataFrame) -> DataFrame:
     """Field-wise diff -> one E130 violation row per mismatching metric.
 
@@ -88,8 +101,10 @@ def golden_diff(metrics: DataFrame, golden: DataFrame) -> DataFrame:
         F.lit(S.SEV_ERROR).alias("severity"),
         F.concat(
             F.lit("stats field mismatch: "), F.col("name"),
-            F.lit(" current="), F.coalesce(F.col("cur").cast("string"), F.lit("<absent>")),
-            F.lit(" golden="), F.coalesce(F.col("gold").cast("string"), F.lit("<absent>")),
+            F.lit(" current="),
+            F.coalesce(_fmt_metric(F.col("cur")), F.lit("<absent>")),
+            F.lit(" golden="),
+            F.coalesce(_fmt_metric(F.col("gold")), F.lit("<absent>")),
         ).alias("message"),
     )
 
@@ -122,15 +137,7 @@ def custom_checks(metrics: DataFrame, expectations: dict[str, float],
         | (F.abs(F.col("actual") - F.col("expected"))
            > F.abs(F.col("expected")) * rtol)
     )
-    def fmt(c):
-        # integral doubles render as integers: Spark's CAST(1e7 AS
-        # STRING) is '1.0E7' while DuckDB's is '10000000.0' — count
-        # expectations at >=10^7 docs would hash-mismatch any oracle
-        # on formatting alone. Integral render is engine-portable.
-        return F.when(
-            (c == F.floor(c)) & (F.abs(c) < F.lit(9.0e15)),
-            c.cast("bigint").cast("string")
-        ).otherwise(c.cast("string"))
+    fmt = _fmt_metric
 
     return bad.select(
         F.lit(None).cast("string").alias("doc_id"),

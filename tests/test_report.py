@@ -36,6 +36,11 @@ def test_golden_diff_detects_mismatch(spark, tmp_path):
     assert len(rows) > 0
     assert all(r.check_code == S.E130_GOLDEN_MISMATCH for r in rows)
     assert any("docs_seen" in r.message for r in rows)
+    # engine-portable integral render (report._fmt_metric): counts read
+    # 'current=210 golden=200', never '2.1E2' / '210.0' — the formatting
+    # the DuckDB oracle reproduces verbatim
+    docs_msg = next(r.message for r in rows if "docs_seen" in r.message)
+    assert "current=210" in docs_msg and "golden=200" in docs_msg
 
 
 def test_format_report(spark):

@@ -348,23 +348,63 @@ def test_semantic_duplicates_recall_vs_brute_force(spark):
     assert recall >= 0.6, recall
 
 
-def test_arrow_paths_tolerate_null_and_ragged_vectors(spark, monkeypatch):
-    """The literal-expression paths degrade per-row on null/ragged
-    embeddings; the Arrow UDF paths must not be worse (a single bad row
-    previously crashed the whole batch with np.array ValueError)."""
-    monkeypatch.setattr(similarity, "LITERAL_CODEBOOK_MAX", 0)
+def test_null_and_ragged_vectors_literal_arrow_parity(spark, monkeypatch):
+    """Null/ragged embeddings must take the SAME degraded path on both
+    codebook implementations (round-4 advice): the literal expressions
+    send them to the all-zero-signs LSH bucket (table offset) / the
+    first nprobe list_ids (stable sort over all-NULL negsim) with NULL
+    sim — crossing LITERAL_CODEBOOK_MAX must not change candidate
+    generation on corrupt vectors. Also guards the original regression:
+    one bad row must not crash the whole Arrow batch."""
     rows = [(0, [1.0, 0.0, 0.0, 0.0]), (1, None), (2, [1.0, 2.0]),
-            (3, [0.0, 1.0, 0.0, 0.0])]
+            (3, [0.0, 1.0, 0.0, 0.0]), (4, [])]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     cent = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])]
+    vdf = df.select("vec_id", similarity.F.col("embedding").alias("_vec"))
 
-    assigned = similarity._assign_lists(
-        df.select("vec_id", similarity.F.col("embedding").alias("_vec")),
-        cent, nprobe=1, vec_col="_vec").collect()
-    got = {r.vec_id: r.list_id for r in assigned}
-    assert got[0] == 0 and got[3] == 1
-    assert got[1] is None and got[2] is None
+    def snapshot():
+        assign1 = sorted((r.vec_id, r.list_id) for r in similarity
+                         ._assign_lists(vdf, cent, nprobe=1,
+                                        vec_col="_vec").collect())
+        assign2 = sorted((r.vec_id, r.list_id) for r in similarity
+                         ._assign_lists(vdf, cent, nprobe=2,
+                                        vec_col="_vec").collect())
+        buckets = sorted((r.vec_id, r.lsh_bucket) for r in similarity
+                         .with_lsh_buckets(df, dim=4, n_planes=2,
+                                           n_tables=2).collect())
+        return assign1, assign2, buckets
 
-    b = similarity.with_lsh_buckets(df, dim=4, n_planes=2, n_tables=2)
-    ok = {r.vec_id for r in b.collect()}
-    assert ok == {0, 3}  # explode drops the null bucket arrays
+    lit = snapshot()
+    monkeypatch.setattr(similarity, "LITERAL_CODEBOOK_MAX", 0)
+    arrow = snapshot()
+    assert lit == arrow
+
+    # degraded-row semantics, pinned explicitly: invalid vectors land in
+    # list 0 / the per-table offset buckets (0 and 1<<2 = 4)
+    a1 = dict(lit[0])
+    assert a1[0] == 0 and a1[3] == 1
+    assert a1[1] == 0 and a1[2] == 0 and a1[4] == 0
+    bk = {}
+    for vid, b in lit[2]:
+        bk.setdefault(vid, set()).add(b)
+    assert bk[1] == bk[2] == bk[4] == {0, 4}
+
+    # the sim column (kmeans_assign's two implementations): SQL NULL —
+    # not NaN — on both paths for corrupt vectors
+    assigned = similarity._assign_lists(vdf, cent, nprobe=1,
+                                        vec_col="_vec")
+    arrow_sim = {r.vec_id: r.sim for r in assigned.select(
+        "vec_id", similarity._centroid_sim_udf(cent)(
+            similarity.F.col("_vec"), similarity.F.col("list_id"))
+        .alias("sim")).collect()}
+    cent_lit = ", ".join(
+        "array(" + ", ".join(f"CAST({v!r} AS DOUBLE)" for v in vec) + ")"
+        for _, vec in cent)
+    lit_sim = {r.vec_id: r.sim for r in assigned.select(
+        "vec_id", similarity.F.expr(similarity.COSINE_EXPR.format(
+            a="_vec", b=f"element_at(array({cent_lit}), list_id + 1)"))
+        .alias("sim")).collect()}
+    for vid in (1, 2, 4):
+        assert arrow_sim[vid] is None and lit_sim[vid] is None
+    for vid in (0, 3):
+        assert abs(arrow_sim[vid] - lit_sim[vid]) < 1e-9

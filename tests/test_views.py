@@ -1,0 +1,55 @@
+"""Human-facing views (W1/W2): bounded-by-default output and plan shape.
+
+The reference streams every word to the terminal (`view/lib.rs:11-24`);
+faithful semantics, but at corpus scale an unbounded ORDER BY is a
+full-range shuffle for a display artifact. `view_frames` therefore caps
+output at VIEW_FRAMES_DEFAULT_LIMIT (explicit ``limit=None`` opts out)
+and the limited plan must compile to TakeOrderedAndProject (per-partition
+top-K, no Exchange rangepartitioning).
+"""
+
+from fastpasta_spark.operators.views import (
+    VIEW_FRAMES_DEFAULT_LIMIT,
+    view_docs,
+    view_frames,
+)
+from fastpasta_spark.sources.synth import CorpusConfig, corpus_df
+
+
+def test_view_frames_default_limit_and_order(spark):
+    docs = corpus_df(spark, CorpusConfig(n_docs=60))
+    rows = view_frames(docs).collect()
+    n_spans = sum(r.n_spans for r in view_docs(docs).collect())
+    assert 0 < len(rows) == n_spans <= VIEW_FRAMES_DEFAULT_LIMIT
+    assert rows == sorted(rows, key=lambda r: (r.doc_id, r.offset))
+    # explicit opt-out returns the identical full dump here (corpus small)
+    assert view_frames(docs, limit=None).collect() == rows
+
+
+def test_view_frames_limit_truncates(spark):
+    docs = corpus_df(spark, CorpusConfig(n_docs=60))
+    full = view_frames(docs, limit=None).collect()
+    top = view_frames(docs, limit=7).collect()
+    assert top == full[:7]
+
+
+def test_view_frames_doc_ids_filter(spark):
+    docs = corpus_df(spark, CorpusConfig(n_docs=60))
+    want = [r.doc_id for r in docs.select("doc_id").limit(3).collect()]
+    rows = view_frames(docs, doc_ids=want).collect()
+    assert set(r.doc_id for r in rows) == set(want)
+    assert len(rows) > 0
+
+
+def test_view_frames_limited_plan_is_top_k(spark):
+    """Limited form: TakeOrderedAndProject, no range-partitioning Exchange;
+    unlimited opt-out keeps the global Sort (faithful full dump)."""
+    docs = corpus_df(spark, CorpusConfig(n_docs=60))
+    limited = view_frames(docs, limit=100)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "TakeOrderedAndProject" in limited
+    assert "rangepartitioning" not in limited
+
+    unlimited = view_frames(docs, limit=None)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "TakeOrderedAndProject" not in unlimited
