@@ -19,10 +19,16 @@ the engine's equivalent for cross-revision comparisons:
     is strictly additive)
 
 Usage:
-    python scripts/ab_bench.py [ref_a] [n_rounds] [out_md]
+    python scripts/ab_bench.py [--gate] [ref_a] [n_rounds] [out_md]
         ref_a     default 67b23c1 (round-2 code)
         n_rounds  default 4  (=> 4 reps per side, 8 JVMs)
         out_md    default BENCH/AB_<refa>_vs_worktree.md
+
+--gate turns the comparison into a REGRESSION GATE mirroring the
+reference's CI budget (regression_performance.sh:249-279: mean_ratio
+fail >1.10 / warn >1.05): exit 1 if the current tree's suite
+min-of-reps is >10% slower than the pinned baseline ref, warn (exit 0)
+past 5%; a BENCH/GATE.md record is appended either way.
 
 NEVER run other Spark jobs concurrently — every rep measures wall time.
 """
@@ -87,10 +93,16 @@ def ensure_worktree(ref: str) -> str:
     return path
 
 
+GATE_FAIL = 1.10   # suite min-of-reps B/A above this -> exit 1
+GATE_WARN = 1.05   # ... above this -> warning (exit 0)
+
+
 def main() -> int:
-    ref_a = sys.argv[1] if len(sys.argv) > 1 else "67b23c1"
-    n_rounds = int(sys.argv[2]) if len(sys.argv) > 2 else 4
-    out_md = (sys.argv[3] if len(sys.argv) > 3
+    args = [a for a in sys.argv[1:] if a != "--gate"]
+    gate = "--gate" in sys.argv[1:]
+    ref_a = args[0] if len(args) > 0 else "67b23c1"
+    n_rounds = int(args[1]) if len(args) > 1 else 4
+    out_md = (args[2] if len(args) > 2
               else os.path.join(REPO, "BENCH", f"AB_{ref_a}_vs_worktree.md"))
     tree_a = ensure_worktree(ref_a)
     tree_b = REPO
@@ -172,9 +184,37 @@ def main() -> int:
     with open(out_md, "w") as f:
         f.write("\n".join(lines) + "\n")
     print(f"\nwrote {out_md}")
-    print(f"suite A {suite_a}s vs B {suite_b}s -> B/A "
-          f"{suite_b / suite_a:.2f}")
-    return 0
+    ratio = suite_b / suite_a
+    print(f"suite A {suite_a}s vs B {suite_b}s -> B/A {ratio:.2f}")
+
+    if not gate:
+        return 0
+    # --- regression gate (reference CI budget analogue) -------------------
+    verdict = ("FAIL" if ratio > GATE_FAIL
+               else "WARN" if ratio > GATE_WARN else "PASS")
+    head = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
+                          cwd=REPO, capture_output=True, text=True
+                          ).stdout.strip()
+    gate_md = os.path.join(REPO, "BENCH", "GATE.md")
+    is_new = not os.path.exists(gate_md)
+    with open(gate_md, "a") as f:
+        if is_new:
+            f.write(
+                "# Performance regression gate records\n\n"
+                "`python scripts/ab_bench.py --gate <baseline-ref>` — "
+                "interleaved fresh-JVM A/B, statistic = suite "
+                "min-of-reps over common queries; FAIL > "
+                f"{GATE_FAIL:.2f}x, WARN > {GATE_WARN:.2f}x (the "
+                "reference's hyperfine CI budget, "
+                "regression_performance.sh:249-279).\n\n"
+                "| when (utc) | baseline | worktree HEAD | A min s | "
+                "B min s | B/A | verdict |\n|---|---|---|---|---|---|---|\n")
+        f.write(f"| {time.strftime('%Y-%m-%d %H:%M', time.gmtime())} "
+                f"| {ref_a} | {head} | {suite_a} | {suite_b} "
+                f"| {ratio:.3f} | {verdict} |\n")
+    print(f"gate vs {ref_a}: {verdict} (B/A {ratio:.3f}; "
+          f"fail>{GATE_FAIL}, warn>{GATE_WARN}) -> {gate_md}")
+    return 1 if verdict == "FAIL" else 0
 
 
 if __name__ == "__main__":

@@ -68,8 +68,12 @@ def _span_fsm_golden_matches(con, sf_dir: str) -> bool:
     meta = pq.read_schema(OUT).metadata or {}
     golden_fp = meta.get(FINGERPRINT_KEY)
     if golden_fp is None:
-        # pre-fingerprint golden: keep the old directory-name heuristic
-        return sf_dir.rstrip("/").endswith("sf0.01")
+        # every golden since round 4 embeds the fingerprint
+        # (make_span_fsm_golden.py writes it unconditionally); a golden
+        # without one is stale — regenerate rather than guess
+        raise RuntimeError(
+            f"{OUT} lacks {FINGERPRINT_KEY!r} metadata; regenerate with "
+            "scripts/make_span_fsm_golden.py")
     try:
         actual = con.sql(
             corpus_fingerprint_sql(f"{sf_dir}/documents.parquet")
