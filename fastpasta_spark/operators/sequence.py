@@ -32,6 +32,7 @@ tests assert row-for-row equality between this pass and the oracle.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterator
 from types import MappingProxyType
 
@@ -541,7 +542,14 @@ def _screen_clean_docs(codes: np.ndarray, parent: np.ndarray,
 
 def _make_arrow_pass(fused: bool, trigger_period: int | None = None,
                      chips_per_lane: int | None = None,
-                     legal_chip_orderings: list[list[int]] | None = None):
+                     legal_chip_orderings: list[list[int]] | None = None,
+                     screen: bool | None = None):
+    # escape hatch / A-B lever: FASTPASTA_SCREEN=0 (read driver-side at
+    # pass-construction time, pickled into the closure) disables the
+    # clean-doc pre-screen so every doc takes the exact FSM loop
+    if screen is None:
+        screen = os.environ.get("FASTPASTA_SCREEN", "1") != "0"
+
     def arrow_pass(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         kv_cache: dict = {}  # text -> parsed fields, partition-scoped
         for batch in batches:
@@ -786,8 +794,9 @@ def _make_arrow_pass(fused: bool, trigger_period: int | None = None,
             # (census) and no int= trigs (trig_internal_count) by the
             # screen's strict field forms, so the 's' partials computed
             # from kv are unchanged.
-            clean = _screen_clean_docs(codes, parent, bounds, counts_np,
-                                       text_c, ref_c, ref_empty, lane_pref)
+            clean = (_screen_clean_docs(codes, parent, bounds, counts_np,
+                                        text_c, ref_c, ref_empty, lane_pref)
+                     if screen else np.zeros(n_docs, dtype=bool))
             dirty_span = ~clean[parent]
             kv_mask = ((codes == _K_HEADER) | (codes == _K_TRIG)
                        | (codes == _K_TRAILER) | (codes == _K_DIAG))
