@@ -32,7 +32,18 @@ from fastpasta_spark.functions.hashing import py_md5_hash
 # an Arrow-batched pandas UDF closing over a broadcast numpy codebook:
 # same math in float64, same lowest-index tie-break, one Python stage
 # instead of a codegen expression. Tests pin path parity.
-LITERAL_CODEBOOK_MAX = 8192
+#
+# Threshold MEASURED in round 5 (scripts/codebook_bench.py ->
+# BENCH/CODEBOOK.md, 50k rows x dim=768, local[32], min-of-3): the
+# literal path's cost grows linearly in k*dim while the Arrow path is
+# flat until the codebook itself is large — literal/Arrow parity sits
+# at k*dim ~1.5-3k (1536: 1.27s vs 1.07s; 6144: 3.40s vs 0.59s;
+# 98304: 54.2s vs 0.55s), and the Arrow path handles k*dim=7.7M
+# (k=10^4, dim=768) in 8.3s. maxRecordsPerBatch is a non-factor for
+# the vector UDF (0.94-1.01s across 1k-16k at k=1024). 2048 keeps
+# genuinely tiny codebooks (LSH planes, small k-means) JVM-side with
+# zero Python-worker round-trips and routes everything else to Arrow.
+LITERAL_CODEBOOK_MAX = 2048
 
 COSINE_EXPR = (
     "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * y), "
