@@ -11,7 +11,7 @@ with ``mapInArrow`` so the slow path is as fast as it can be:
   * the Arrow list<struct> column is unpacked ONCE into flat child
     arrays (zero per-span Python objects),
   * the stateless sanity battery, stats partials, uniqueness-key rows
-    and media-ref rows are all computed VECTORIZED (pyarrow.compute /
+    and key rows are all computed VECTORIZED (pyarrow.compute /
     numpy) over the flat arrays,
   * only the grammar FSM itself runs as a Python loop — over small int
     kind-codes, touching span text only for the few header/trig/trailer
@@ -19,7 +19,10 @@ with ``mapInArrow`` so the slow path is as fast as it can be:
 
 Output rows are discriminated by ``row_type``:
   'v' violation | 's' stats partial (O(batches)) | 'k' doc-id key row
-  (uniqueness) | 'r' media-ref row (referential; ref in `message`).
+  (uniqueness). Media-ref rows for the referential check are NOT pass
+  output (since round 5): they derive columnar from the docs table via
+  plans/check_all.media_ref_rows — on media-heavy corpora they were
+  ~90% of the pass rows and dominated the stage-2 materialization.
 
 Per-document restart (cdp_running.rs:87-104) means no cross-partition
 state: any partitioning is correct and the pass scales linearly — this
@@ -624,25 +627,13 @@ def _make_arrow_pass(fused: bool, trigger_period: int | None = None,
                     schema=_ARROW_SCHEMA,
                 ))
 
-                # ---- 'r' media-ref rows (vectorized) --------------------
-                r_mask = (codes == _K_MEDIA) & ~ref_empty
-                r_idx = np.nonzero(r_mask)[0]
-                if len(r_idx):
-                    r_parent = parent[r_idx]
-                    out_batches.append(pa.RecordBatch.from_arrays(
-                        [
-                            pa.array(["r"] * len(r_idx), pa.string()),
-                            pc.take(doc_id_arr, pa.array(r_parent)).cast(pa.string()),
-                            pa.array(r_idx - bounds[r_parent], pa.int32()),
-                            pa.array(offs[r_idx], pa.int32()),
-                            _empty_cols(len(r_idx), pa.string()),
-                            _empty_cols(len(r_idx), pa.string()),
-                            pc.take(ref_c, pa.array(r_idx)).cast(pa.string()),
-                            _empty_cols(len(r_idx), pa.string()),
-                            _empty_cols(len(r_idx), pa.float64()),
-                        ],
-                        schema=_ARROW_SCHEMA,
-                    ))
+                # NOTE round 5: media-ref ('r') rows are no longer emitted
+                # here. On a media-heavy corpus they were ~90% of the pass
+                # output (102M of 113M rows on the 8M-doc scaling corpus)
+                # and dominated the persist; the referential check now
+                # derives its refs columnar from the docs table
+                # (plans/check_all.media_ref_rows — posexplode over pruned
+                # nested fields, no Python in the loop).
 
                 # ---- stateless battery (fully vectorized emits) ---------
                 # one RecordBatch per firing check, columns assembled
@@ -851,9 +842,9 @@ def _make_arrow_pass(fused: bool, trigger_period: int | None = None,
                     ],
                     schema=_ARROW_SCHEMA,
                 ))
-            # ref map feeds only the loop -> dirty docs only ('r' rows
-            # for the referential check are emitted vectorized above for
-            # ALL docs, unaffected)
+            # ref map feeds only the loop -> dirty docs only (the
+            # referential check gets its refs columnar from the docs
+            # table, see plans/check_all.media_ref_rows)
             ref_idx = np.nonzero((codes == _K_MEDIA) & ~ref_empty
                                  & dirty_span)[0]
             ref_vals = (pc.take(ref_c, pa.array(ref_idx)).to_pylist()
@@ -917,8 +908,8 @@ def sequence_pass(docs: DataFrame, fused: bool = False,
                   chips_per_lane: int | None = None,
                   legal_chip_orderings: list[list[int]] | None = None
                   ) -> DataFrame:
-    """Run the FSM (+stats) pass. fused=True also emits key/ref rows and
-    the stateless battery (single-scan check_all mode). trigger_period
+    """Run the FSM (+stats) pass. fused=True also emits key ('k') rows
+    and the stateless battery (single-scan check_all mode). trigger_period
     enables the E45 internal-trigger period check (reference
     --its-trigger-period analogue; off by default). chips_per_lane /
     legal_chip_orderings override the header-derived chip-layer

@@ -3,10 +3,15 @@
 Reference lifecycle (`/root/reference/fastpasta/src/lib.rs:101-159`,
 doc/data_flow.md:13-23): one scan feeds batch stats, per-key validators
 and the stats funnel concurrently; nothing reads the input twice. The
-Spark translation keeps that property at 100 TB:
+Spark translation keeps the expensive part of that property at 100 TB —
+the COMPUTE (FSM + battery + stats) touches each doc once; the
+referential check adds a second scan that nested-schema pruning reduces
+to the kind/media_ref/offset sub-columns (no text bytes), far cheaper
+than routing ~10x-the-doc-count ref rows through the Arrow pass output
+(round-5 measurement: 102M of 113M persisted pass rows were refs):
 
-  stage 1  docs scan -> fused mapInPandas pass (FSM + stateless battery
-           + stats partials + uniqueness keys + media refs)  [ONE scan]
+  stage 1  docs scan -> fused mapInArrow pass (FSM + stateless battery
+           + stats partials + uniqueness keys)  [the one COMPUTE scan]
   stage 2  pass output materialized ONCE, partitioned by row_type
            (parquet work_dir -> partition pruning per branch; or
            MEMORY_AND_DISK persist for small runs)
@@ -14,8 +19,9 @@ Spark translation keeps that property at 100 TB:
              'v' rows  -> violation table
              's' rows  -> stats merge (partial+final agg)
              'k' rows  -> uniqueness (groupBy count>1 + HLL totals)
-             'r' rows  -> referential anti-join vs broadcast media dim
              kind mix  -> chi-square drift vs golden profile
+           + media_ref_rows(docs): pruned columnar re-scan ->
+             referential anti-join vs broadcast media dim
   stage 4  metrics assembly + error-code rollup (G6 analogue)
 
 Violations sort by (doc_id, offset, check_code) — the reference sorts
@@ -100,8 +106,36 @@ def _uniqueness_branch(keys: DataFrame) -> tuple[DataFrame, DataFrame]:
     return viol, metrics
 
 
+def media_ref_rows(docs: DataFrame) -> DataFrame:
+    """Columnar (doc_id, span_idx, offset, message=media_ref) rows for
+    every non-empty media ref — the referential check's input.
+
+    Round 5: these used to be emitted as 'r' rows by the fused Arrow
+    pass, but on a media-heavy corpus they were ~90% of the pass output
+    (102M of 113M rows at 8M docs) and dominated the pass persist. A
+    media ref needs no FSM state, so derive it declaratively: with
+    nested-schema pruning the second scan reads ONLY the kind/media_ref/
+    offset struct fields (no text), stays entirely in whole-stage
+    codegen, and feeds the broadcast anti-join directly. Semantics
+    mirror the old emission exactly: kind == 'media' (exact match),
+    ref non-null and non-empty, span_idx = position in the spans list.
+    """
+    s = F.col("s")
+    return (
+        docs.select(F.col("doc_id").cast("string").alias("doc_id"),
+                    F.posexplode("spans").alias("span_idx", "s"))
+        .filter((s["kind"] == "media")
+                & s["media_ref"].isNotNull()
+                & (F.length(s["media_ref"]) > 0))
+        .select("doc_id",
+                F.col("span_idx").cast("int").alias("span_idx"),
+                s["offset"].cast("int").alias("offset"),
+                s["media_ref"].cast("string").alias("message"))
+    )
+
+
 def _referential_branch(refs: DataFrame, media: DataFrame) -> DataFrame:
-    """'r' rows (media_ref in `message`) -> E110 violations."""
+    """Ref rows (media_ref in `message`) -> E110 violations."""
     dangling = refs.join(
         F.broadcast(media.select("media_id")),
         refs["message"] == F.col("media_id"),
@@ -164,14 +198,11 @@ def check_all(
 
     violations_seq, stats = split_sequence_output(out)
     keys = out.filter(F.col("row_type") == "k").select("doc_id")
-    refs = out.filter(F.col("row_type") == "r").select(
-        "doc_id", "span_idx", "offset", "message"
-    )
 
     uniq_viol, uniq_metrics = _uniqueness_branch(keys)
     branches = [violations_seq, uniq_viol]
     if media is not None:
-        branches.append(_referential_branch(refs, media))
+        branches.append(_referential_branch(media_ref_rows(docs), media))
     if golden_kind_profile is not None:
         kind_counts = (
             stats.filter(F.col("name").startswith("kind_count_"))

@@ -43,11 +43,11 @@ def validate_stream(
         out = sequence_pass(batch_df, fused=True)
         violations, stats = split_sequence_output(out.persist())
         if media is not None:
-            from fastpasta_spark.plans.check_all import _referential_branch
+            from fastpasta_spark.plans.check_all import (_referential_branch,
+                                                         media_ref_rows)
 
-            refs = out.filter(F.col("row_type") == "r").select(
-                "doc_id", "span_idx", "offset", "message")
-            violations = violations.unionByName(_referential_branch(refs, media))
+            violations = violations.unionByName(
+                _referential_branch(media_ref_rows(batch_df), media))
         (violations.withColumn("epoch_id", F.lit(epoch_id))
          .write.mode("append").parquet(f"{out_dir}/violations"))
         (stats.withColumn("epoch_id", F.lit(epoch_id))
