@@ -175,6 +175,64 @@ WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)
 """
 
 
+def _q_dangling_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs-model referential check (E110) through the PRODUCTION path:
+    plans/check_all.media_ref_rows (columnar posexplode derivation —
+    round 5 moved refs out of the Arrow pass) feeding
+    _referential_branch's broadcast anti-join. The media dim is the
+    from_documents contract: m0..m63 while refs land in m0..m71, so
+    ~11% dangle (from_documents.py:41-43)."""
+    _ship(spark)
+    from fastpasta_spark.plans.check_all import (_referential_branch,
+                                                 media_ref_rows)
+    from fastpasta_spark.sources.from_documents import docs_from_documents
+
+    docs = docs_from_documents(_read_spread(spark, sf_dir, "documents"))
+    media = spark.createDataFrame([(f"m{i}",) for i in range(64)],
+                                  "media_id string")
+    viol = _referential_branch(media_ref_rows(docs), media)
+    return viol.select(
+        "doc_id",
+        F.col("span_idx").cast("int").alias("span_idx"),
+        F.col("offset").cast("int").alias("offset"),
+        "check_code", "severity", "message",
+    ).orderBy("doc_id", "offset")
+
+
+def _sql_dangling_refs() -> str:
+    # replays docs_from_documents' media-span derivation (tokens sliced
+    # to 8; every 4th token is a media span with ref m<md5(t)%72> unless
+    # the corruption class junks the last span; offsets shift +1 after
+    # the trig for class 2) and keeps refs whose slot >= 64.
+    tk = duckdb_tokens("text")
+    return f"""
+WITH base AS (
+  SELECT doc_id::VARCHAR AS doc_id, ({tk})[:8] AS toks,
+         {duckdb_md5_hash("doc_id::VARCHAR")} % 10 AS mut
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, mut, len(toks) AS n,
+         unnest(toks) AS t,
+         generate_subscripts(toks, 1) - 1 AS i
+  FROM base
+),
+refs AS (
+  SELECT doc_id, (i + 2)::INT AS span_idx,
+         (i + 2 + CASE WHEN mut = 2 AND i > 0 THEN 1 ELSE 0 END)::INT
+             AS "offset",
+         {duckdb_md5_hash('t')} % 72 AS slot
+  FROM tok
+  WHERE i % 4 = 3 AND NOT (mut = 0 AND i = n - 1)
+)
+SELECT doc_id, span_idx, "offset", 'E110' AS check_code,
+       'ERROR' AS severity,
+       'media_ref not found in media table: m' || slot::VARCHAR AS message
+FROM refs WHERE slot >= 64
+ORDER BY doc_id, "offset"
+"""
+
+
 def _q_metrics_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-column stats profile (G1/G8 analogue) of documents."""
     from fastpasta_spark.operators.textstats import profile
@@ -2029,6 +2087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_sanity": _q_doc_sanity,
         "running_check": _q_running_check,
         "referential": _q_referential,
+        "dangling_refs": _q_dangling_refs,
         "metrics_profile": _q_metrics_profile,
         "col_profile": _q_col_profile,
         "length_hist": _q_length_hist,
@@ -2049,7 +2108,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "alpide_census": _q_alpide_census,
         "golden_diff": _q_golden_diff,
         # relational coverage (§2.2, 2.6, 2.9) — survivors of the rotation
-        "join_revenue": _q_join_revenue,
         "q9_profit": _q9_profit,
         "source_uniformity": _q_source_uniformity,
         "asof_join": _q_asof_join,
@@ -2082,6 +2140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the driver's 50-query window; still verified every round by
         # scripts/oracle_check.py (55/55 gate) and pytest.
         "q1_pricing_summary": _q1_pricing_summary,
+        "join_revenue": _q_join_revenue,
         "topk_per_group": _q_topk_per_group,
         "error_filter_limit": _q_error_filter_limit,
         "rollup_agg": _q_rollup,
@@ -2094,6 +2153,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_sanity": _SQL_DOC_SANITY,
         "running_check": _SQL_RUNNING_CHECK,
         "referential": _SQL_REFERENTIAL,
+        "dangling_refs": _sql_dangling_refs(),
         "metrics_profile": _SQL_METRICS_PROFILE,
         "col_profile": _sql_col_profile(),
         "length_hist": _sql_length_hist(),

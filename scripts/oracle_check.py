@@ -2,7 +2,11 @@
 entry on Spark AND its oracle_sql() on DuckDB at a given sf, compare
 row count / schema / order-insensitive value hash. Usage:
 
-    python scripts/oracle_check.py [sf_dir]
+    python scripts/oracle_check.py [sf_dir] [only]
+
+`only` is an optional comma-separated list of query names for targeted
+runs (e.g. `python scripts/oracle_check.py /root/testdata/sf0.01
+dangling_refs,referential`).
 """
 
 from __future__ import annotations
@@ -83,7 +87,8 @@ def _span_fsm_golden_matches(con, sf_dir: str) -> bool:
     return actual == golden_fp.decode()
 
 
-def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
+def main(sf_dir: str = "/root/testdata/sf0.01", only: str = "") -> int:
+    """only: comma-separated query names to restrict to (targeted runs)."""
     import __spark_entry__ as entrymod
     from fastpasta_spark.session import get_spark
 
@@ -96,6 +101,13 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
     from fastpasta_spark.functions.cache import release_tracked
 
     qs = entrymod.queries()
+    if only:
+        names = {n.strip() for n in only.split(",")}
+        unknown = names - qs.keys()
+        if unknown:
+            print(f"unknown query names: {sorted(unknown)}")
+            return 1
+        qs = {k: v for k, v in qs.items() if k in names}
     oracles = entrymod.oracle_sql()
     failures = 0
     for name, fn in qs.items():
