@@ -113,17 +113,29 @@ def media_ref_rows(docs: DataFrame) -> DataFrame:
     Round 5: these used to be emitted as 'r' rows by the fused Arrow
     pass, but on a media-heavy corpus they were ~90% of the pass output
     (102M of 113M rows at 8M docs) and dominated the pass persist. A
-    media ref needs no FSM state, so derive it declaratively: with
-    nested-schema pruning the second scan reads ONLY the kind/media_ref/
-    offset struct fields (no text), stays entirely in whole-stage
-    codegen, and feeds the broadcast anti-join directly. Semantics
-    mirror the old emission exactly: kind == 'media' (exact match),
-    ref non-null and non-empty, span_idx = position in the spans list.
+    media ref needs no FSM state, so derive it declaratively and feed
+    the broadcast anti-join directly. Semantics mirror the old emission
+    exactly: kind == 'media' (exact match), ref non-null and non-empty,
+    span_idx = position in the spans list.
+
+    Column pruning: posexplode over the raw struct column defeats
+    Spark's nested-schema pruning (the scan reads spans.text too —
+    most of the bytes at 100 TB). Extracting the three subfield arrays
+    first (GetArrayStructFields, which DOES prune) and re-zipping keeps
+    text out of the parquet scan; pinned by
+    tests/test_plans.py::test_media_ref_rows_scan_prunes_text.
     """
+    slim = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.arrays_zip(
+            F.col("spans.kind").alias("kind"),
+            F.col("spans.media_ref").alias("media_ref"),
+            F.col("spans.offset").alias("offset"),
+        ).alias("spans"),
+    )
     s = F.col("s")
     return (
-        docs.select(F.col("doc_id").cast("string").alias("doc_id"),
-                    F.posexplode("spans").alias("span_idx", "s"))
+        slim.select("doc_id", F.posexplode("spans").alias("span_idx", "s"))
         .filter((s["kind"] == "media")
                 & s["media_ref"].isNotNull()
                 & (F.length(s["media_ref"]) > 0))

@@ -55,6 +55,23 @@ def test_column_pruning_reaches_scan(spark, lineitem):
     assert "l_extendedprice" not in read_schema
 
 
+def test_media_ref_rows_scan_prunes_text(spark, tmp_path):
+    """The referential check's second scan must NOT read spans.text —
+    at 100 TB text is most of the bytes. posexplode over the raw struct
+    defeats nested-schema pruning; media_ref_rows extracts the subfield
+    arrays first (GetArrayStructFields) so the parquet ReadSchema keeps
+    only kind/media_ref/offset."""
+    from fastpasta_spark.plans.check_all import media_ref_rows
+    from fastpasta_spark.sources.synth import CorpusConfig, corpus_df
+
+    path = str(tmp_path / "docs")
+    corpus_df(spark, CorpusConfig(n_docs=30)).write.parquet(path)
+    plan = plan_of(media_ref_rows(spark.read.parquet(path)))
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "media_ref" in read_schema and "kind" in read_schema
+    assert "text" not in read_schema
+
+
 def test_media_dim_join_is_broadcast(spark):
     from fastpasta_spark.plans.check_all import check_all
     from fastpasta_spark.sources.synth import CorpusConfig, corpus_df, media_df
