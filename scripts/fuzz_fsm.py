@@ -32,6 +32,9 @@ replacement semantics are fuzzed, not just defaults. Evidence: all
 five legs x 30,000 docs x seeds (7, 99, 2026, 31337) -> ~9M violation
 rows + ~29k census counts, exact multiset parity on every leg (run on
 the post-vectorization fused pass with lazy doc-id materialization).
+Round-5: re-run with fresh seeds (505, 8191) x 30,000 docs over the
+clean-doc pre-screen + columnar media_ref_rows code — all 10 legs
+(~4.5M rows + ~15k census counts) exact multiset parity.
 """
 
 from __future__ import annotations
