@@ -223,7 +223,10 @@ refs AS (
              AS "offset",
          {duckdb_md5_hash('t')} % 72 AS slot
   FROM tok
-  WHERE i % 4 = 3 AND NOT (mut = 0 AND i = n - 1)
+  -- IS NOT TRUE (not NOT): a NULL doc_id makes mut NULL; the engine's
+  -- CASE WHEN NULL = 0 ... falls through to the media branch and keeps
+  -- the span, so the oracle must keep it too (NOT NULL would drop it)
+  WHERE i % 4 = 3 AND (mut = 0 AND i = n - 1) IS NOT TRUE
 )
 SELECT doc_id, span_idx, "offset", 'E110' AS check_code,
        'ERROR' AS severity,
@@ -1642,10 +1645,16 @@ FROM documents ORDER BY doc_id
 
 def _q_view_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W2: one row per span with kind decode (`view its-readout-frames`
-    analogue, its_readout_frame.rs:89-126)."""
+    analogue, its_readout_frame.rs:89-126).
+
+    limit=None: the DuckDB oracle is unbounded (4 rows per document), so
+    the driver comparison must be too — view_frames' human-facing
+    100k-row default would silently truncate the engine side on corpora
+    past 25k documents and fail the row-count gate.
+    """
     from fastpasta_spark.operators.views import view_frames
 
-    return view_frames(_view_docs_input(spark, sf_dir))
+    return view_frames(_view_docs_input(spark, sf_dir), limit=None)
 
 
 def _sql_view_frames() -> str:

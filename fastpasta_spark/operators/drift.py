@@ -84,10 +84,14 @@ def chi_square(profile_a: DataFrame, profile_b: DataFrame) -> DataFrame:
     )
     j = joined.crossJoin(F.broadcast(totals))
     # two-sample chi-square: K1 = sqrt(n_b/n_a), K2 = sqrt(n_a/n_b)
-    term = (
-        (F.col("cnt_a") * F.sqrt(F.col("n_b") / F.col("n_a"))
-         - F.col("cnt_b") * F.sqrt(F.col("n_a") / F.col("n_b"))) ** 2
-        / (F.col("cnt_a") + F.col("cnt_b"))
+    # try_divide: an empty/all-zero side (n_a or n_b = 0) must yield
+    # chi2 = NULL (undefined statistic), not an ANSI DIVIDE_BY_ZERO —
+    # matches DuckDB's x/0 -> NULL for any SQL oracle replaying this
+    term = F.try_divide(
+        (F.col("cnt_a") * F.sqrt(F.try_divide(F.col("n_b"), F.col("n_a")))
+         - F.col("cnt_b") * F.sqrt(F.try_divide(F.col("n_a"), F.col("n_b"))))
+        ** 2,
+        F.col("cnt_a") + F.col("cnt_b"),
     )
     return j.agg(
         F.sum(term).alias("chi2"),
@@ -113,8 +117,10 @@ def ks_statistic(profile_a: DataFrame, profile_b: DataFrame) -> DataFrame:
     tot = joined.agg(F.sum("cnt_a").alias("ta"), F.sum("cnt_b").alias("tb"))
     cdf = (
         joined.crossJoin(F.broadcast(tot))
-        .withColumn("cdf_a", F.sum("cnt_a").over(w) / F.col("ta"))
-        .withColumn("cdf_b", F.sum("cnt_b").over(w) / F.col("tb"))
+        # try_divide: empty profile (total 0) -> NULL CDF -> NULL ks,
+        # not an ANSI DIVIDE_BY_ZERO crash
+        .withColumn("cdf_a", F.try_divide(F.sum("cnt_a").over(w), F.col("ta")))
+        .withColumn("cdf_b", F.try_divide(F.sum("cnt_b").over(w), F.col("tb")))
     )
     return cdf.agg(F.max(F.abs(F.col("cdf_a") - F.col("cdf_b"))).alias("ks"))
 

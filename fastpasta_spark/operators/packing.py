@@ -93,6 +93,8 @@ def pack_sequences(docs: DataFrame, budget: int,
       [0, n_tokens); every pack except the last sums to exactly
       ``budget``.
     """
+    if budget <= 0:
+        raise ValueError(f"pack budget must be positive, got {budget}")
     d = docs.filter(F.col(tokens_col) > 0)
     c = global_cumsum(d, order_col, tokens_col, "_start",
                       num_partitions=num_partitions)

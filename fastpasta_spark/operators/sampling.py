@@ -77,7 +77,10 @@ def mix_report(df: DataFrame, strata_cols: tuple[str, ...] = ("lang_pred",),
         per.crossJoin(F.broadcast(total))
         .select(
             *strata_cols, "docs", "tokens",
-            F.round(F.col("tokens") / F.col("_tt"), 6).alias("token_share"),
+            # try_divide: an all-zero-token corpus makes _tt = 0, and a
+            # bare '/' THROWS under ANSI mode; NULL share matches DuckDB
+            F.round(F.try_divide(F.col("tokens"), F.col("_tt")), 6)
+            .alias("token_share"),
         )
     )
 

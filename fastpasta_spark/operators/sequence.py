@@ -852,8 +852,11 @@ def _make_arrow_pass(fused: bool, trigger_period: int | None = None,
             ref_flat = {int(j): v for j, v in zip(ref_idx, ref_vals)}
 
             f_doc, f_span, f_off, f_code, f_sev, f_msg = [], [], [], [], [], []
-            codes_l = codes.tolist()
-            offs_l = offs.tolist()
+            dirty_docs = np.nonzero(~clean)[0]
+            # O(n_spans) PyLong materialization only the FSM loop reads —
+            # an all-clean (fully screened) batch must skip it
+            codes_l = codes.tolist() if len(dirty_docs) else []
+            offs_l = offs.tolist() if len(dirty_docs) else []
 
             def _kind_at(j: int) -> str | None:
                 # element-wise: only E60 messages need the kind string —
@@ -874,7 +877,7 @@ def _make_arrow_pass(fused: bool, trigger_period: int | None = None,
                 refs_by_doc.setdefault(d, {})[j - int(bounds[d])] = v
             _EMPTY: dict = {}
 
-            for d in np.nonzero(~clean)[0]:
+            for d in dirty_docs:
                 lo, hi = int(bounds[d]), int(bounds[d + 1])
                 if lo == hi:
                     continue

@@ -45,10 +45,14 @@ from fastpasta_spark.functions.hashing import py_md5_hash
 # zero Python-worker round-trips and routes everything else to Arrow.
 LITERAL_CODEBOOK_MAX = 2048
 
+# try_divide, not '/': under ANSI mode (Spark 4 default) even DOUBLE
+# 0.0/0.0 raises DIVIDE_BY_ZERO, so a single all-zero embedding would
+# crash every literal cosine path; try_divide degrades it to NULL sim,
+# which threshold filters and DESC orderings (nulls last) already handle
 COSINE_EXPR = (
-    "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * y), "
-    "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) / "
-    "(sqrt(aggregate({a}, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * v)) * "
+    "try_divide(aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * y), "
+    "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v), "
+    "sqrt(aggregate({a}, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * v)) * "
     "sqrt(aggregate({b}, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * v)))"
 )
 
@@ -296,11 +300,12 @@ def _assign_udf(centroids: list, nprobe: int):
     mat = _codebook_matrix(centroids)
     cnorm = np.sqrt((mat * mat).sum(axis=1))
 
-    # NULL/ragged embeddings: the literal path's array_sort sees NULL
-    # negsim everywhere and (stably) keeps codebook order, yielding
-    # list_ids 0..nprobe-1 — the Arrow twin emits the same (parity
-    # pinned in test_similarity; empirically verified against the
-    # literal plan on null / short / long / empty vectors).
+    # NULL/ragged/zero embeddings: the literal path coalesces NULL
+    # negsim to +inf, so degenerate sims rank last and an all-degenerate
+    # row keeps codebook order (list_ids 0..nprobe-1) via the list_id
+    # tie-break — the Arrow twin emits the same (NaN sorts last in
+    # argsort; all-NaN rows keep stable index order; parity pinned in
+    # test_similarity on null / short / long / empty / zero vectors).
     invalid = np.arange(min(nprobe, len(mat)), dtype=np.int32)
 
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
@@ -310,8 +315,11 @@ def _assign_udf(centroids: list, nprobe: int):
         mask, v = _safe_matrix(vecs, mat.shape[1])
         out: list = [invalid] * len(vecs)
         if len(v):
-            sims = (v @ mat.T) / (np.sqrt((v * v).sum(axis=1, keepdims=True))
-                                  * cnorm[None, :])
+            with np.errstate(invalid="ignore", divide="ignore"):
+                # zero vector -> all-NaN row; stable argsort keeps
+                # codebook order, same as the literal path's NULL negsim
+                sims = (v @ mat.T) / (np.sqrt((v * v).sum(axis=1, keepdims=True))
+                                      * cnorm[None, :])
             order = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
             for pos, row in zip(np.nonzero(mask)[0], order.astype(np.int32)):
                 out[pos] = row
@@ -347,9 +355,16 @@ def _assign_lists(df: DataFrame, centroids: list, nprobe: int,
         "array(" + ", ".join(f"CAST({v!r} AS DOUBLE)" for v in vec) + ")"
         for _, vec in centroids
     )
+    # coalesce NULL negsim (corrupt vector OR degenerate zero centroid,
+    # reachable since COSINE_EXPR's try_divide) to +inf so it ranks
+    # LAST: struct array_sort puts a NULL field FIRST, which would let
+    # a single zero centroid win every argmax; the Arrow twin's argsort
+    # already sorts the equivalent NaN last, and ties at +inf fall back
+    # to list_id order on both paths (all-degenerate -> codebook order)
     ranked = (
         "slice(array_sort(transform(array({cents}), (c, i) -> "
-        "named_struct('negsim', -({cos}), 'list_id', i))), 1, {nprobe})"
+        "named_struct('negsim', coalesce(-({cos}), "
+        "CAST('Infinity' AS DOUBLE)), 'list_id', i))), 1, {nprobe})"
     ).format(cents=cent_lit, cos=COSINE_EXPR.format(a=vec_col, b="c"),
              nprobe=nprobe)
     if nprobe == 1:
@@ -500,7 +515,17 @@ def _centroid_sim_udf(centroids: list):
             c = mat[li]
             num = (v * c).sum(axis=1)
             den = np.sqrt((v * v).sum(axis=1)) * cnorm[li]
-            out[mask] = num / den
+            with np.errstate(invalid="ignore", divide="ignore"):
+                sims = num / den
+            # NULL (not NaN) wherever the literal COSINE_EXPR yields
+            # SQL NULL: an interior NULL element (NaN components here;
+            # NULL term poisons the literal aggregate) and a zero vector
+            # (den == 0; try_divide -> NULL). NaN must not leak — it
+            # compares GREATER than any threshold in Spark.
+            pos = np.nonzero(mask)[0]
+            ok = ~np.isnan(v).any(axis=1) & (den > 0)
+            out[pos[ok]] = sims[ok]
+            mask[pos[~ok]] = False
         # literal COSINE_EXPR yields SQL NULL on null/ragged vectors;
         # emit None (not NaN) so both paths agree on the sim column
         res: list = [None if not m else s for m, s in zip(mask, out)]

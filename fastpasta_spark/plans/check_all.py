@@ -141,7 +141,11 @@ def media_ref_rows(docs: DataFrame) -> DataFrame:
                 & (F.length(s["media_ref"]) > 0))
         .select("doc_id",
                 F.col("span_idx").cast("int").alias("span_idx"),
-                s["offset"].cast("int").alias("offset"),
+                # NULL offset -> -1: the violation-table convention for
+                # "no offset" (the old Arrow-pass 'r' rows fill_null'd
+                # to -1, and the E120 drift branch emits lit(-1)); a raw
+                # NULL would also shift the (doc_id, offset) sort order
+                F.coalesce(s["offset"].cast("int"), F.lit(-1)).alias("offset"),
                 s["media_ref"].cast("string").alias("message"))
     )
 

@@ -120,7 +120,16 @@ def main(sf_dir: str = "/root/testdata/sf0.01", only: str = "") -> int:
             print(f"FAIL  {name}: spark error {str(e)[:200]}")
             failures += 1
             continue
-        if name == "span_fsm" and not _span_fsm_golden_matches(con, sf_dir):
+        if name == "span_fsm":
+            # a stale golden (missing fingerprint metadata) raises —
+            # record it as this query's FAIL, don't abort the whole run
+            try:
+                golden_ok = _span_fsm_golden_matches(con, sf_dir)
+            except Exception as e:
+                print(f"FAIL  {name}: golden check error {str(e)[:200]}")
+                failures += 1
+                continue
+        if name == "span_fsm" and not golden_ok:
             # the span_fsm oracle is a PINNED golden parquet generated
             # from one specific corpus; when run against ANY other
             # corpus (keyed on content fingerprint, not directory name)

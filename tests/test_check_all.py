@@ -159,3 +159,40 @@ def test_max_errors_does_not_flip_verdicts(spark):
     assert capped.violations.count() == 3
     assert sorted(map(tuple, capped.passed.collect())) == \
            sorted(map(tuple, full.passed.collect()))
+
+
+def test_dangling_refs_oracle_parity_on_null_doc_id(spark, tmp_path):
+    """Hostile input the driver corpora never contain: a NULL doc_id.
+    The engine's from_documents CASE (`WHEN pmod(md5(NULL),10) = 0 ...`)
+    falls through to the media branch and keeps the last media span, so
+    the DuckDB oracle's WHERE must use `IS NOT TRUE` — a bare
+    `NOT (mut = 0 AND i = n-1)` silently drops that span on NULL mut."""
+    import duckdb
+
+    import __spark_entry__ as entry
+    from fastpasta_spark.functions.hashing import py_md5_hash
+
+    # 4th token (i = 3 = n-1) whose ref slot dangles (>= 64): both sides
+    # must emit an E110 row for it even on the NULL-doc_id row
+    word = next(w for w in (f"w{i}" for i in range(1000))
+                if py_md5_hash(w) % 72 >= 64)
+    text = f"alpha beta gamma {word}"
+    df = spark.createDataFrame(
+        [(None, text, "en", "s", len(text)),
+         (7, text, "en", "s", len(text))],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    out = str(tmp_path / "sf")
+    df.coalesce(1).write.parquet(f"{out}/documents.parquet")
+
+    got = sorted(((r.doc_id, r.span_idx, r.offset, r.check_code, r.message)
+                  for r in entry._q_dangling_refs(spark, out).collect()),
+                 key=str)
+    con = duckdb.connect()
+    con.sql("CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{out}/documents.parquet/*.parquet')")
+    want = sorted(((r["doc_id"], r["span_idx"], r["offset"],
+                    r["check_code"], r["message"])
+                   for r in con.sql(entry._sql_dangling_refs())
+                   .arrow().to_pylist()), key=str)
+    assert got == want
+    assert any(d is None for d, *_ in got)  # the divergent span is present

@@ -94,3 +94,22 @@ def test_iqr_outliers_empty_input_raises(spark):
     df = spark.createDataFrame([], "x double")
     with _pt.raises(ValueError, match="no non-NULL values"):
         iqr_outliers(df, "x")
+
+
+def test_chi_square_empty_side_yields_null_not_crash(spark):
+    """ANSI mode: n_a = 0 made sqrt(n_b/n_a) raise DIVIDE_BY_ZERO; an
+    empty/all-zero side must degrade to chi2 = NULL (undefined
+    statistic), matching DuckDB's x/0 -> NULL for SQL oracles."""
+    a = _profile(spark, [])
+    b = _profile(spark, [("a", 100), ("b", 50)])
+    r = chi_square(a, b).collect()[0]
+    assert r.chi2 is None and r.n_a == 0
+
+    r2 = chi_square(b, a).collect()[0]
+    assert r2.chi2 is None and r2.n_b == 0
+
+
+def test_ks_empty_side_yields_null_not_crash(spark):
+    a = _profile(spark, [])
+    b = _profile(spark, [("a", 100), ("b", 50)])
+    assert ks_statistic(a, b).collect()[0].ks is None

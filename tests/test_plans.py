@@ -72,6 +72,25 @@ def test_media_ref_rows_scan_prunes_text(spark, tmp_path):
     assert "text" not in read_schema
 
 
+def test_media_ref_rows_null_offset_normalizes_to_minus_one(spark):
+    """NULL span offsets surface as -1 in ref rows (and so in E110
+    violations) — the violation-table convention the old Arrow-pass 'r'
+    emission used (fill_null -> -1) and the E120 drift branch still
+    uses; raw NULL would also reorder the (doc_id, offset) sort."""
+    from fastpasta_spark.plans.check_all import media_ref_rows
+
+    docs = spark.createDataFrame(
+        [("d1", [{"kind": "media", "text": None, "media_ref": "mX",
+                  "offset": None},
+                 {"kind": "media", "text": None, "media_ref": "mY",
+                  "offset": 7}])],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>")
+    rows = {r.message: (r.span_idx, r.offset)
+            for r in media_ref_rows(docs).collect()}
+    assert rows == {"mX": (0, -1), "mY": (1, 7)}
+
+
 def test_media_dim_join_is_broadcast(spark):
     from fastpasta_spark.plans.check_all import check_all
     from fastpasta_spark.sources.synth import CorpusConfig, corpus_df, media_df

@@ -107,3 +107,13 @@ def test_stratified_quote_in_stratum_value(spark):
     out = sample_stratified(df, "src", {"o'brien": 1.0}, default_rate=0.0)
     got = {r.src for r in out.collect()}
     assert got == {"o'brien"} and out.count() == 50
+
+
+def test_mix_report_all_zero_tokens_yields_null_share(spark):
+    """ANSI mode: _tt = 0 made token_share a DIVIDE_BY_ZERO crash; an
+    all-zero-token corpus must report NULL shares (DuckDB parity)."""
+    df = spark.createDataFrame(
+        [("en", 0), ("de", 0)], "lang_pred string, n_tokens long")
+    rows = mix_report(df).collect()
+    assert len(rows) == 2
+    assert all(r.token_share is None for r in rows)

@@ -357,7 +357,15 @@ def test_null_and_ragged_vectors_literal_arrow_parity(spark, monkeypatch):
     generation on corrupt vectors. Also guards the original regression:
     one bad row must not crash the whole Arrow batch."""
     rows = [(0, [1.0, 0.0, 0.0, 0.0]), (1, None), (2, [1.0, 2.0]),
-            (3, [0.0, 1.0, 0.0, 0.0]), (4, [])]
+            (3, [0.0, 1.0, 0.0, 0.0]), (4, []),
+            # correct length, interior NULL element: literal dot/cosine
+            # aggregates go NULL; the Arrow twin sees NaN components
+            (5, [1.0, None, 0.0, 0.0]),
+            # true zero vector: under ANSI mode a bare '/' would THROW
+            # DIVIDE_BY_ZERO on the literal path — try_divide degrades
+            # it to NULL sim, and the UDF twin must match (not NaN,
+            # which compares greater than any threshold in Spark)
+            (6, [0.0, 0.0, 0.0, 0.0])]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     cent = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])]
     vdf = df.select("vec_id", similarity.F.col("embedding").alias("_vec"))
@@ -384,10 +392,12 @@ def test_null_and_ragged_vectors_literal_arrow_parity(spark, monkeypatch):
     a1 = dict(lit[0])
     assert a1[0] == 0 and a1[3] == 1
     assert a1[1] == 0 and a1[2] == 0 and a1[4] == 0
+    assert a1[5] == 0 and a1[6] == 0
     bk = {}
     for vid, b in lit[2]:
         bk.setdefault(vid, set()).add(b)
     assert bk[1] == bk[2] == bk[4] == {0, 4}
+    assert bk[5] == bk[6] == {0, 4}
 
     # the sim column (kmeans_assign's two implementations): SQL NULL —
     # not NaN — on both paths for corrupt vectors
@@ -404,7 +414,65 @@ def test_null_and_ragged_vectors_literal_arrow_parity(spark, monkeypatch):
         "vec_id", similarity.F.expr(similarity.COSINE_EXPR.format(
             a="_vec", b=f"element_at(array({cent_lit}), list_id + 1)"))
         .alias("sim")).collect()}
-    for vid in (1, 2, 4):
+    for vid in (1, 2, 4, 5, 6):
         assert arrow_sim[vid] is None and lit_sim[vid] is None
     for vid in (0, 3):
         assert abs(arrow_sim[vid] - lit_sim[vid]) < 1e-9
+
+
+def test_cosine_topk_survives_zero_vector(spark):
+    """ANSI mode: a single all-zero embedding used to crash EVERY
+    literal cosine path with DIVIDE_BY_ZERO (0.0/0.0 throws for DOUBLE
+    too); try_divide degrades it to NULL sim, which the DESC ordering
+    (nulls last) and threshold filters already handle."""
+    rows = [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [0.0, 0.0]),
+            (3, [1.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = similarity.cosine_topk(df, df, k=3).collect()
+    assert len(got) == 12  # 4 queries x 3 neighbors, no crash
+    # the zero vector ranks LAST (NULL sim) for every query
+    for r in got:
+        if r.neighbor_id == 2:
+            assert r.sim is None and r.rank == 3
+
+    pairs = similarity.semantic_duplicates(
+        df, threshold=0.9, k=2, iters=1).collect()
+    assert all(2 not in (p.id_a, p.id_b) for p in pairs)
+
+
+def test_kmeans_zero_vector_does_not_poison_assignment(spark):
+    """A zero vector seeded as an initial centroid makes every cosine
+    to it NULL (try_divide); struct array_sort puts a NULL field FIRST,
+    so without the +inf coalesce that one degenerate centroid won every
+    argmax and ALL vectors collapsed into list 0 with NULL sim. Valid
+    vectors must keep real assignments and sims."""
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [0.0, 0.0]),
+         (3, [0.5, 0.5])],
+        "vec_id long, embedding array<float>")
+    got = {r.vec_id: (r.list_id, r.sim)
+           for r in similarity.kmeans_assign(df, k=2, iters=1).collect()}
+    # the zero vector degrades alone: list 0 by codebook order, NULL sim
+    assert got[2][1] is None
+    # every valid vector has a REAL sim (no NULL-centroid collapse)
+    for vid in (0, 1, 3):
+        assert got[vid][1] is not None and got[vid][1] > 0.7, got
+
+    # cross-path parity with a zero centroid in the codebook
+    cent = [(0, [0.0, 0.0]), (1, [1.0, 0.0])]
+    vdf = df.select("vec_id", similarity.F.col("embedding").alias("_vec"))
+    lit = sorted((r.vec_id, r.list_id) for r in similarity._assign_lists(
+        vdf, cent, nprobe=1, vec_col="_vec").collect())
+    import pytest as _pytest
+    mp = _pytest.MonkeyPatch()
+    try:
+        mp.setattr(similarity, "LITERAL_CODEBOOK_MAX", 0)
+        arrow = sorted((r.vec_id, r.list_id) for r in similarity
+                       ._assign_lists(vdf, cent, nprobe=1,
+                                      vec_col="_vec").collect())
+    finally:
+        mp.undo()
+    assert lit == arrow
+    # valid vectors pick the REAL centroid over the degenerate one
+    d = dict(lit)
+    assert d[0] == 1 and d[3] == 1

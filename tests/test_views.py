@@ -53,3 +53,16 @@ def test_view_frames_limited_plan_is_top_k(spark):
     unlimited = view_frames(docs, limit=None)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "TakeOrderedAndProject" not in unlimited
+
+
+def test_driver_view_frames_query_is_unbounded(spark):
+    """The driver-gate query must pass limit=None: its DuckDB oracle
+    emits 4 rows per document unbounded, so the operator's human-facing
+    100k default would truncate the engine side (and fail the row-count
+    compare) on any corpus past 25k documents."""
+    import __spark_entry__ as entry
+
+    plan = entry._q_view_frames(spark, "/root/testdata/sf0.001") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" not in plan
+    assert "GlobalLimit" not in plan
