@@ -505,6 +505,39 @@ SELECT round(max(abs(cdf_a - cdf_b)), 6) AS ks FROM cdf
 """
 
 
+def _q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the lang mix: source 'src0' vs the
+    rest of the corpus (drift.psi operator — the standard
+    training-serving drift score; same profiles as drift_chi2)."""
+    from fastpasta_spark.operators.drift import psi
+
+    d = _read(spark, sf_dir, "documents")
+    a = d.filter("source = 'src0'").groupBy(F.col("lang").alias("category")).agg(
+        F.count(F.lit(1)).alias("cnt"))
+    b = d.filter("source <> 'src0'").groupBy(F.col("lang").alias("category")).agg(
+        F.count(F.lit(1)).alias("cnt"))
+    return psi(a, b).select(
+        F.round("psi", 6).alias("psi"),
+        F.col("categories").cast("long").alias("categories"))
+
+
+_SQL_DRIFT_PSI = """
+WITH a AS (SELECT lang, count(*) AS cnt_a FROM documents WHERE source = 'src0' GROUP BY lang),
+     b AS (SELECT lang, count(*) AS cnt_b FROM documents WHERE source <> 'src0' GROUP BY lang),
+     j AS (SELECT coalesce(cnt_a, 0) AS cnt_a, coalesce(cnt_b, 0) AS cnt_b
+           FROM a FULL OUTER JOIN b ON a.lang = b.lang),
+     t AS (SELECT sum(cnt_a) AS n_a, sum(cnt_b) AS n_b FROM j),
+     s AS (SELECT CASE WHEN cnt_a = 0 THEN 1e-6
+                       ELSE CAST(cnt_a AS DOUBLE) / n_a END AS s_a,
+                  CASE WHEN cnt_b = 0 THEN 1e-6
+                       ELSE CAST(cnt_b AS DOUBLE) / n_b END AS s_b
+           FROM j, t)
+SELECT round(sum((s_a - s_b) * ln(s_a / s_b)), 6) AS psi,
+       count(*) AS categories
+FROM s
+"""
+
+
 def _q_bitflag_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bitflag histogram (G4 / trigger_stats.rs analogue): branchless
     sum of bit tests over events.user_id, one row."""
@@ -2106,6 +2139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "constraint_rows": _q_constraint_rows,
         "drift_chi2": _q_drift_chi2,
         "drift_ks": _q_drift_ks,
+        "drift_psi": _q_drift_psi,
         "bitflag_hist": _q_bitflag_hist,
         "masked_filter": _q_masked_filter,
         "dup_content": _q_dup_content,
@@ -2117,7 +2151,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "alpide_census": _q_alpide_census,
         "golden_diff": _q_golden_diff,
         # relational coverage (§2.2, 2.6, 2.9) — survivors of the rotation
-        "q9_profit": _q9_profit,
         "source_uniformity": _q_source_uniformity,
         "asof_join": _q_asof_join,
         "trigger_period": _q_trigger_period,
@@ -2147,8 +2180,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dup": _q_semantic_dup,
         # --- entries 51+: multi-round driver-green (r1-r4), rotated out of
         # the driver's 50-query window; still verified every round by
-        # scripts/oracle_check.py (55/55 gate) and pytest.
+        # scripts/oracle_check.py (full-registry gate) and pytest.
         "q1_pricing_summary": _q1_pricing_summary,
+        "q9_profit": _q9_profit,
         "join_revenue": _q_join_revenue,
         "topk_per_group": _q_topk_per_group,
         "error_filter_limit": _q_error_filter_limit,
@@ -2172,6 +2206,7 @@ def oracle_sql() -> dict[str, str]:
         "constraint_rows": _SQL_CONSTRAINT_ROWS,
         "drift_chi2": _SQL_DRIFT_CHI2,
         "drift_ks": _SQL_DRIFT_KS,
+        "drift_psi": _SQL_DRIFT_PSI,
         "bitflag_hist": _SQL_BITFLAG_HIST,
         "masked_filter": _SQL_MASKED_FILTER,
         "dup_content": _SQL_DUP_CONTENT,

@@ -101,6 +101,48 @@ def chi_square(profile_a: DataFrame, profile_b: DataFrame) -> DataFrame:
     )
 
 
+def psi(profile_a: DataFrame, profile_b: DataFrame,
+        floor: float = 1e-6) -> DataFrame:
+    """Population Stability Index between two (category, cnt) profiles.
+
+    PSI = Σ (s_a − s_b) · ln(s_a / s_b) over the union of categories,
+    where s_x is the category's share of profile x — the standard
+    training-serving / corpus-mix drift score (PSI < 0.1 stable,
+    0.1–0.25 moderate shift, > 0.25 major shift). Zero-count categories
+    take ``floor`` as their share (the usual convention — keeps every
+    term finite and makes a category appearing/vanishing contribute a
+    large, bounded term).
+
+    Same scale shape as chi_square: the inputs are already tiny merged
+    profiles (O(categories) rows), so the join broadcasts and the
+    arithmetic is pure Column expressions. An empty side yields a
+    defined (large) PSI — every category floors on that side; two empty
+    profiles yield NULL (sum over zero rows).
+
+    The CASE-on-zero share never divides by zero even under ANSI mode:
+    cnt > 0 in the divide branch implies total >= cnt > 0.
+    """
+    a = profile_a.select("category", F.col("cnt").alias("cnt_a"))
+    b = profile_b.select("category", F.col("cnt").alias("cnt_b"))
+    joined = a.join(F.broadcast(b), "category", "full_outer").fillna(
+        0, subset=["cnt_a", "cnt_b"]
+    )
+    totals = joined.agg(
+        F.sum("cnt_a").alias("n_a"), F.sum("cnt_b").alias("n_b")
+    )
+    j = joined.crossJoin(F.broadcast(totals))
+    s_a = F.when(F.col("cnt_a") == 0, F.lit(floor)).otherwise(
+        F.col("cnt_a").cast("double") / F.col("n_a"))
+    s_b = F.when(F.col("cnt_b") == 0, F.lit(floor)).otherwise(
+        F.col("cnt_b").cast("double") / F.col("n_b"))
+    return j.agg(
+        F.sum((s_a - s_b) * F.log(s_a / s_b)).alias("psi"),
+        F.count(F.lit(1)).cast("int").alias("categories"),
+        F.first("n_a").alias("n_a"),
+        F.first("n_b").alias("n_b"),
+    )
+
+
 def ks_statistic(profile_a: DataFrame, profile_b: DataFrame) -> DataFrame:
     """KS statistic over two fixed-edge histogram profiles.
 

@@ -62,6 +62,83 @@ def sample_stratified(df: DataFrame, strata_col: str, rates: dict[str, float],
     return df.filter(F.expr(f"pmod({h}, {DENOM})") < thresh)
 
 
+def sample_k_per_stratum(df: DataFrame, strata_col: str, k: int,
+                         id_col: str = "doc_id", seed: int = 0,
+                         oversample: float = 4.0) -> DataFrame:
+    """Exactly min(k, stratum size) rows per stratum, chosen
+    deterministically: the k smallest ids in the seeded md5-hash order.
+    Same input + seed -> same rows, on any cluster, forever; and the
+    sample NESTS — k'=10 picks a subset of k=100 (both are prefixes of
+    the same hash order), so shrinking a budget never churns membership.
+
+    Scale design: the naive form — row_number() over every stratum —
+    range-shuffles the WHOLE corpus to pick k rows per stratum. Instead,
+    phase 1 computes per-stratum counts (map-side-combined agg) and
+    derives a hash-gate threshold keeping ~oversample*k rows per
+    stratum; the gate is a broadcast-joined map-side filter, so the
+    window only shuffles the ~oversample*k survivors per stratum. The
+    gate keeps exactly a PREFIX of the hash order, so whenever >= min(k,
+    n) rows survive, the window's top-k equals the full stratum's top-k
+    — exactness is checked per stratum, and deficient strata (possible
+    only in the far tail of the binomial at oversample >= 4) re-run
+    ungated. Strata are languages/sources — the deficiency check
+    collects O(strata) rows, never data.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    h = F.expr(f"pmod({spark_md5_hash(f'cast({id_col} as string)', seed=seed)}, "
+               f"{DENOM})")
+    from pyspark.sql import Window as W
+
+    order = [h.asc(), F.col(id_col).asc()]
+    rn = F.row_number().over(
+        W.partitionBy(strata_col).orderBy(*order))
+
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("_n"))
+    # gate threshold: expected survivors = oversample*k (whole stratum
+    # when it is small enough that the gate buys nothing)
+    thresh = F.when(
+        F.col("_n") <= F.lit(int(oversample * k)), F.lit(DENOM)
+    ).otherwise(
+        F.least(F.lit(DENOM),
+                F.ceil(F.lit(float(DENOM) * oversample * k) / F.col("_n"))
+                .cast("int"))
+    ).alias("_thresh")
+    # distinct name for the gate key: gates derives FROM df, so joining
+    # df[col] to gates[col] would lean on dataset-id disambiguation of
+    # an ambiguous self-join (Spark warns 'trivially true predicate')
+    gates = counts.select(
+        F.col(strata_col).alias("_stratum"), "_n", thresh)
+
+    gated = df.join(
+        F.broadcast(gates),
+        F.col(strata_col).eqNullSafe(F.col("_stratum")), "inner",
+    ).drop("_stratum").filter(h < F.col("_thresh"))
+
+    # exactness check: a stratum whose survivors undershot min(k, n)
+    # must re-run ungated (the gate cut into its true top-k)
+    short = [
+        r[0] for r in gated.groupBy(strata_col)
+        .agg(F.count(F.lit(1)).alias("_s"), F.first("_n").alias("_nn"))
+        .filter(F.col("_s") < F.least(F.lit(k), F.col("_nn")))
+        .select(strata_col).collect()
+    ]
+    if short:
+        vals = [s for s in short if s is not None]
+        isin = F.col(strata_col).isin(vals) if vals else F.lit(False)
+        if any(s is None for s in short):
+            isin = isin | F.col(strata_col).isNull()
+        full = df.filter(isin).join(
+            F.broadcast(gates),
+            F.col(strata_col).eqNullSafe(F.col("_stratum")),
+            "inner").drop("_stratum")
+        gated = gated.filter(~isin.eqNullSafe(F.lit(True))).unionByName(full)
+
+    return (gated.withColumn("_rn", rn)
+            .filter(F.col("_rn") <= k)
+            .drop("_rn", "_n", "_thresh"))
+
+
 def mix_report(df: DataFrame, strata_cols: tuple[str, ...] = ("lang_pred",),
                token_col: str = "n_tokens") -> DataFrame:
     """Training-mix accounting: per-stratum doc counts, token sums and

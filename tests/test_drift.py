@@ -113,3 +113,53 @@ def test_ks_empty_side_yields_null_not_crash(spark):
     a = _profile(spark, [])
     b = _profile(spark, [("a", 100), ("b", 50)])
     assert ks_statistic(a, b).collect()[0].ks is None
+
+
+def test_psi_zero_for_identical_and_proportional(spark):
+    from fastpasta_spark.operators.drift import psi
+
+    p = _profile(spark, [("a", 100), ("b", 50)])
+    r = psi(p, p).collect()[0]
+    assert abs(r.psi) < 1e-12 and r.categories == 2
+    # shares, not counts: 10x the volume is zero drift
+    q = _profile(spark, [("a", 1000), ("b", 500)])
+    assert abs(psi(p, q).collect()[0].psi) < 1e-12
+
+
+def test_psi_symmetric_and_positive_on_shift(spark):
+    from fastpasta_spark.operators.drift import psi
+
+    a = _profile(spark, [("a", 90), ("b", 10)])
+    b = _profile(spark, [("a", 10), ("b", 90)])
+    ab = psi(a, b).collect()[0].psi
+    ba = psi(b, a).collect()[0].psi
+    assert ab > 0.25  # major shift on the standard scale
+    assert abs(ab - ba) < 1e-12  # PSI is symmetric
+
+
+def test_psi_vanished_category_uses_floor(spark):
+    from fastpasta_spark.operators.drift import psi
+
+    a = _profile(spark, [("a", 50), ("b", 50)])
+    b = _profile(spark, [("a", 100)])
+    r = psi(a, b).collect()[0]
+    # category 'b' floors to 1e-6 on side b: large but FINITE
+    import math
+
+    assert r.psi > 1.0 and math.isfinite(r.psi)
+    assert r.categories == 2
+
+
+def test_psi_empty_sides(spark):
+    from fastpasta_spark.operators.drift import psi
+
+    e = _profile(spark, [])
+    p = _profile(spark, [("a", 100), ("b", 50)])
+    # one empty side: every category floors there -> defined, finite
+    import math
+
+    r = psi(p, e).collect()[0]
+    assert math.isfinite(r.psi) and r.psi > 1.0 and r.n_b == 0
+    # both empty: no categories -> NULL (sum over zero rows)
+    r2 = psi(e, e).collect()[0]
+    assert r2.psi is None and r2.categories == 0

@@ -117,3 +117,72 @@ def test_mix_report_all_zero_tokens_yields_null_share(spark):
     rows = mix_report(df).collect()
     assert len(rows) == 2
     assert all(r.token_share is None for r in rows)
+
+
+def _strata_df(spark, sizes: dict, null_n: int = 0):
+    rows = []
+    i = 0
+    for s, n in sizes.items():
+        for _ in range(n):
+            rows.append((i, s))
+            i += 1
+    for _ in range(null_n):
+        rows.append((i, None))
+        i += 1
+    return spark.createDataFrame(rows, "doc_id long, src string")
+
+
+def _expected_topk(rows, k, seed=0):
+    """Pure-python twin: k smallest (pmod(md5, DENOM), id) per stratum."""
+    by = {}
+    for i, s in rows:
+        by.setdefault(s, []).append((py_md5_hash(str(i), seed=seed) % DENOM, i))
+    out = set()
+    for s, lst in by.items():
+        for _, i in sorted(lst)[:k]:
+            out.add(i)
+    return out
+
+
+def test_sample_k_matches_python_twin_and_nests(spark):
+    from fastpasta_spark.operators.sampling import sample_k_per_stratum
+
+    df = _strata_df(spark, {"a": 400, "b": 50, "c": 3})
+    rows = [(r.doc_id, r.src) for r in df.collect()]
+    got100 = {r.doc_id for r in
+              sample_k_per_stratum(df, "src", 100).collect()}
+    assert got100 == _expected_topk(rows, 100)
+    # exact sizes: min(k, n) per stratum
+    out = sample_k_per_stratum(df, "src", 10)
+    sizes = {r.src: r.n for r in
+             out.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    assert sizes == {"a": 10, "b": 10, "c": 3}
+    # nesting: the k=10 sample is a prefix-subset of the k=100 sample
+    got10 = {r.doc_id for r in out.collect()}
+    assert got10 <= got100
+    assert got10 == _expected_topk(rows, 10)
+
+
+def test_sample_k_gate_prefilters_but_stays_exact(spark):
+    """oversample=1.02 makes gate deficits likely -> the ungated
+    re-run branch must keep the result exact anyway."""
+    from fastpasta_spark.operators.sampling import sample_k_per_stratum
+
+    df = _strata_df(spark, {"a": 1000, "b": 500}, null_n=40)
+    rows = [(r.doc_id, r.src) for r in df.collect()]
+    for os_ in (1.02, 4.0):
+        got = {r.doc_id for r in
+               sample_k_per_stratum(df, "src", 25, oversample=os_).collect()}
+        assert got == _expected_topk(rows, 25), os_
+    # NULL stratum is a real stratum: exactly 25 of the 40 null rows
+    out = sample_k_per_stratum(df, "src", 25)
+    assert out.filter(F.col("src").isNull()).count() == 25
+
+
+def test_sample_k_rejects_bad_k(spark):
+    import pytest
+
+    from fastpasta_spark.operators.sampling import sample_k_per_stratum
+
+    with pytest.raises(ValueError, match="positive"):
+        sample_k_per_stratum(_strata_df(spark, {"a": 3}), "src", 0)
