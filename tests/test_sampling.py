@@ -186,3 +186,16 @@ def test_sample_k_rejects_bad_k(spark):
 
     with pytest.raises(ValueError, match="positive"):
         sample_k_per_stratum(_strata_df(spark, {"a": 3}), "src", 0)
+
+
+def test_sample_k_gate_join_is_broadcast(spark):
+    """Scale shape: the per-stratum gate table must broadcast (map-side
+    filter BEFORE the window) — a sort-merge join here would shuffle
+    the full corpus just to attach thresholds, defeating the design."""
+    from fastpasta_spark.operators.sampling import sample_k_per_stratum
+
+    df = _strata_df(spark, {"a": 500, "b": 100})
+    plan = sample_k_per_stratum(df, "src", 10)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
