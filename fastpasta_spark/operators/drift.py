@@ -122,6 +122,8 @@ def psi(profile_a: DataFrame, profile_b: DataFrame,
     The CASE-on-zero share never divides by zero even under ANSI mode:
     cnt > 0 in the divide branch implies total >= cnt > 0.
     """
+    if floor <= 0:
+        raise ValueError(f"floor must be > 0 (ln of a zero share), got {floor}")
     a = profile_a.select("category", F.col("cnt").alias("cnt_a"))
     b = profile_b.select("category", F.col("cnt").alias("cnt_b"))
     joined = a.join(F.broadcast(b), "category", "full_outer").fillna(

@@ -163,3 +163,13 @@ def test_psi_empty_sides(spark):
     # both empty: no categories -> NULL (sum over zero rows)
     r2 = psi(e, e).collect()[0]
     assert r2.psi is None and r2.categories == 0
+
+
+def test_psi_rejects_nonpositive_floor(spark):
+    import pytest as _pt
+
+    from fastpasta_spark.operators.drift import psi
+
+    p = _profile(spark, [("a", 1)])
+    with _pt.raises(ValueError, match="floor"):
+        psi(p, p, floor=0.0)
