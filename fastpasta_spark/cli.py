@@ -9,6 +9,13 @@
     --max-tolerate-errors N                  -> --max-errors N
     --output-stats / --input-stats-file      -> same flags (JSON metrics)
 
+Training-pipeline extensions (north_rule, beyond the reference):
+
+    drift <a> <b>        kind-mix chi-square + PSI, text-length KS
+                         (exit 4 on drift past the thresholds)
+    sample <in> -o out   deterministic hash-gate --rate or exact
+                         -k per --stratum sampling of a flat table
+
 Run via spark-submit --py-files fastpasta_spark.zip -m, or plain python
 (local mode):  python -m fastpasta_spark check all /path/docs.parquet
 """
@@ -22,13 +29,18 @@ from fastpasta_spark import schema as S
 
 
 def _load_docs(spark, path: str):
-    df = spark.read.schema(S.DOCS_SCHEMA).parquet(path)
     # fail fast on schema mismatch (S4 analogue: version-dispatch sanity,
-    # reference fastpasta/src/lib.rs:101-159)
-    names = [f.name for f in df.schema.fields]
-    if names != ["doc_id", "spans"]:
-        raise SystemExit(f"input schema mismatch: {names}")
-    return df
+    # reference fastpasta/src/lib.rs:101-159). Check the FILE's footer
+    # schema, not the declared one: spark.read.schema(X) silently yields
+    # all-NULL columns for a parquet that doesn't have them, so a flat
+    # (doc_id, text, ...) table would "validate" as 0 spans everywhere
+    actual = set(spark.read.parquet(path).columns)
+    missing = {"doc_id", "spans"} - actual
+    if missing:
+        raise SystemExit(
+            f"input is not a docs-model table: {path} lacks "
+            f"{sorted(missing)} (found {sorted(actual)})")
+    return spark.read.schema(S.DOCS_SCHEMA).parquet(path)
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -93,6 +105,31 @@ def main(argv: list[str] | None = None) -> int:
                           "partition window; default is the distributed "
                           "quantile-cutoff scale path)")
 
+    dr = sub.add_parser(
+        "drift", help="distribution drift between two docs corpora: "
+                      "kind-mix chi-square + PSI, text-length KS")
+    dr.add_argument("input_a", help="baseline docs parquet")
+    dr.add_argument("input_b", help="probe docs parquet")
+    dr.add_argument("--chi2-threshold", type=float, default=30.0)
+    dr.add_argument("--psi-threshold", type=float, default=0.25,
+                    help="standard PSI scale: <0.1 stable, >0.25 major")
+    dr.add_argument("--ks-threshold", type=float, default=0.2)
+
+    smp = sub.add_parser(
+        "sample", help="deterministic sampling of a flat table: hash-gate "
+                       "rate or exact-k per stratum (reproducible on any "
+                       "cluster; same seed = same rows forever)")
+    smp.add_argument("input")
+    smp.add_argument("-o", "--output", required=True)
+    smp.add_argument("--id-col", default="doc_id")
+    smp.add_argument("--seed", type=int, default=0)
+    g = smp.add_mutually_exclusive_group(required=True)
+    g.add_argument("--rate", type=float, help="global keep rate (0..1]")
+    g.add_argument("-k", type=int,
+                   help="exactly min(k, n) rows per --stratum value")
+    smp.add_argument("--stratum", default=None,
+                     help="stratum column (required with -k)")
+
     args = p.parse_args(argv)
 
     # flag-combination validation BEFORE any Spark work (fail fast,
@@ -120,6 +157,60 @@ def main(argv: list[str] | None = None) -> int:
         docs = _load_docs(spark, args.input)
         df = views.view_docs(docs) if args.what == "docs" else views.view_frames(docs)
         df.show(args.n, truncate=False)
+        return 0
+
+    if args.cmd == "drift":
+        from fastpasta_spark.operators.drift import (
+            chi_square,
+            kind_profile,
+            ks_statistic,
+            len_profile,
+            psi,
+        )
+
+        a = _load_docs(spark, args.input_a)
+        b = _load_docs(spark, args.input_b)
+        ka, kb = kind_profile(a), kind_profile(b)
+        chi = chi_square(ka, kb).first()
+        p_row = psi(ka, kb).first()
+        ks = ks_statistic(len_profile(a), len_profile(b)).first().ks
+        print(f"kind-mix chi2: {chi.chi2} (dof={chi.dof})")
+        print(f"kind-mix psi:  {p_row.psi} over {p_row.categories} kinds")
+        print(f"text-len ks:   {ks}")
+        # NULL statistics (empty side) count as drift: an empty probe or
+        # baseline is never "no change"
+        drifted = (
+            chi.chi2 is None or chi.chi2 > args.chi2_threshold
+            or p_row.psi is None or p_row.psi > args.psi_threshold
+            or ks is None or ks > args.ks_threshold
+        )
+        print("verdict: DRIFT" if drifted else "verdict: stable")
+        return 4 if drifted else 0
+
+    if args.cmd == "sample":
+        from fastpasta_spark.operators.sampling import (
+            sample_exact,
+            sample_k_per_stratum,
+        )
+
+        tbl = spark.read.parquet(args.input)
+        if args.id_col not in tbl.columns:
+            raise SystemExit(f"--id-col {args.id_col!r} not in {tbl.columns}")
+        if args.k is not None:
+            if not args.stratum:
+                raise SystemExit("-k requires --stratum")
+            if args.stratum not in tbl.columns:
+                raise SystemExit(
+                    f"--stratum {args.stratum!r} not in {tbl.columns}")
+            out = sample_k_per_stratum(tbl, args.stratum, args.k,
+                                       id_col=args.id_col, seed=args.seed)
+        else:
+            if not 0 < args.rate <= 1:
+                raise SystemExit(f"--rate must be in (0, 1], got {args.rate}")
+            out = sample_exact(tbl, id_col=args.id_col, rate=args.rate,
+                               seed=args.seed)
+        out.write.mode("overwrite").parquet(args.output)
+        print(f"wrote {spark.read.parquet(args.output).count()} rows")
         return 0
 
     if args.cmd == "filter":

@@ -217,3 +217,59 @@ def test_exit_code_matrix(fixture_paths, tmp_path, capsys):
                  "--input-stats-file", g_clean]) == 3
     out = capsys.readouterr().out
     assert "E130" in out  # golden mismatch rows are printed
+
+
+def test_drift_cli(fixture_paths, spark, tmp_path, capsys):
+    # same corpus vs itself: stable, exit 0
+    rc = main(["drift", str(fixture_paths / "docs"),
+               str(fixture_paths / "docs")])
+    assert rc == 0
+    assert "verdict: stable" in capsys.readouterr().out
+
+    # heavily corrupted vs clean: kind mix shifts -> exit 4
+    cfg = CorpusConfig(n_docs=150, corrupt_per_mille=700)
+    corpus_df(spark, cfg).write.parquet(str(tmp_path / "hot"))
+    rc = main(["drift", str(fixture_paths / "clean"), str(tmp_path / "hot"),
+               "--chi2-threshold", "5", "--psi-threshold", "0.01"])
+    assert rc == 4
+    out = capsys.readouterr().out
+    assert "verdict: DRIFT" in out and "psi" in out
+
+
+def test_sample_cli(spark, tmp_path, capsys):
+    import pyspark.sql.functions as F
+
+    spark.range(3000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 3).cast("string").alias("src"),
+    ).write.parquet(str(tmp_path / "tbl"))
+
+    rc = main(["sample", str(tmp_path / "tbl"), "-o",
+               str(tmp_path / "rate_out"), "--rate", "0.2", "--seed", "7"])
+    assert rc == 0
+    n = spark.read.parquet(str(tmp_path / "rate_out")).count()
+    assert abs(n / 3000 - 0.2) < 0.05
+
+    rc = main(["sample", str(tmp_path / "tbl"), "-o",
+               str(tmp_path / "k_out"), "-k", "50", "--stratum", "src"])
+    assert rc == 0
+    got = spark.read.parquet(str(tmp_path / "k_out"))
+    assert got.count() == 150
+    assert got.groupBy("src").count().filter("count <> 50").count() == 0
+
+    # flag validation fails fast, before Spark work
+    with pytest.raises(SystemExit):
+        main(["sample", str(tmp_path / "tbl"), "-o", "x", "-k", "5"])
+    with pytest.raises(SystemExit):
+        main(["sample", str(tmp_path / "tbl"), "-o", "x", "--rate", "1.5"])
+
+
+def test_docs_loader_rejects_flat_table(spark, tmp_path):
+    """A non-docs-model parquet must fail fast, not silently validate
+    as all-NULL spans (forced schemas null out missing columns)."""
+    spark.range(5).selectExpr("id AS doc_id", "'x' AS text").write.parquet(
+        str(tmp_path / "flat"))
+    with pytest.raises(SystemExit, match="not a docs-model"):
+        main(["check", "all", str(tmp_path / "flat")])
+    with pytest.raises(SystemExit, match="not a docs-model"):
+        main(["drift", str(tmp_path / "flat"), str(tmp_path / "flat")])
