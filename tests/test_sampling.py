@@ -199,3 +199,33 @@ def test_sample_k_gate_join_is_broadcast(spark):
         .executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_sample_k_property_matches_twin(spark):
+    """Property: for random strata layouts, k and oversample, the
+    distributed sampler equals the pure-python twin exactly (the
+    deficiency re-run guarantees exactness even at oversample ~1)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from fastpasta_spark.operators.sampling import sample_k_per_stratum
+
+    @settings(max_examples=12, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(
+        sizes=st.dictionaries(
+            st.sampled_from(["a", "b", "c", "d"]),
+            st.integers(min_value=1, max_value=300), min_size=1),
+        null_n=st.integers(min_value=0, max_value=30),
+        k=st.integers(min_value=1, max_value=120),
+        oversample=st.sampled_from([1.0, 1.5, 4.0]),
+        seed=st.integers(min_value=0, max_value=3),
+    )
+    def check(sizes, null_n, k, oversample, seed):
+        df = _strata_df(spark, sizes, null_n=null_n)
+        rows = [(r.doc_id, r.src) for r in df.collect()]
+        got = {r.doc_id for r in sample_k_per_stratum(
+            df, "src", k, oversample=oversample, seed=seed).collect()}
+        assert got == _expected_topk(rows, k, seed=seed)
+
+    check()
