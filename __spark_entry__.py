@@ -448,7 +448,7 @@ WITH a AS (SELECT lang, count(*) AS cnt_a FROM documents WHERE source = 'src0' G
      b AS (SELECT lang, count(*) AS cnt_b FROM documents WHERE source <> 'src0' GROUP BY lang),
      j AS (SELECT coalesce(a.lang, b.lang) AS lang,
                   coalesce(cnt_a, 0) AS cnt_a, coalesce(cnt_b, 0) AS cnt_b
-           FROM a FULL OUTER JOIN b ON a.lang = b.lang),
+           FROM a FULL OUTER JOIN b ON a.lang IS NOT DISTINCT FROM b.lang),
      t AS (SELECT sum(cnt_a) AS n_a, sum(cnt_b) AS n_b FROM j)
 SELECT round(sum(pow(cnt_a * sqrt(n_b / n_a) - cnt_b * sqrt(n_a / n_b), 2)
              / (cnt_a + cnt_b)), 4) AS chi2,
@@ -525,7 +525,7 @@ _SQL_DRIFT_PSI = """
 WITH a AS (SELECT lang, count(*) AS cnt_a FROM documents WHERE source = 'src0' GROUP BY lang),
      b AS (SELECT lang, count(*) AS cnt_b FROM documents WHERE source <> 'src0' GROUP BY lang),
      j AS (SELECT coalesce(cnt_a, 0) AS cnt_a, coalesce(cnt_b, 0) AS cnt_b
-           FROM a FULL OUTER JOIN b ON a.lang = b.lang),
+           FROM a FULL OUTER JOIN b ON a.lang IS NOT DISTINCT FROM b.lang),
      t AS (SELECT sum(cnt_a) AS n_a, sum(cnt_b) AS n_b FROM j),
      s AS (SELECT CASE WHEN cnt_a = 0 THEN 1e-6
                        ELSE CAST(cnt_a AS DOUBLE) / n_a END AS s_a,

@@ -34,7 +34,17 @@ def _load_docs(spark, path: str):
     # schema, not the declared one: spark.read.schema(X) silently yields
     # all-NULL columns for a parquet that doesn't have them, so a flat
     # (doc_id, text, ...) table would "validate" as 0 spans everywhere
-    actual = set(spark.read.parquet(path).columns)
+    from pyspark.errors import AnalysisException
+
+    try:
+        actual = set(spark.read.parquet(path).columns)
+    except AnalysisException as e:
+        if "UNABLE_TO_INFER_SCHEMA" not in str(e):
+            raise
+        # a directory with no part files (empty upstream output) has no
+        # footer to check — an empty corpus is valid input (0 docs),
+        # and the schema-forced read below yields exactly that
+        return spark.read.schema(S.DOCS_SCHEMA).parquet(path)
     missing = {"doc_id", "spans"} - actual
     if missing:
         raise SystemExit(
@@ -146,6 +156,20 @@ def main(argv: list[str] | None = None) -> int:
                 "--custom-checks cannot be combined with --checkpoint: "
                 "count expectations need whole-corpus stats; run a "
                 "non-resumable `check all` for custom checks")
+    if args.cmd == "sample":
+        if args.k is not None:
+            if args.k <= 0:
+                raise SystemExit(f"-k must be positive, got {args.k}")
+            if not args.stratum:
+                raise SystemExit("-k requires --stratum")
+        else:
+            if args.stratum:
+                raise SystemExit(
+                    "--stratum requires -k (a global --rate would "
+                    "silently ignore it; per-stratum rates are the "
+                    "sample_stratified API, not a CLI flag)")
+            if not 0 < args.rate <= 1:
+                raise SystemExit(f"--rate must be in (0, 1], got {args.rate}")
 
     from fastpasta_spark.session import get_spark
 
@@ -168,12 +192,21 @@ def main(argv: list[str] | None = None) -> int:
             psi,
         )
 
+        from fastpasta_spark.functions.cache import (
+            release_tracked,
+            tracked_persist,
+        )
+
         a = _load_docs(spark, args.input_a)
         b = _load_docs(spark, args.input_b)
-        ka, kb = kind_profile(a), kind_profile(b)
+        # persist the tiny merged profiles: chi2 and PSI read the same
+        # kind profiles, and without the boundary each .first() would
+        # rescan both corpora (explode + groupBy over every span twice)
+        ka, kb = tracked_persist(kind_profile(a)), tracked_persist(kind_profile(b))
         chi = chi_square(ka, kb).first()
         p_row = psi(ka, kb).first()
         ks = ks_statistic(len_profile(a), len_profile(b)).first().ks
+        release_tracked()
         print(f"kind-mix chi2: {chi.chi2} (dof={chi.dof})")
         print(f"kind-mix psi:  {p_row.psi} over {p_row.categories} kinds")
         print(f"text-len ks:   {ks}")
@@ -197,19 +230,18 @@ def main(argv: list[str] | None = None) -> int:
         if args.id_col not in tbl.columns:
             raise SystemExit(f"--id-col {args.id_col!r} not in {tbl.columns}")
         if args.k is not None:
-            if not args.stratum:
-                raise SystemExit("-k requires --stratum")
             if args.stratum not in tbl.columns:
                 raise SystemExit(
                     f"--stratum {args.stratum!r} not in {tbl.columns}")
             out = sample_k_per_stratum(tbl, args.stratum, args.k,
                                        id_col=args.id_col, seed=args.seed)
         else:
-            if not 0 < args.rate <= 1:
-                raise SystemExit(f"--rate must be in (0, 1], got {args.rate}")
             out = sample_exact(tbl, id_col=args.id_col, rate=args.rate,
                                seed=args.seed)
         out.write.mode("overwrite").parquet(args.output)
+        from fastpasta_spark.functions.cache import release_tracked
+
+        release_tracked()  # drop the exact-k gate cache, if any
         print(f"wrote {spark.read.parquet(args.output).count()} rows")
         return 0
 

@@ -67,18 +67,43 @@ def len_profile(docs: DataFrame) -> DataFrame:
     )
 
 
+def _merged_profiles(profile_a: DataFrame, profile_b: DataFrame) -> DataFrame:
+    """Merge two (category, cnt) profiles into (category, cnt_a, cnt_b),
+    missing sides as 0. Shared by chi_square / psi / ks_statistic so the
+    merge semantics cannot drift between them.
+
+    NULL is a legal category value (span kind is nullable in
+    DOCS_SCHEMA), so the full-outer join key must be null-safe: a plain
+    join-on-name never matches NULL keys and would split one NULL
+    category into two one-sided rows — identical distributions would
+    then report drift. The join is tiny (category domains) — broadcast.
+    """
+    a = profile_a.select(
+        F.col("category").alias("_ca"), F.col("cnt").alias("cnt_a"))
+    b = profile_b.select(
+        F.col("category").alias("_cb"), F.col("cnt").alias("cnt_b"))
+    return (
+        a.join(F.broadcast(b), F.col("_ca").eqNullSafe(F.col("_cb")),
+               "full_outer")
+        # coalesce, not fillna-after-using-name: with distinct key names
+        # both sides survive the join unambiguously, and a matched NULL
+        # category stays NULL (both keys NULL) as it should
+        .select(
+            F.coalesce("_ca", "_cb").alias("category"),
+            F.coalesce("cnt_a", F.lit(0)).alias("cnt_a"),
+            F.coalesce("cnt_b", F.lit(0)).alias("cnt_b"),
+        )
+    )
+
+
 def chi_square(profile_a: DataFrame, profile_b: DataFrame) -> DataFrame:
     """Chi-square statistic between two (category, cnt) profiles.
 
     Returns one row: (chi2, dof, n_a, n_b). Uses the standard two-sample
     formula with scaled expectations; categories missing on one side
-    count as zero. The join is tiny (category domains) — broadcast.
+    count as zero.
     """
-    a = profile_a.select("category", F.col("cnt").alias("cnt_a"))
-    b = profile_b.select("category", F.col("cnt").alias("cnt_b"))
-    joined = a.join(F.broadcast(b), "category", "full_outer").fillna(
-        0, subset=["cnt_a", "cnt_b"]
-    )
+    joined = _merged_profiles(profile_a, profile_b)
     totals = joined.agg(
         F.sum("cnt_a").alias("n_a"), F.sum("cnt_b").alias("n_b")
     )
@@ -124,11 +149,7 @@ def psi(profile_a: DataFrame, profile_b: DataFrame,
     """
     if floor <= 0:
         raise ValueError(f"floor must be > 0 (ln of a zero share), got {floor}")
-    a = profile_a.select("category", F.col("cnt").alias("cnt_a"))
-    b = profile_b.select("category", F.col("cnt").alias("cnt_b"))
-    joined = a.join(F.broadcast(b), "category", "full_outer").fillna(
-        0, subset=["cnt_a", "cnt_b"]
-    )
+    joined = _merged_profiles(profile_a, profile_b)
     totals = joined.agg(
         F.sum("cnt_a").alias("n_a"), F.sum("cnt_b").alias("n_b")
     )
@@ -154,9 +175,7 @@ def ks_statistic(profile_a: DataFrame, profile_b: DataFrame) -> DataFrame:
     """
     from pyspark.sql import Window as W
 
-    a = profile_a.select("category", F.col("cnt").alias("cnt_a"))
-    b = profile_b.select("category", F.col("cnt").alias("cnt_b"))
-    joined = a.join(b, "category", "full_outer").fillna(0, ["cnt_a", "cnt_b"])
+    joined = _merged_profiles(profile_a, profile_b)
     w = W.orderBy("category").rowsBetween(W.unboundedPreceding, 0)
     tot = joined.agg(F.sum("cnt_a").alias("ta"), F.sum("cnt_b").alias("tb"))
     cdf = (

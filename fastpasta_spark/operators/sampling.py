@@ -83,12 +83,27 @@ def sample_k_per_stratum(df: DataFrame, strata_col: str, k: int,
     only in the far tail of the binomial at oversample >= 4) re-run
     ungated. Strata are languages/sources — the deficiency check
     collects O(strata) rows, never data.
+
+    Rows with a NULL id are never sampled — they have no deterministic
+    hash identity, matching the whole hash-gate family (where the NULL
+    gate silently drops them). Excluding them explicitly keeps the
+    ungated deficiency re-run consistent with the gated path (a NULL
+    hash would otherwise rank FIRST in the window there).
+
+    The gated survivor set (~oversample*k rows per stratum) registers a
+    tracked persist (functions/cache) so the deficiency-check job and
+    the caller's action share one corpus scan; release with
+    release_tracked() after consuming the result.
     """
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
+    from pyspark.sql import Window as W
+
+    from fastpasta_spark.functions.cache import tracked_persist
+
+    df = df.filter(F.col(id_col).isNotNull())
     h = F.expr(f"pmod({spark_md5_hash(f'cast({id_col} as string)', seed=seed)}, "
                f"{DENOM})")
-    from pyspark.sql import Window as W
 
     order = [h.asc(), F.col(id_col).asc()]
     rn = F.row_number().over(
@@ -110,18 +125,24 @@ def sample_k_per_stratum(df: DataFrame, strata_col: str, k: int,
     gates = counts.select(
         F.col(strata_col).alias("_stratum"), "_n", thresh)
 
-    gated = df.join(
+    gated = tracked_persist(df.join(
         F.broadcast(gates),
         F.col(strata_col).eqNullSafe(F.col("_stratum")), "inner",
-    ).drop("_stratum").filter(h < F.col("_thresh"))
+    ).drop("_stratum").filter(h < F.col("_thresh")))
 
     # exactness check: a stratum whose survivors undershot min(k, n)
-    # must re-run ungated (the gate cut into its true top-k)
+    # must re-run ungated (the gate cut into its true top-k). Derive
+    # shortness from the gate table LEFT-joined with survivor counts —
+    # a stratum whose gate filtered out EVERY row has no group in
+    # `gated` and would be invisible to a survivors-only groupBy
+    # (P(zero survivors) ~ e^-(oversample*k) per large stratum)
+    surv = gated.groupBy(strata_col).agg(F.count(F.lit(1)).alias("_s"))
     short = [
-        r[0] for r in gated.groupBy(strata_col)
-        .agg(F.count(F.lit(1)).alias("_s"), F.first("_n").alias("_nn"))
-        .filter(F.col("_s") < F.least(F.lit(k), F.col("_nn")))
-        .select(strata_col).collect()
+        r[0] for r in gates.join(
+            surv, F.col("_stratum").eqNullSafe(F.col(strata_col)), "left")
+        .filter(F.coalesce(F.col("_s"), F.lit(0))
+                < F.least(F.lit(k), F.col("_n")))
+        .select("_stratum").collect()
     ]
     if short:
         vals = [s for s in short if s is not None]

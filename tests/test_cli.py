@@ -262,6 +262,23 @@ def test_sample_cli(spark, tmp_path, capsys):
         main(["sample", str(tmp_path / "tbl"), "-o", "x", "-k", "5"])
     with pytest.raises(SystemExit):
         main(["sample", str(tmp_path / "tbl"), "-o", "x", "--rate", "1.5"])
+    with pytest.raises(SystemExit, match="positive"):
+        main(["sample", str(tmp_path / "tbl"), "-o", "x", "-k", "0",
+              "--stratum", "src"])
+    # --stratum with --rate must be rejected, never silently ignored
+    with pytest.raises(SystemExit, match="stratum requires -k"):
+        main(["sample", str(tmp_path / "tbl"), "-o", "x", "--rate", "0.2",
+              "--stratum", "src"])
+
+
+def test_docs_loader_accepts_empty_dir(spark, tmp_path, capsys):
+    """A part-file-less output dir (empty upstream stage) is a valid
+    empty corpus: check must exit 0, not die in schema inference."""
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    (empty / "_SUCCESS").touch()
+    assert main(["check", "all", str(empty)]) == 0
+    assert "total_errors" in capsys.readouterr().out
 
 
 def test_docs_loader_rejects_flat_table(spark, tmp_path):

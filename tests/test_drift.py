@@ -126,6 +126,21 @@ def test_psi_zero_for_identical_and_proportional(spark):
     assert abs(psi(p, q).collect()[0].psi) < 1e-12
 
 
+def test_null_category_matches_itself_across_profiles(spark):
+    """NULL is a legal category (span kind is nullable): identical
+    profiles containing a NULL category must merge it into ONE row
+    (null-safe join key), not two one-sided floor rows — a plain join
+    would report major drift (psi ~ 2.3) on identical distributions."""
+    from fastpasta_spark.operators.drift import chi_square, psi
+
+    p = _profile(spark, [("a", 900), (None, 100)])
+    r = psi(p, p).collect()[0]
+    assert abs(r.psi) < 1e-12
+    assert r.categories == 2  # NULL counted once, not once per side
+    c = chi_square(p, p).collect()[0]
+    assert abs(c.chi2) < 1e-9 and c.dof == 1
+
+
 def test_psi_symmetric_and_positive_on_shift(spark):
     from fastpasta_spark.operators.drift import psi
 

@@ -179,6 +179,47 @@ def test_sample_k_gate_prefilters_but_stays_exact(spark):
     assert out.filter(F.col("src").isNull()).count() == 25
 
 
+def test_sample_k_survives_zero_survivor_stratum(spark):
+    """A big stratum whose gate kills EVERY row (P ~ e^-(oversample*k))
+    must still contribute min(k, n) rows: the deficiency check derives
+    shortness from the gate table, not from the survivors (a stratum
+    with zero survivors has no group to report itself)."""
+    from fastpasta_spark.operators.sampling import sample_k_per_stratum
+
+    # find a seed where NO id in the big stratum passes the k=1,
+    # oversample=1.0 gate (thresh = ceil(DENOM/n) = 1000 for n=1000)
+    n = 1000
+    seed = next(
+        s for s in range(50)
+        if all(py_md5_hash(str(i), seed=s) % DENOM >= DENOM // n
+               for i in range(n))
+    )
+    df = _strata_df(spark, {"big": n, "tiny": 2})
+    rows = [(r.doc_id, r.src) for r in df.collect()]
+    got = sample_k_per_stratum(df, "src", 1, seed=seed, oversample=1.0)
+    sizes = {r.src: r.n for r in
+             got.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    assert sizes == {"big": 1, "tiny": 1}
+    assert {r.doc_id for r in got.collect()} == _expected_topk(rows, 1,
+                                                               seed=seed)
+
+
+def test_sample_k_never_samples_null_ids(spark):
+    """NULL-id rows have no hash identity: the gated path drops them
+    (NULL gate) and the ungated deficiency re-run must NOT resurrect
+    them (a NULL hash ranks first in the window order)."""
+    from fastpasta_spark.operators.sampling import sample_k_per_stratum
+
+    rows = [(i, "a") for i in range(40)] + [(None, "a"), (None, "b")]
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    # oversample=1.0 at k=30 of 42 makes a deficient re-run near-certain
+    for os_ in (1.0, 4.0):
+        got = sample_k_per_stratum(df, "src", 30, oversample=os_).collect()
+        assert all(r.doc_id is not None for r in got), os_
+        ids = {r.doc_id for r in got}
+        assert ids == _expected_topk([(i, "a") for i in range(40)], 30), os_
+
+
 def test_sample_k_rejects_bad_k(spark):
     import pytest
 
