@@ -1359,6 +1359,33 @@ def _sql_stratified_sample() -> str:
             f"WHERE ({h} % {DENOM}) < {case}")
 
 
+def _q_sample_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k deterministic per-stratum sampling: the 5 smallest
+    seeded-md5-hash doc_ids per source — fixed-budget per-stratum
+    selection that nests across budgets and reproduces on any cluster
+    (operators/sampling.sample_k_per_stratum; gate-prefiltered window,
+    deficiency re-run keeps it exact)."""
+    from fastpasta_spark.operators.sampling import sample_k_per_stratum
+
+    d = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "source")
+    return sample_k_per_stratum(d, "source", 5, seed=0)
+
+
+def _sql_sample_k() -> str:
+    from fastpasta_spark.operators.sampling import DENOM
+
+    h = duckdb_md5_hash("doc_id::VARCHAR", seed=0)
+    return f"""
+WITH r AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY ({h} % {DENOM}), doc_id) AS rn
+  FROM documents WHERE doc_id IS NOT NULL)
+SELECT doc_id, source FROM r WHERE rn <= 5
+"""
+
+
 def _q_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-mix accounting: per (lang_pred, source) doc counts, token
     sums and token shares — the data-mixing decision table."""
@@ -2132,7 +2159,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dangling_refs": _q_dangling_refs,
         "metrics_profile": _q_metrics_profile,
         "col_profile": _q_col_profile,
-        "length_hist": _q_length_hist,
         "quantiles": _q_quantiles,
         "outliers": _q_outliers,
         "constraint_check": _q_constraint_check,
@@ -2168,6 +2194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_patterns": _q_text_patterns,
         "redact": _q_redact,
         "stratified_sample": _q_stratified_sample,
+        "sample_k_stratum": _q_sample_k,
         "mix_report": _q_mix_report,
         "simhash": _q_simhash,
         "cosine_topk": _q_cosine_topk,
@@ -2188,6 +2215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "error_filter_limit": _q_error_filter_limit,
         "rollup_agg": _q_rollup,
         "sessionize": _q_sessionize,
+        "length_hist": _q_length_hist,
     }
 
 
@@ -2234,6 +2262,7 @@ def oracle_sql() -> dict[str, str]:
         "text_patterns": _sql_text_patterns(),
         "redact": _sql_redact(),
         "stratified_sample": _sql_stratified_sample(),
+        "sample_k_stratum": _sql_sample_k(),
         "mix_report": _sql_mix_report(),
         "simhash": _sql_simhash(),
         "cosine_topk": _SQL_COSINE_TOPK,

@@ -85,6 +85,19 @@ def tracked_local_checkpoint(df: DataFrame) -> DataFrame:
     return cp
 
 
+def untrack_run(fn: Callable[[], None]) -> None:
+    """Run a tracked release closure NOW and drop its registry entry —
+    the closure analogue of untrack_release (same leak rationale: a
+    per-result release path must not leave dead entries behind)."""
+    try:
+        fn()
+    finally:
+        try:
+            _TRACKED.remove(fn)
+        except ValueError:
+            pass  # released via release_tracked() already, or untracked
+
+
 def track_release(fn: Callable[[], None]) -> None:
     """Register an arbitrary release closure with the session registry
     (for frames checkpointed mid-algorithm whose LAST round backs the

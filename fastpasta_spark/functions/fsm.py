@@ -138,11 +138,17 @@ BC_MODULUS = 3564
 
 
 def stateless_doc_checks(
-    doc_id: str | None, spans: list[tuple[str, str, str, int]] | None
+    doc_id: str | None, spans: list[tuple[str, str, str, int]] | None,
+    valid_media_ids: frozenset | set | None = None,
 ) -> list[tuple[int | None, int, str, str, str]]:
     """Doc-level + per-span stateless sanity — the pure-Python twin of the
     Column-expression battery in operators/sanity.py (tests assert the two
     paths agree). Used by the fused single-scan pass in plans/check_all.py.
+
+    valid_media_ids (optional) enables the E110 referential check: a
+    media span whose non-empty ref is not in the set dangles. The fused
+    pass mirrors this vectorized (operators/sequence.py) against a
+    broadcast of the media dim's ids — change them TOGETHER.
     """
     viol: list[tuple[int | None, int, str, str, str]] = []
     if doc_id is None or doc_id == "":
@@ -172,6 +178,10 @@ def stateless_doc_checks(
         if kind == S.KIND_MEDIA and (ref is None or ref == ""):
             viol.append((i, off, S.E72_MEDIA_REF_MISSING, S.SEV_ERROR,
                          "media span with empty media_ref"))
+        elif (kind == S.KIND_MEDIA and valid_media_ids is not None
+              and ref not in valid_media_ids):
+            viol.append((i, off, S.E110_DANGLING_REF, S.SEV_ERROR,
+                         f"media_ref not found in media table: {ref}"))
         if kind != S.KIND_MEDIA and ref is not None and ref != "":
             viol.append((i, off, S.E73_UNEXPECTED_REF, S.SEV_ERROR,
                          f"non-media span carries media_ref {ref}"))

@@ -19,10 +19,11 @@ with ``mapInArrow`` so the slow path is as fast as it can be:
 
 Output rows are discriminated by ``row_type``:
   'v' violation | 's' stats partial (O(batches)) | 'k' doc-id key row
-  (uniqueness). Media-ref rows for the referential check are NOT pass
-  output (since round 5): they derive columnar from the docs table via
-  plans/check_all.media_ref_rows — on media-heavy corpora they were
-  ~90% of the pass rows and dominated the stage-2 materialization.
+  (uniqueness). VALID media refs are never pass output (since round 5:
+  as 'r' rows they were ~90% of pass rows on media-heavy corpora and
+  dominated the stage-2 materialization); the referential check runs
+  in-scan when ``valid_media_ids`` is provided, emitting only the rare
+  dangling refs as E110 'v' rows — zero extra corpus scan.
 
 Per-document restart (cdp_running.rs:87-104) means no cross-partition
 state: any partitioning is correct and the pass scales linearly — this
@@ -546,7 +547,8 @@ def _screen_clean_docs(codes: np.ndarray, parent: np.ndarray,
 def _make_arrow_pass(fused: bool, trigger_period: int | None = None,
                      chips_per_lane: int | None = None,
                      legal_chip_orderings: list[list[int]] | None = None,
-                     screen: bool | None = None):
+                     screen: bool | None = None,
+                     valid_media=None):
     # escape hatch / A-B lever: FASTPASTA_SCREEN=0 (read driver-side at
     # pass-construction time, pickled into the closure) disables the
     # clean-doc pre-screen so every doc takes the exact FSM loop
@@ -554,6 +556,9 @@ def _make_arrow_pass(fused: bool, trigger_period: int | None = None,
         screen = os.environ.get("FASTPASTA_SCREEN", "1") != "0"
 
     def arrow_pass(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        # valid_media is a pyspark Broadcast of the media-id frozenset
+        # (fetched once per worker) or None: E110 referential check off
+        vm = valid_media.value if valid_media is not None else None
         kv_cache: dict = {}  # text -> parsed fields, partition-scoped
         for batch in batches:
             if len(kv_cache) > _KV_CACHE_MAX:
@@ -630,10 +635,9 @@ def _make_arrow_pass(fused: bool, trigger_period: int | None = None,
                 # NOTE round 5: media-ref ('r') rows are no longer emitted
                 # here. On a media-heavy corpus they were ~90% of the pass
                 # output (102M of 113M rows on the 8M-doc scaling corpus)
-                # and dominated the persist; the referential check now
-                # derives its refs columnar from the docs table
-                # (plans/check_all.media_ref_rows — posexplode over pruned
-                # nested fields, no Python in the loop).
+                # and dominated the persist; the referential check is now
+                # the in-scan E110 emit below (broadcast media-id set,
+                # dangling rows only — rare by definition).
 
                 # ---- stateless battery (fully vectorized emits) ---------
                 # one RecordBatch per firing check, columns assembled
@@ -705,6 +709,28 @@ def _make_arrow_pass(fused: bool, trigger_period: int | None = None,
                 emit_span_viol(
                     np.nonzero((codes == _K_PAD) & ~text_empty)[0],
                     S.E74_PAD_NOT_EMPTY, "pad span with non-empty text")
+
+                # E110 referential: media refs outside the broadcast
+                # media-id set. Emitted HERE because the pass already
+                # holds the flattened media_ref column — check_all needs
+                # NO second corpus scan for the referential check, and
+                # only the RARE dangling rows enter the pass output (the
+                # round-5 scaling fix stands: valid refs never do).
+                # Batch-level and screen-independent: a grammar-clean
+                # doc can still carry a dangling ref. Twin:
+                # functions/fsm.stateless_doc_checks(valid_media_ids=).
+                if vm is not None:
+                    m_idx = np.nonzero((codes == _K_MEDIA) & ~ref_empty)[0]
+                    if len(m_idx):
+                        rv = pc.take(ref_c, pa.array(m_idx)).to_pylist()
+                        dang = [(j, v) for j, v in zip(m_idx, rv)
+                                if v not in vm]
+                        if dang:
+                            emit_span_viol(
+                                np.array([j for j, _ in dang], np.int64),
+                                S.E110_DANGLING_REF,
+                                [f"media_ref not found in media table: {v}"
+                                 for _, v in dang])
 
                 # doc-level: E10/E13 (doc_id), E12 (spans), E11 (offsets)
                 did_null = pc.is_null(doc_id_arr).to_numpy(zero_copy_only=False)
@@ -843,8 +869,7 @@ def _make_arrow_pass(fused: bool, trigger_period: int | None = None,
                     schema=_ARROW_SCHEMA,
                 ))
             # ref map feeds only the loop -> dirty docs only (the
-            # referential check gets its refs columnar from the docs
-            # table, see plans/check_all.media_ref_rows)
+            # referential check is the vectorized E110 emit above)
             ref_idx = np.nonzero((codes == _K_MEDIA) & ~ref_empty
                                  & dirty_span)[0]
             ref_vals = (pc.take(ref_c, pa.array(ref_idx)).to_pylist()
@@ -909,7 +934,8 @@ def _make_arrow_pass(fused: bool, trigger_period: int | None = None,
 def sequence_pass(docs: DataFrame, fused: bool = False,
                   trigger_period: int | None = None,
                   chips_per_lane: int | None = None,
-                  legal_chip_orderings: list[list[int]] | None = None
+                  legal_chip_orderings: list[list[int]] | None = None,
+                  valid_media_ids: frozenset | set | None = None
                   ) -> DataFrame:
     """Run the FSM (+stats) pass. fused=True also emits key ('k') rows
     and the stateless battery (single-scan check_all mode). trigger_period
@@ -917,10 +943,30 @@ def sequence_pass(docs: DataFrame, fused: bool = False,
     --its-trigger-period analogue; off by default). chips_per_lane /
     legal_chip_orderings override the header-derived chip-layer
     expectations (reference custom TOML checks,
-    custom_checks_cfg.rs:7-28; see functions/fsm.validate_spans)."""
+    custom_checks_cfg.rs:7-28; see functions/fsm.validate_spans).
+
+    valid_media_ids (fused mode): the media dim's id set — enables the
+    E110 referential check INSIDE the pass (zero extra corpus scan; only
+    dangling rows are emitted). Ships as a Spark broadcast, fetched once
+    per worker; the media dim is broadcast-scale by design (check_all's
+    anti-join form already F.broadcast it). Pass a plain set and the
+    broadcast registers with the cache registry (release_tracked frees
+    executor copies), or pass an existing pyspark Broadcast to own its
+    lifecycle yourself (check_all does, via CheckResult.release)."""
+    vm_bc = None
+    if valid_media_ids is not None:
+        if hasattr(valid_media_ids, "value"):  # pyspark Broadcast
+            vm_bc = valid_media_ids
+        else:
+            from fastpasta_spark.functions.cache import track_release
+
+            vm_bc = docs.sparkSession.sparkContext.broadcast(
+                frozenset(valid_media_ids))
+            track_release(vm_bc.unpersist)
     return docs.select("doc_id", "spans").mapInArrow(
         _make_arrow_pass(fused, trigger_period, chips_per_lane,
-                         legal_chip_orderings), schema=SEQ_OUT_SCHEMA
+                         legal_chip_orderings, valid_media=vm_bc),
+        schema=SEQ_OUT_SCHEMA
     )
 
 

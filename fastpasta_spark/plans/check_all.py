@@ -20,8 +20,10 @@ than routing ~10x-the-doc-count ref rows through the Arrow pass output
              's' rows  -> stats merge (partial+final agg)
              'k' rows  -> uniqueness (groupBy count>1 + HLL totals)
              kind mix  -> chi-square drift vs golden profile
-           + media_ref_rows(docs): pruned columnar re-scan ->
-             referential anti-join vs broadcast media dim
+           (E110 referential rows are 'v' rows: the pass checks refs
+            in-scan against a broadcast media-id set — no re-scan; the
+            columnar media_ref_rows form below serves the standalone
+            dangling_refs query and the streaming validator)
   stage 4  metrics assembly + error-code rollup (G6 analogue)
 
 Violations sort by (doc_id, offset, check_code) — the reference sorts
@@ -52,12 +54,20 @@ class CheckResult:
     # per result; a bare caller frees everything at once with
     # functions.cache.release_tracked(). Double-release is a no-op.
     _cached: tuple = ()
+    # release closures beyond unpersist (the media-id broadcast): run by
+    # release() AND deregistered, same dead-entry rationale as _cached
+    _extra_release: tuple = ()
 
     def release(self) -> None:
-        from fastpasta_spark.functions.cache import untrack_release
+        from fastpasta_spark.functions.cache import (
+            untrack_release,
+            untrack_run,
+        )
 
         for df in self._cached:
             untrack_release(df)
+        for fn in self._extra_release:
+            untrack_run(fn)
 
 
 def _uniqueness_branch(keys: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -110,12 +120,17 @@ def media_ref_rows(docs: DataFrame) -> DataFrame:
     """Columnar (doc_id, span_idx, offset, message=media_ref) rows for
     every non-empty media ref — the referential check's input.
 
-    Round 5: these used to be emitted as 'r' rows by the fused Arrow
-    pass, but on a media-heavy corpus they were ~90% of the pass output
-    (102M of 113M rows at 8M docs) and dominated the pass persist. A
-    media ref needs no FSM state, so derive it declaratively and feed
-    the broadcast anti-join directly. Semantics mirror the old emission
-    exactly: kind == 'media' (exact match), ref non-null and non-empty,
+    History: round 5 first moved refs OUT of the fused pass (as 'r'
+    rows they were ~90% of the pass output — 102M of 113M rows at 8M
+    docs — and dominated the persist) into this columnar re-scan; the
+    re-scan then cost ~30% of check_all wall at local[32] (its
+    CPU-seconds compete with the pass workers), so check_all now checks
+    refs IN the pass against a broadcast media-id set and emits only
+    the rare dangling rows (operators/sequence.py E110). This columnar
+    form remains the standalone derivation — the dangling_refs driver
+    query (pinning E110 semantics against a DuckDB oracle) and the
+    streaming validator use it. Semantics mirror the pass exactly:
+    kind == 'media' (exact match), ref non-null and non-empty,
     span_idx = position in the spans list.
 
     Column pruning: posexplode over the raw struct column defeats
@@ -198,11 +213,28 @@ def check_all(
     chips_per_lane / legal_chip_orderings override the header-derived
     chip-layer expectations inside the fused pass.
     """
+    from fastpasta_spark.functions.cache import track_release
+
     spark = docs.sparkSession
+    vm_bc = None
+    if media is not None:
+        # the media dim is broadcast-scale BY DESIGN (the anti-join form
+        # in _referential_branch already F.broadcast it); pulling its id
+        # set to the driver is the same commitment, and hands the fused
+        # pass a ZERO-extra-scan referential check — the refs re-scan
+        # (even nested-pruned) cost ~30% of check_all wall at local[32]
+        # because every CPU-second competes with the pass's workers
+        # (BENCH/REFS_INPASS.md). Broadcast owned HERE so per-result
+        # release (slice loops) can free it via CheckResult.release.
+        vm_bc = spark.sparkContext.broadcast(frozenset(
+            r[0] for r in media.select(F.col("media_id").cast("string"))
+            .where(F.col("media_id").isNotNull()).distinct().collect()))
+        track_release(vm_bc.unpersist)
     out = sequence_pass(
         docs, fused=True, trigger_period=trigger_period,
         chips_per_lane=custom.chips_per_lane if custom else None,
-        legal_chip_orderings=custom.legal_chip_orderings if custom else None)
+        legal_chip_orderings=custom.legal_chip_orderings if custom else None,
+        valid_media_ids=vm_bc)
 
     from fastpasta_spark.functions.cache import tracked_persist
 
@@ -216,9 +248,11 @@ def check_all(
     keys = out.filter(F.col("row_type") == "k").select("doc_id")
 
     uniq_viol, uniq_metrics = _uniqueness_branch(keys)
+    # E110 referential rows arrive in violations_seq: the fused pass
+    # checks refs against the broadcast media-id set in-scan (no second
+    # corpus scan). _referential_branch/media_ref_rows remain the
+    # standalone columnar form (dangling_refs driver query, streaming).
     branches = [violations_seq, uniq_viol]
-    if media is not None:
-        branches.append(_referential_branch(media_ref_rows(docs), media))
     if golden_kind_profile is not None:
         kind_counts = (
             stats.filter(F.col("name").startswith("kind_count_"))
@@ -322,7 +356,8 @@ def check_all(
     return CheckResult(violations=violations_sorted, metrics=metrics,
                        passed=passed,
                        _cached=(out, violations) if not work_dir
-                       else (violations,))
+                       else (violations,),
+                       _extra_release=(vm_bc.unpersist,) if vm_bc else ())
 
 
 def run_failfast(

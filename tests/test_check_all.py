@@ -196,3 +196,82 @@ def test_dangling_refs_oracle_parity_on_null_doc_id(spark, tmp_path):
                    .arrow().to_pylist()), key=str)
     assert got == want
     assert any(d is None for d, *_ in got)  # the divergent span is present
+
+
+def test_pass_emitted_e110_matches_columnar_anti_join(spark):
+    """The in-scan E110 emit (fused pass + broadcast media-id set) and
+    the standalone columnar derivation (media_ref_rows -> anti-join,
+    used by the dangling_refs driver query and streaming) must stay in
+    lockstep row-for-row — they are two implementations of the same
+    referential check."""
+    from fastpasta_spark.plans.check_all import (
+        _referential_branch,
+        media_ref_rows,
+    )
+
+    cfg = CorpusConfig(n_docs=600, corrupt_per_mille=120, dup_per_mille=10)
+    docs = corpus_df(spark, cfg)
+    media = media_df(spark, cfg)
+    n_by_case = []
+    for m in (media, media.limit(0)):  # empty media: every ref dangles
+        res = check_all(docs, m)
+        got = sorted(tuple(r) for r in
+                     res.violations.filter("check_code = 'E110'").collect())
+        want = sorted(tuple(r) for r in
+                      _referential_branch(media_ref_rows(docs), m).collect())
+        assert got == want
+        n_by_case.append(len(got))
+    # the corpus has media spans, so the empty-media case must fire a
+    # strict superset of the real-media case
+    assert n_by_case[1] > n_by_case[0] >= 0 and n_by_case[1] > 0
+    # no media table -> referential check off entirely
+    assert check_all(docs, None).violations.filter(
+        "check_code = 'E110'").count() == 0
+
+
+def test_e110_fires_on_grammar_clean_screened_doc(spark):
+    """The clean-doc pre-screen gates only the FSM loop; a doc the
+    screen certifies grammar-clean can still carry a dangling ref and
+    MUST get its E110 (the emit is batch-level, screen-independent)."""
+    from fastpasta_spark.operators.sequence import (
+        sequence_pass,
+        split_sequence_output,
+    )
+
+    # one perfectly grammar-clean doc whose media ref dangles
+    rows = [("d1", [
+        {"kind": "hdr", "text": "page=0,lanes=0,chips=0", "media_ref": None, "offset": 0},
+        {"kind": "media", "text": None, "media_ref": "m_missing", "offset": 1},
+        {"kind": "trailer", "text": "done=1", "media_ref": None, "offset": 2},
+    ])]
+    docs = spark.createDataFrame(rows, S.DOCS_SCHEMA)
+    out = sequence_pass(docs, fused=True, valid_media_ids=frozenset({"m_ok"}))
+    viol, _ = split_sequence_output(out)
+    got = [(r.check_code, r.span_idx, r.message) for r in viol.collect()]
+    assert ("E110", 1, "media_ref not found in media table: m_missing") in got
+    # and with the ref present in the set, nothing fires
+    out_ok = sequence_pass(docs, fused=True,
+                           valid_media_ids=frozenset({"m_missing"}))
+    v_ok, _ = split_sequence_output(out_ok)
+    assert v_ok.filter("check_code = 'E110'").count() == 0
+
+
+def test_stateless_twin_e110_semantics():
+    """functions/fsm.stateless_doc_checks(valid_media_ids=) — the pure
+    twin of the pass's E110 emit: empty ref stays E72 (never both),
+    non-media refs stay E73, no set -> check off."""
+    spans = [("media", None, "m_ok", 0),      # valid ref
+             ("media", None, "m_bad", 1),     # dangling -> E110
+             ("media", None, "", 2),          # empty -> E72 only
+             ("text", "x", "m_bad", 3)]       # non-media ref -> E73 only
+    got = stateless_doc_checks("d1", spans, valid_media_ids={"m_ok"})
+    codes = [(i, c) for i, _, c, _, _ in got]
+    assert (1, S.E110_DANGLING_REF) in codes
+    assert (2, S.E72_MEDIA_REF_MISSING) in codes
+    assert (2, S.E110_DANGLING_REF) not in codes
+    assert (3, S.E73_UNEXPECTED_REF) in codes
+    assert (3, S.E110_DANGLING_REF) not in codes
+    assert (0, S.E110_DANGLING_REF) not in codes
+    # without the set: no E110 at all (battery unchanged)
+    assert all(c != S.E110_DANGLING_REF
+               for _, _, c, _, _ in stateless_doc_checks("d1", spans))

@@ -92,14 +92,28 @@ def test_media_ref_rows_null_offset_normalizes_to_minus_one(spark):
 
 
 def test_media_dim_join_is_broadcast(spark):
-    from fastpasta_spark.plans.check_all import check_all
+    """The STANDALONE columnar referential form (dangling_refs driver
+    query, streaming validator) keeps its broadcast anti-join shape;
+    check_all itself no longer joins at all — its E110 check rides the
+    fused pass against a broadcast media-id set (BENCH/REFS_INPASS.md),
+    so its violations plan must contain NO anti-join (a LeftAnti here
+    means the second corpus scan crept back in)."""
+    from fastpasta_spark.plans.check_all import (
+        _referential_branch,
+        check_all,
+        media_ref_rows,
+    )
     from fastpasta_spark.sources.synth import CorpusConfig, corpus_df, media_df
 
     cfg = CorpusConfig(n_docs=50)
-    res = check_all(corpus_df(spark, cfg), media_df(spark, cfg))
-    plan = plan_of(res.violations)
-    assert "BroadcastHashJoin" in plan
-    assert "LeftAnti" in plan
+    docs, media = corpus_df(spark, cfg), media_df(spark, cfg)
+    standalone = plan_of(_referential_branch(media_ref_rows(docs), media))
+    assert "BroadcastHashJoin" in standalone or \
+        "BroadcastNestedLoopJoin" in standalone
+    assert "LeftAnti" in standalone
+
+    plan = plan_of(check_all(docs, media).violations)
+    assert "LeftAnti" not in plan
 
 
 def test_fused_pass_has_no_shuffle(spark):
