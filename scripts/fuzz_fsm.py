@@ -34,7 +34,11 @@ rows + ~29k census counts, exact multiset parity on every leg (run on
 the post-vectorization fused pass with lazy doc-id materialization).
 Round-5: re-run with fresh seeds (505, 8191) x 30,000 docs over the
 clean-doc pre-screen + columnar media_ref_rows code — all 10 legs
-(~4.5M rows + ~15k census counts) exact multiset parity.
+(~4.5M rows + ~15k census counts) exact multiset parity. A sixth leg
+fuzzes the in-pass E110 referential check (seed-derived valid-id set,
+engine vs stateless_doc_checks(valid_media_ids=)); evidence: all six
+legs x 30,000 docs x fresh seeds (1213, 4242) -> ~2.7M rows + ~14.6k
+census counts, exact multiset parity (~4.8k E110 rows per seed).
 """
 
 from __future__ import annotations
@@ -179,7 +183,29 @@ def main(n_docs: int = 30_000, seeds: tuple[int, ...] = (7, 99, 2026)) -> int:
             legal_chip_orderings=ORDS))
         ok5 = compare(f"fused + chip config cpl={CPL}", viol_cfg,
                       expected_cfg)
-        if not (ok1 and ok2 and ok3 and ok4 and ok5):
+        # leg 6 (round 5): the in-pass E110 referential check — a
+        # seed-derived valid-id set covering roughly half the ref
+        # vocabulary, so dangling/valid/empty/NULL refs and refs on
+        # non-media spans are all exercised against the pure twin
+        # (stateless_doc_checks(valid_media_ids=))
+        rngv = random.Random(seed ^ 0xE110)
+        valid = frozenset(r for r in sorted(set(REFS), key=str)
+                          if r and rngv.random() < 0.5)
+        expected_ref: Counter = Counter()
+        for doc_id, spans in rows:
+            tuples = (None if spans is None else
+                      [(s["kind"], s["text"], s["media_ref"], s["offset"])
+                       for s in spans])
+            for v in stateless_doc_checks(doc_id, tuples or None,
+                                          valid_media_ids=valid):
+                expected_ref[(doc_id,) + tuple(v)] += 1
+            for v in validate_spans(tuples or []):
+                expected_ref[(doc_id,) + tuple(v)] += 1
+        viol_ref, _ = split_sequence_output(sequence_pass(
+            docs, fused=True, valid_media_ids=valid))
+        ok6 = compare(f"fused + referential |valid|={len(valid)}",
+                      viol_ref, expected_ref)
+        if not (ok1 and ok2 and ok3 and ok4 and ok5 and ok6):
             rc = 1
     return rc
 
