@@ -3,12 +3,11 @@
 Reference lifecycle (`/root/reference/fastpasta/src/lib.rs:101-159`,
 doc/data_flow.md:13-23): one scan feeds batch stats, per-key validators
 and the stats funnel concurrently; nothing reads the input twice. The
-Spark translation keeps the expensive part of that property at 100 TB —
-the COMPUTE (FSM + battery + stats) touches each doc once; the
-referential check adds a second scan that nested-schema pruning reduces
-to the kind/media_ref/offset sub-columns (no text bytes), far cheaper
-than routing ~10x-the-doc-count ref rows through the Arrow pass output
-(round-5 measurement: 102M of 113M persisted pass rows were refs):
+Spark translation keeps that property whole: the ONE scan carries the
+compute (FSM + battery + stats) AND the referential check (refs tested
+in-scan against a broadcast media-id set, only dangling rows emitted —
+valid refs, ~90% of pass rows on media-heavy corpora, never leave the
+pass, and no second scan exists; BENCH/REFS_INPASS.md):
 
   stage 1  docs scan -> fused mapInArrow pass (FSM + stateless battery
            + stats partials + uniqueness keys)  [the one COMPUTE scan]
@@ -23,7 +22,7 @@ than routing ~10x-the-doc-count ref rows through the Arrow pass output
            (E110 referential rows are 'v' rows: the pass checks refs
             in-scan against a broadcast media-id set — no re-scan; the
             columnar media_ref_rows form below serves the standalone
-            dangling_refs query and the streaming validator)
+            dangling_refs driver query)
   stage 4  metrics assembly + error-code rollup (G6 analogue)
 
 Violations sort by (doc_id, offset, check_code) — the reference sorts
@@ -128,8 +127,8 @@ def media_ref_rows(docs: DataFrame) -> DataFrame:
     refs IN the pass against a broadcast media-id set and emits only
     the rare dangling rows (operators/sequence.py E110). This columnar
     form remains the standalone derivation — the dangling_refs driver
-    query (pinning E110 semantics against a DuckDB oracle) and the
-    streaming validator use it. Semantics mirror the pass exactly:
+    query pins E110 semantics against a DuckDB oracle with it.
+    Semantics mirror the pass exactly:
     kind == 'media' (exact match), ref non-null and non-empty,
     span_idx = position in the spans list.
 
@@ -165,6 +164,29 @@ def media_ref_rows(docs: DataFrame) -> DataFrame:
     )
 
 
+def media_id_broadcast(media: DataFrame, track: bool = True):
+    """Collect + broadcast the media dim's id set — the fused pass's
+    E110 referential input (operators/sequence.sequence_pass
+    valid_media_ids=). The media dim is broadcast-scale BY DESIGN (the
+    anti-join form wraps it in F.broadcast); pulling the id set to the
+    driver is the same commitment. The id normalization here (cast to
+    string, drop NULLs, distinct) is the single definition both
+    check_all and the streaming validator share — the E110 semantics
+    are pinned to the columnar form row-for-row, so change it HERE only.
+
+    track=True registers the unpersist with the session cache registry;
+    pass track=False when the caller releases it itself (per-epoch
+    streaming batches)."""
+    bc = media.sparkSession.sparkContext.broadcast(frozenset(
+        r[0] for r in media.select(F.col("media_id").cast("string"))
+        .where(F.col("media_id").isNotNull()).distinct().collect()))
+    if track:
+        from fastpasta_spark.functions.cache import track_release
+
+        track_release(bc.unpersist)
+    return bc
+
+
 def _referential_branch(refs: DataFrame, media: DataFrame) -> DataFrame:
     """Ref rows (media_ref in `message`) -> E110 violations."""
     dangling = refs.join(
@@ -191,6 +213,7 @@ def check_all(
     max_errors: int | None = None,
     trigger_period: int | None = None,
     custom=None,
+    media_ids_bc=None,
 ) -> CheckResult:
     """Full validation: one scan of docs, everything downstream is small.
 
@@ -213,23 +236,18 @@ def check_all(
     chips_per_lane / legal_chip_orderings override the header-derived
     chip-layer expectations inside the fused pass.
     """
-    from fastpasta_spark.functions.cache import track_release
-
     spark = docs.sparkSession
-    vm_bc = None
-    if media is not None:
-        # the media dim is broadcast-scale BY DESIGN (the anti-join form
-        # in _referential_branch already F.broadcast it); pulling its id
-        # set to the driver is the same commitment, and hands the fused
-        # pass a ZERO-extra-scan referential check — the refs re-scan
-        # (even nested-pruned) cost ~30% of check_all wall at local[32]
-        # because every CPU-second competes with the pass's workers
-        # (BENCH/REFS_INPASS.md). Broadcast owned HERE so per-result
-        # release (slice loops) can free it via CheckResult.release.
-        vm_bc = spark.sparkContext.broadcast(frozenset(
-            r[0] for r in media.select(F.col("media_id").cast("string"))
-            .where(F.col("media_id").isNotNull()).distinct().collect()))
-        track_release(vm_bc.unpersist)
+    # the in-pass E110 referential input: a broadcast of the media dim's
+    # id set hands the fused pass a ZERO-extra-scan referential check —
+    # the refs re-scan (even nested-pruned) cost ~30% of check_all wall
+    # at local[32] because every CPU-second competes with the pass's
+    # workers (BENCH/REFS_INPASS.md). media_ids_bc lets slice loops
+    # (run_failfast) build it ONCE instead of one collect+broadcast per
+    # slice; when built here it is owned here (CheckResult.release).
+    vm_bc, own_bc = media_ids_bc, False
+    if vm_bc is None and media is not None:
+        vm_bc = media_id_broadcast(media)
+        own_bc = True
     out = sequence_pass(
         docs, fused=True, trigger_period=trigger_period,
         chips_per_lane=custom.chips_per_lane if custom else None,
@@ -251,7 +269,7 @@ def check_all(
     # E110 referential rows arrive in violations_seq: the fused pass
     # checks refs against the broadcast media-id set in-scan (no second
     # corpus scan). _referential_branch/media_ref_rows remain the
-    # standalone columnar form (dangling_refs driver query, streaming).
+    # standalone columnar form (dangling_refs driver query).
     branches = [violations_seq, uniq_viol]
     if golden_kind_profile is not None:
         kind_counts = (
@@ -357,7 +375,7 @@ def check_all(
                        passed=passed,
                        _cached=(out, violations) if not work_dir
                        else (violations,),
-                       _extra_release=(vm_bc.unpersist,) if vm_bc else ())
+                       _extra_release=(vm_bc.unpersist,) if own_bc else ())
 
 
 def run_failfast(
@@ -390,13 +408,17 @@ def run_failfast(
     from fastpasta_spark.plans.lineage import BUCKET_COL, with_bucket
 
     sliced = with_bucket(docs, n_slices)
+    # one media-id collect+broadcast for ALL slices (a per-slice
+    # check_all would otherwise re-collect the identical set n_slices
+    # times, serially, before each slice's pass even starts)
+    vm_bc = media_id_broadcast(media) if media is not None else None
     total = 0
     parts: list[DataFrame] = []
     done = 0
     for s in range(n_slices):
         res = check_all(
             sliced.filter(F.col(BUCKET_COL) == s).drop(BUCKET_COL),
-            media, trigger_period=trigger_period,
+            media, trigger_period=trigger_period, media_ids_bc=vm_bc,
         )
         # materialize this slice's (small) violations NOW, then release
         # the slice's internal caches (fused-pass output + violation

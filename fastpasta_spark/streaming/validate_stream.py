@@ -40,19 +40,27 @@ def validate_stream(
     )
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        out = sequence_pass(batch_df, fused=True)
-        violations, stats = split_sequence_output(out.persist())
+        # the media-id set is re-resolved PER EPOCH, preserving the old
+        # per-batch anti-join's live-dim semantics: a media dim still
+        # being ingested accepts refs to rows added after stream start
+        # from the next epoch on. The E110 check itself rides the fused
+        # pass in-scan (same shape as plans/check_all — no per-batch
+        # second scan of the DOCS; BENCH/REFS_INPASS.md), and the
+        # epoch's broadcast is freed here, not left to the registry
+        vm_bc = None
         if media is not None:
-            from fastpasta_spark.plans.check_all import (_referential_branch,
-                                                         media_ref_rows)
+            from fastpasta_spark.plans.check_all import media_id_broadcast
 
-            violations = violations.unionByName(
-                _referential_branch(media_ref_rows(batch_df), media))
+            vm_bc = media_id_broadcast(media, track=False)
+        out = sequence_pass(batch_df, fused=True, valid_media_ids=vm_bc)
+        violations, stats = split_sequence_output(out.persist())
         (violations.withColumn("epoch_id", F.lit(epoch_id))
          .write.mode("append").parquet(f"{out_dir}/violations"))
         (stats.withColumn("epoch_id", F.lit(epoch_id))
          .write.mode("append").parquet(f"{out_dir}/metrics"))
         out.unpersist()
+        if vm_bc is not None:
+            vm_bc.unpersist()
 
     return (
         stream.writeStream.foreachBatch(process_batch)

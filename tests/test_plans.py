@@ -108,8 +108,9 @@ def test_media_dim_join_is_broadcast(spark):
     cfg = CorpusConfig(n_docs=50)
     docs, media = corpus_df(spark, cfg), media_df(spark, cfg)
     standalone = plan_of(_referential_branch(media_ref_rows(docs), media))
-    assert "BroadcastHashJoin" in standalone or \
-        "BroadcastNestedLoopJoin" in standalone
+    # strict: the anti-join is an equi-join on media_id and must stay a
+    # hash join — a nested-loop here is O(refs x media)
+    assert "BroadcastHashJoin" in standalone
     assert "LeftAnti" in standalone
 
     plan = plan_of(check_all(docs, media).violations)

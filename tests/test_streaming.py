@@ -49,6 +49,39 @@ def test_stream_matches_batch(spark, tmp_path):
     assert again == len(got)
 
 
+def test_stream_referential_matches_batch_check_all(spark, tmp_path):
+    """validate_stream with a media dim must emit the same E110 rows as
+    batch check_all — the micro-batch pass uses the SAME in-scan check
+    against the once-broadcast media-id set (no per-batch re-scan)."""
+    from fastpasta_spark.plans.check_all import check_all
+    from fastpasta_spark.sources.synth import media_df
+
+    docs = corpus_df(spark, CFG)
+    media = media_df(spark, CFG)
+    in_dir = str(tmp_path / "in")
+    docs.repartition(4).write.parquet(in_dir)
+
+    q = validate_stream(
+        spark, in_dir,
+        out_dir=str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        media=media,
+    )
+    q.awaitTermination(120)
+
+    got = sorted(
+        (r.doc_id, r.span_idx, r.offset, r.message)
+        for r in spark.read.parquet(str(tmp_path / "out" / "violations"))
+        .filter("check_code = 'E110'").collect()
+    )
+    expected = sorted(
+        (r.doc_id, r.span_idx, r.offset, r.message)
+        for r in check_all(docs, media).violations
+        .filter("check_code = 'E110'").collect()
+    )
+    assert got == expected and len(got) > 0
+
+
 def test_violation_rate_windows_batch_shape(spark):
     rows = [
         ("d1", "E70", "2024-01-01 00:00:10"),
