@@ -48,12 +48,19 @@ LITERAL_CODEBOOK_MAX = 2048
 # try_divide, not '/': under ANSI mode (Spark 4 default) even DOUBLE
 # 0.0/0.0 raises DIVIDE_BY_ZERO, so a single all-zero embedding would
 # crash every literal cosine path; try_divide degrades it to NULL sim,
-# which threshold filters and DESC orderings (nulls last) already handle
+# which threshold filters and DESC orderings (nulls last) already handle.
+# nanvl(.., NULL): try_divide only NULLs a ZERO divisor — a genuine NaN
+# component (float('nan') in the array, not a NULL element) propagates
+# NaN through the aggregates and NaN/NaN stays NaN, which compares
+# GREATER than any threshold in Spark; the Arrow twins emit NULL for
+# NaN-component vectors, so the literal path must too (path parity
+# pinned in tests/test_similarity.py).
 COSINE_EXPR = (
-    "try_divide(aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * y), "
+    "nanvl(try_divide(aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * y), "
     "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v), "
     "sqrt(aggregate({a}, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * v)) * "
-    "sqrt(aggregate({b}, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * v)))"
+    "sqrt(aggregate({b}, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * v))), "
+    "CAST(NULL AS DOUBLE))"
 )
 
 
@@ -111,12 +118,19 @@ def _bucket_expr(vec_col: str, dim: int, n_planes: int, table: int) -> str:
         "array(" + ", ".join(f"CAST({v:.9f} AS DOUBLE)" for v in row) + ")"
         for row in planes
     )
+    # nanvl(dot, -1): a genuine NaN component makes the projection NaN,
+    # and NaN > 0 is TRUE in Spark (NaN sorts above everything) — which
+    # would put NaN vectors in the all-ONES-signs bucket while the numpy
+    # twin (NaN > 0 is False) lands them on the all-zero-signs offset
+    # bucket like every other degraded row. Coerce NaN to a negative dot
+    # so both paths agree; NULL dots (interior NULL element) already
+    # contribute 0 via IF(NULL > 0).
     return (
         f"aggregate(sequence(0, {n_planes - 1}), {table * (1 << n_planes)}L, "
         f"(acc, p) -> acc + "
-        f"IF(aggregate(zip_with(element_at(array({lits}), p + 1), {vec_col}, "
+        f"IF(nanvl(aggregate(zip_with(element_at(array({lits}), p + 1), {vec_col}, "
         "(w, x) -> w * CAST(x AS DOUBLE)), CAST(0.0 AS DOUBLE), "
-        "(a, v) -> a + v) > 0, shiftleft(1L, p), 0L))"
+        "(a, v) -> a + v), CAST(-1.0 AS DOUBLE)) > 0, shiftleft(1L, p), 0L))"
     )
 
 

@@ -39,15 +39,37 @@ def view_docs(docs: DataFrame) -> DataFrame:
 #: ``limit=None`` explicitly to get the full ordered dump.
 VIEW_FRAMES_DEFAULT_LIMIT = 100_000
 
+#: sentinel distinguishing "caller passed no limit" from an explicit
+#: limit=100_000 — the implicit default triggers a one-time warning
+#: (round-5 advice: callers that relied on the old unbounded dump must
+#: hear about the silent cap once, same precedent as jaccard_pairs'
+#: implicit max_df warning)
+_IMPLICIT = object()
+_WARNED_DEFAULT_LIMIT = False
 
-def view_frames(docs: DataFrame, limit: int | None = VIEW_FRAMES_DEFAULT_LIMIT,
+
+def view_frames(docs: DataFrame, limit=_IMPLICIT,
                 doc_ids: list[str] | None = None) -> DataFrame:
     """One row per span with doc position + kind decode (W2 analogue).
 
     ``doc_ids`` filters to the named documents BEFORE the explode (filter
     pushes to the parquet scan); ``limit`` bounds the ordered output so
-    the sort is a top-K, not a full-corpus range shuffle.
+    the sort is a top-K, not a full-corpus range shuffle. Defaults to
+    VIEW_FRAMES_DEFAULT_LIMIT with a one-time warning; pass an explicit
+    int or ``limit=None`` (full ordered dump) to silence it.
     """
+    if limit is _IMPLICIT:
+        limit = VIEW_FRAMES_DEFAULT_LIMIT
+        global _WARNED_DEFAULT_LIMIT
+        if not _WARNED_DEFAULT_LIMIT:
+            _WARNED_DEFAULT_LIMIT = True
+            import warnings
+
+            warnings.warn(
+                f"view_frames caps output at {VIEW_FRAMES_DEFAULT_LIMIT} "
+                "rows by default; pass limit=None for the full ordered "
+                "dump or an explicit limit to silence this warning",
+                stacklevel=2)
     describe = (
         f"CASE s.kind WHEN '{S.KIND_HEADER}' THEN 'frame header' "
         f"WHEN '{S.KIND_TRIG}' THEN concat('trigger ', s.text) "

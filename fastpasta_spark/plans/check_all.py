@@ -164,22 +164,63 @@ def media_ref_rows(docs: DataFrame) -> DataFrame:
     )
 
 
-def media_id_broadcast(media: DataFrame, track: bool = True):
+#: Size guard on the in-pass referential's driver collect: at most this
+#: many DISTINCT media ids are pulled to the driver for the broadcast
+#: set. 5M ids * ~60 B/string ≈ 300 MB on the driver and per executor —
+#: the upper edge of sane broadcast scale. Past it media_id_broadcast
+#: returns None and callers degrade to the columnar anti-join
+#: (_referential_branch / operators/referential.referential_violations),
+#: paying the documented ~30% second-scan cost instead of a driver OOM
+#: on a billion-id media dim. Env override: FASTPASTA_MEDIA_BC_MAX.
+MEDIA_BROADCAST_MAX = 5_000_000
+
+
+_GUARD_WARNED = False
+
+
+def _media_bc_max() -> int:
+    import os
+
+    return int(os.environ.get("FASTPASTA_MEDIA_BC_MAX", MEDIA_BROADCAST_MAX))
+
+
+def media_id_broadcast(media: DataFrame, track: bool = True,
+                       max_ids: int | None = None):
     """Collect + broadcast the media dim's id set — the fused pass's
     E110 referential input (operators/sequence.sequence_pass
-    valid_media_ids=). The media dim is broadcast-scale BY DESIGN (the
-    anti-join form wraps it in F.broadcast); pulling the id set to the
-    driver is the same commitment. The id normalization here (cast to
-    string, drop NULLs, distinct) is the single definition both
-    check_all and the streaming validator share — the E110 semantics
-    are pinned to the columnar form row-for-row, so change it HERE only.
+    valid_media_ids=), SIZE-GUARDED: the driver pull is bounded by a
+    LIMIT max_ids+1 on the distinct id domain, so a media dim larger
+    than broadcast scale returns None (never materializing more than
+    max_ids+1 rows on the driver) and the caller falls back to the
+    columnar anti-join. In the good case the probe IS the collect — no
+    extra count job. The id normalization here (cast to string, drop
+    NULLs, distinct) is the single definition check_all, run_failfast
+    and the streaming validator share — the E110 semantics are pinned
+    to the columnar form row-for-row, so change it HERE only.
 
     track=True registers the unpersist with the session cache registry;
     pass track=False when the caller releases it itself (per-epoch
     streaming batches)."""
-    bc = media.sparkSession.sparkContext.broadcast(frozenset(
-        r[0] for r in media.select(F.col("media_id").cast("string"))
-        .where(F.col("media_id").isNotNull()).distinct().collect()))
+    if max_ids is None:
+        max_ids = _media_bc_max()
+    rows = (media.select(F.col("media_id").cast("string"))
+            .where(F.col("media_id").isNotNull()).distinct()
+            .limit(max_ids + 1).collect())
+    if len(rows) > max_ids:
+        global _GUARD_WARNED
+        if not _GUARD_WARNED:  # once per process, not per epoch/slice
+            _GUARD_WARNED = True
+            import warnings
+
+            warnings.warn(
+                f"media-id domain exceeds {max_ids} distinct ids; E110 "
+                "referential degrades to the columnar anti-join (second "
+                "scan) instead of the in-pass broadcast — raise "
+                "FASTPASTA_MEDIA_BC_MAX to force the broadcast path",
+                stacklevel=2)
+        return None
+    bc = media.sparkSession.sparkContext.broadcast(
+        frozenset(r[0] for r in rows))
     if track:
         from fastpasta_spark.functions.cache import track_release
 
@@ -187,10 +228,20 @@ def media_id_broadcast(media: DataFrame, track: bool = True):
     return bc
 
 
-def _referential_branch(refs: DataFrame, media: DataFrame) -> DataFrame:
-    """Ref rows (media_ref in `message`) -> E110 violations."""
+def _referential_branch(refs: DataFrame, media: DataFrame,
+                        broadcast_dim: bool = True) -> DataFrame:
+    """Ref rows (media_ref in `message`) -> E110 violations.
+
+    broadcast_dim=False drops the F.broadcast hint (the guarded
+    fallback path: the dim already exceeded MEDIA_BROADCAST_MAX ids, so
+    forcing a broadcast would just move the OOM executor-side) — AQE
+    then picks broadcast vs shuffle hash anti-join from the dim's real
+    size at runtime (SURVEY §2.10's "shuffle hash anti-join (large)")."""
+    dim = media.select("media_id")
+    if broadcast_dim:
+        dim = F.broadcast(dim)
     dangling = refs.join(
-        F.broadcast(media.select("media_id")),
+        dim,
         refs["message"] == F.col("media_id"),
         "left_anti",
     )
@@ -214,6 +265,7 @@ def check_all(
     trigger_period: int | None = None,
     custom=None,
     media_ids_bc=None,
+    referential: str = "auto",
 ) -> CheckResult:
     """Full validation: one scan of docs, everything downstream is small.
 
@@ -235,6 +287,12 @@ def check_all(
     E9001 rows appended to the returned violation table, and
     chips_per_lane / legal_chip_orderings override the header-derived
     chip-layer expectations inside the fused pass.
+
+    referential: 'auto' (default) tries the in-pass broadcast form and
+    degrades to the columnar anti-join when the media-id domain exceeds
+    MEDIA_BROADCAST_MAX; 'columnar' skips the probe entirely (slice
+    loops that already saw the guard trip pass this so each slice does
+    not re-probe).
     """
     spark = docs.sparkSession
     # the in-pass E110 referential input: a broadcast of the media dim's
@@ -244,10 +302,14 @@ def check_all(
     # workers (BENCH/REFS_INPASS.md). media_ids_bc lets slice loops
     # (run_failfast) build it ONCE instead of one collect+broadcast per
     # slice; when built here it is owned here (CheckResult.release).
+    # media_id_broadcast is SIZE-GUARDED: past MEDIA_BROADCAST_MAX
+    # distinct ids it returns None and E110 runs as the columnar
+    # anti-join branch below instead (second scan, never a driver OOM).
     vm_bc, own_bc = media_ids_bc, False
-    if vm_bc is None and media is not None:
+    if vm_bc is None and media is not None and referential != "columnar":
         vm_bc = media_id_broadcast(media)
-        own_bc = True
+        own_bc = vm_bc is not None
+    ref_fallback = media is not None and vm_bc is None
     out = sequence_pass(
         docs, fused=True, trigger_period=trigger_period,
         chips_per_lane=custom.chips_per_lane if custom else None,
@@ -269,8 +331,15 @@ def check_all(
     # E110 referential rows arrive in violations_seq: the fused pass
     # checks refs against the broadcast media-id set in-scan (no second
     # corpus scan). _referential_branch/media_ref_rows remain the
-    # standalone columnar form (dangling_refs driver query).
+    # standalone columnar form (dangling_refs driver query) AND the
+    # guarded fallback: a media dim past MEDIA_BROADCAST_MAX ids pays
+    # the columnar second scan + AQE-picked anti-join instead of a
+    # driver-side collect (row parity between the two paths is pinned by
+    # tests/test_check_all.py).
     branches = [violations_seq, uniq_viol]
+    if ref_fallback:
+        branches.append(_referential_branch(
+            media_ref_rows(docs), media, broadcast_dim=False))
     if golden_kind_profile is not None:
         kind_counts = (
             stats.filter(F.col("name").startswith("kind_count_"))
@@ -410,8 +479,11 @@ def run_failfast(
     sliced = with_bucket(docs, n_slices)
     # one media-id collect+broadcast for ALL slices (a per-slice
     # check_all would otherwise re-collect the identical set n_slices
-    # times, serially, before each slice's pass even starts)
+    # times, serially, before each slice's pass even starts). If the
+    # size guard trips (None), every slice runs the columnar fallback —
+    # referential='columnar' stops each slice re-probing the dim.
     vm_bc = media_id_broadcast(media) if media is not None else None
+    ref_mode = "columnar" if (media is not None and vm_bc is None) else "auto"
     total = 0
     parts: list[DataFrame] = []
     done = 0
@@ -419,6 +491,7 @@ def run_failfast(
         res = check_all(
             sliced.filter(F.col(BUCKET_COL) == s).drop(BUCKET_COL),
             media, trigger_period=trigger_period, media_ids_bc=vm_bc,
+            referential=ref_mode,
         )
         # materialize this slice's (small) violations NOW, then release
         # the slice's internal caches (fused-pass output + violation

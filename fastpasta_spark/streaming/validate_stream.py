@@ -46,7 +46,11 @@ def validate_stream(
         # from the next epoch on. The E110 check itself rides the fused
         # pass in-scan (same shape as plans/check_all — no per-batch
         # second scan of the DOCS; BENCH/REFS_INPASS.md), and the
-        # epoch's broadcast is freed here, not left to the registry
+        # epoch's broadcast is freed here, not left to the registry.
+        # media_id_broadcast is SIZE-GUARDED (a live dim grows without
+        # bound and will eventually cross MEDIA_BROADCAST_MAX): on None
+        # the epoch's E110 degrades to the columnar anti-join over the
+        # micro-batch — same guard, same fallback as plans/check_all.
         vm_bc = None
         if media is not None:
             from fastpasta_spark.plans.check_all import media_id_broadcast
@@ -54,6 +58,14 @@ def validate_stream(
             vm_bc = media_id_broadcast(media, track=False)
         out = sequence_pass(batch_df, fused=True, valid_media_ids=vm_bc)
         violations, stats = split_sequence_output(out.persist())
+        if media is not None and vm_bc is None:
+            from fastpasta_spark.plans.check_all import (
+                _referential_branch,
+                media_ref_rows,
+            )
+
+            violations = violations.unionByName(_referential_branch(
+                media_ref_rows(batch_df), media, broadcast_dim=False))
         (violations.withColumn("epoch_id", F.lit(epoch_id))
          .write.mode("append").parquet(f"{out_dir}/violations"))
         (stats.withColumn("epoch_id", F.lit(epoch_id))

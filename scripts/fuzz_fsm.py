@@ -205,7 +205,40 @@ def main(n_docs: int = 30_000, seeds: tuple[int, ...] = (7, 99, 2026)) -> int:
             docs, fused=True, valid_media_ids=valid))
         ok6 = compare(f"fused + referential |valid|={len(valid)}",
                       viol_ref, expected_ref)
-        if not (ok1 and ok2 and ok3 and ok4 and ok5 and ok6):
+        # leg 7 (round 6): RANDOMIZED config — leg 5 fuzzes the data
+        # under one fixed config; this leg draws the config itself from
+        # the seed (chips_per_lane incl. None/0, random orderings of
+        # random lengths incl. duplicates and non-increasing runs, a
+        # random trigger period, and a random valid-id set — all FOUR
+        # knobs compounded in one run) so config-dependent branches are
+        # fuzzed against the pure twin under configs nobody hand-picked
+        rngc = random.Random(seed ^ 0x9005)
+        cpl7 = rngc.choice([None, 0, 1, 2, 3, 4])
+        n_ords = rngc.randint(0, 4)
+        ords7 = ([[rngc.randint(0, 9) for _ in range(rngc.randint(1, 4))]
+                  for _ in range(n_ords)] if n_ords else None)
+        tp7 = rngc.choice([None, 1, 7, 198, 3563])
+        valid7 = frozenset(r for r in sorted(set(REFS), key=str)
+                           if r and rngc.random() < 0.5)
+        expected_r7: Counter = Counter()
+        for doc_id, spans in rows:
+            tuples = (None if spans is None else
+                      [(s["kind"], s["text"], s["media_ref"], s["offset"])
+                       for s in spans])
+            for v in stateless_doc_checks(doc_id, tuples or None,
+                                          valid_media_ids=valid7):
+                expected_r7[(doc_id,) + tuple(v)] += 1
+            for v in validate_spans(tuples or [], trigger_period=tp7,
+                                    chips_per_lane=cpl7,
+                                    legal_chip_orderings=ords7):
+                expected_r7[(doc_id,) + tuple(v)] += 1
+        viol_r7, _ = split_sequence_output(sequence_pass(
+            docs, fused=True, trigger_period=tp7, chips_per_lane=cpl7,
+            legal_chip_orderings=ords7, valid_media_ids=valid7))
+        ok7 = compare(
+            f"fused + random config cpl={cpl7} ords={ords7} tp={tp7} "
+            f"|valid|={len(valid7)}", viol_r7, expected_r7)
+        if not (ok1 and ok2 and ok3 and ok4 and ok5 and ok6 and ok7):
             rc = 1
     return rc
 

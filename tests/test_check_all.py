@@ -275,3 +275,81 @@ def test_stateless_twin_e110_semantics():
     # without the set: no E110 at all (battery unchanged)
     assert all(c != S.E110_DANGLING_REF
                for _, _, c, _, _ in stateless_doc_checks("d1", spans))
+
+
+# ---- media-id broadcast size guard (the 100-TB referential fallback) ----
+
+def _viol_rows(df):
+    rows = [
+        (r.doc_id, r.span_idx, r.offset, r.check_code, r.severity, r.message)
+        for r in df.collect()
+    ]
+    return sorted(rows, key=_key)
+
+
+def test_media_bc_guard_trips_without_collecting_domain(result):
+    """Past max_ids the probe returns None — it never pulls more than
+    max_ids+1 distinct ids to the driver (LIMIT-bounded), and under the
+    cap it returns the broadcast set unchanged."""
+    from fastpasta_spark.plans.check_all import media_id_broadcast
+
+    _, media, _ = result
+    assert media_id_broadcast(media, max_ids=1) is None
+    bc = media_id_broadcast(media, max_ids=10_000_000, track=False)
+    assert bc is not None
+    assert frozenset(m.media_id for m in media.collect()) <= bc.value
+    bc.unpersist()
+
+
+def test_check_all_guarded_fallback_row_parity(result, monkeypatch):
+    """check_all under a forced-low FASTPASTA_MEDIA_BC_MAX must produce
+    the IDENTICAL violation table and metrics via the columnar anti-join
+    fallback — and the fallback plan must actually contain the anti-join
+    (no in-pass broadcast path ran)."""
+    from fastpasta_spark.plans.check_all import check_all, media_id_broadcast
+
+    docs, media, res_bc = result
+    monkeypatch.setenv("FASTPASTA_MEDIA_BC_MAX", "1")
+    assert media_id_broadcast(media, track=False) is None  # guard live
+    res_fb = check_all(docs, media)
+    try:
+        assert _viol_rows(res_fb.violations) == _viol_rows(res_bc.violations)
+        assert ({(r.name, r.value) for r in res_fb.metrics.collect()}
+                == {(r.name, r.value) for r in res_bc.metrics.collect()})
+        assert ({(r.doc_id, r.verdict) for r in res_fb.passed.collect()}
+                == {(r.doc_id, r.verdict) for r in res_bc.passed.collect()})
+        # plan pin: the fallback violations carry a LeftAnti join (the
+        # columnar branch); the broadcast-path violations carry none,
+        # and the fallback's anti-join is NOT a forced broadcast (the
+        # dim tripped the guard — AQE picks the strategy at runtime)
+        fb_plan = res_fb.violations._jdf.queryExecution().toString()
+        bc_plan = res_bc.violations._jdf.queryExecution().toString()
+        assert "LeftAnti" in fb_plan
+        assert "LeftAnti" not in bc_plan
+    finally:
+        res_fb.release()
+
+
+def test_run_failfast_guarded_parity(spark, monkeypatch):
+    """run_failfast under the tripped guard probes ONCE, then every
+    slice runs referential='columnar' — same violations as unguarded."""
+    from fastpasta_spark.plans.check_all import run_failfast
+    from fastpasta_spark.sources.synth import media_df
+
+    from pyspark.sql import functions as F
+
+    cfg = CorpusConfig(n_docs=80, corrupt_per_mille=300, dup_per_mille=40)
+    docs, media = corpus_df(spark, cfg), media_df(spark, cfg)
+    # drop one actually-referenced id from the dim so E110 must fire
+    a_ref = (docs.selectExpr("explode(spans.media_ref) AS r")
+             .where("r IS NOT NULL AND r <> ''").limit(1).collect())[0].r
+    media = media.filter(F.col("media_id") != a_ref)
+    viol_bc, done_bc, total_bc = run_failfast(
+        docs, media, max_errors=10**9, n_slices=3)
+    rows_bc = _viol_rows(viol_bc)
+    monkeypatch.setenv("FASTPASTA_MEDIA_BC_MAX", "1")
+    viol_fb, done_fb, total_fb = run_failfast(
+        docs, media, max_errors=10**9, n_slices=3)
+    assert (done_fb, total_fb) == (done_bc, total_bc)
+    assert _viol_rows(viol_fb) == rows_bc
+    assert any(r[3] == "E110" for r in rows_bc)  # referential exercised

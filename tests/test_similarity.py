@@ -365,7 +365,13 @@ def test_null_and_ragged_vectors_literal_arrow_parity(spark, monkeypatch):
             # DIVIDE_BY_ZERO on the literal path — try_divide degrades
             # it to NULL sim, and the UDF twin must match (not NaN,
             # which compares greater than any threshold in Spark)
-            (6, [0.0, 0.0, 0.0, 0.0])]
+            (6, [0.0, 0.0, 0.0, 0.0]),
+            # GENUINE NaN component (not a NULL element): the literal
+            # aggregates propagate NaN, and NaN > 0 / NaN > threshold
+            # are TRUE in Spark — without the nanvl guards this row took
+            # the all-ONES-signs bucket on the literal path (numpy: the
+            # all-zero offset bucket) and leaked past threshold filters
+            (7, [float("nan"), 1.0, 0.0, 0.0])]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     cent = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])]
     vdf = df.select("vec_id", similarity.F.col("embedding").alias("_vec"))
@@ -392,12 +398,12 @@ def test_null_and_ragged_vectors_literal_arrow_parity(spark, monkeypatch):
     a1 = dict(lit[0])
     assert a1[0] == 0 and a1[3] == 1
     assert a1[1] == 0 and a1[2] == 0 and a1[4] == 0
-    assert a1[5] == 0 and a1[6] == 0
+    assert a1[5] == 0 and a1[6] == 0 and a1[7] == 0
     bk = {}
     for vid, b in lit[2]:
         bk.setdefault(vid, set()).add(b)
     assert bk[1] == bk[2] == bk[4] == {0, 4}
-    assert bk[5] == bk[6] == {0, 4}
+    assert bk[5] == bk[6] == bk[7] == {0, 4}
 
     # the sim column (kmeans_assign's two implementations): SQL NULL —
     # not NaN — on both paths for corrupt vectors
@@ -476,3 +482,19 @@ def test_kmeans_zero_vector_does_not_poison_assignment(spark):
     # valid vectors pick the REAL centroid over the degenerate one
     d = dict(lit)
     assert d[0] == 1 and d[3] == 1
+
+
+def test_literal_cosine_nan_components_yield_null(spark):
+    """Round-5 advice: the literal COSINE_EXPR must emit SQL NULL (not
+    NaN) for vectors with genuine NaN components — try_divide only
+    NULLs a zero divisor, and NaN compares GREATER than any threshold
+    in Spark, so an unguarded NaN sim leaks past threshold filters."""
+    rows = [(0, [float("nan"), 1.0], [1.0, 0.0]),
+            (1, [1.0, 0.0], [1.0, 0.0])]
+    df = spark.createDataFrame(rows, "i long, a array<float>, b array<float>")
+    sim = similarity.F.expr(similarity.COSINE_EXPR.format(a="a", b="b"))
+    out = {r.i: r.sim for r in df.select("i", sim.alias("sim")).collect()}
+    assert out[0] is None
+    assert abs(out[1] - 1.0) < 1e-9
+    # threshold filter must NOT pass the NaN row
+    assert df.filter(sim > 0.5).count() == 1

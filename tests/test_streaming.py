@@ -120,3 +120,37 @@ def test_constraint_stream_counts_match_batch(spark, tmp_path):
     expected = {r.rule: r.violations
                 for r in violation_counts(tbl, rules).collect()}
     assert got == expected and expected["not_null_amount"] == 20
+
+
+def test_stream_referential_guarded_fallback_parity(spark, tmp_path, monkeypatch):
+    """With the media-id size guard tripped (forced-low
+    FASTPASTA_MEDIA_BC_MAX), each epoch's E110 degrades to the columnar
+    anti-join over the micro-batch — same rows as the broadcast path."""
+    from fastpasta_spark.plans.check_all import check_all, media_id_broadcast
+    from fastpasta_spark.sources.synth import media_df
+
+    docs = corpus_df(spark, CFG)
+    media = media_df(spark, CFG)
+    in_dir = str(tmp_path / "in")
+    docs.repartition(4).write.parquet(in_dir)
+
+    expected = sorted(
+        (r.doc_id, r.span_idx, r.offset, r.message)
+        for r in check_all(docs, media).violations
+        .filter("check_code = 'E110'").collect()
+    )
+    monkeypatch.setenv("FASTPASTA_MEDIA_BC_MAX", "1")
+    assert media_id_broadcast(media, track=False) is None  # guard live
+    q = validate_stream(
+        spark, in_dir,
+        out_dir=str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        media=media,
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.doc_id, r.span_idx, r.offset, r.message)
+        for r in spark.read.parquet(str(tmp_path / "out" / "violations"))
+        .filter("check_code = 'E110'").collect()
+    )
+    assert got == expected and len(got) > 0

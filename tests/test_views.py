@@ -66,3 +66,25 @@ def test_driver_view_frames_query_is_unbounded(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" not in plan
     assert "GlobalLimit" not in plan
+
+
+def test_view_frames_implicit_default_warns_once(spark):
+    """Round-5 advice: the silent 100k cap must announce itself — once
+    per process on the IMPLICIT default; explicit limit / limit=None
+    never warn."""
+    import warnings
+
+    from fastpasta_spark.operators import views
+
+    docs = corpus_df(spark, CorpusConfig(n_docs=5))
+    views._WARNED_DEFAULT_LIMIT = False
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        view_frames(docs)
+        assert any("caps output" in str(x.message) for x in w)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        view_frames(docs)                 # second implicit call: silent
+        view_frames(docs, limit=None)     # explicit: silent
+        view_frames(docs, limit=10)       # explicit: silent
+        assert not w
