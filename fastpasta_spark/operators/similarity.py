@@ -392,8 +392,8 @@ def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 10,
-    n_lists: int = 16,
-    nprobe: int = 4,
+    n_lists: int | None = None,
+    nprobe: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -404,7 +404,22 @@ def ivf_topk(
     the corpus assignment is written once as a list_id-partitioned table
     (queries then prune partitions). Recall vs cosine_topk is measured
     in tests.
+
+    n_lists/nprobe default to CORPUS-SIZED values (one count() job):
+    n_lists ~ sqrt(N) clamped to [16, 4096], nprobe = n_lists/8 floored
+    at 4 — a fixed default is wrong in both directions (16 lists
+    over-scans a 100k corpus; 64 lists starve a 200-vector one: recall
+    0.46 measured). The sqrt rule reproduces the empirically-pinned
+    sweet spot at 100k x 256 clustered (BENCH/ANN_RECALL.md: 64-128
+    lists / nprobe 8 read recall@10 0.97). Pass both explicitly to skip
+    the count.
     """
+    if n_lists is None or nprobe is None:
+        n_corpus = corpus.count()
+        if n_lists is None:
+            n_lists = min(4096, max(16, int(round(n_corpus ** 0.5))))
+        if nprobe is None:
+            nprobe = max(4, n_lists // 8)
     from pyspark.sql import Window as W
 
     # the codebook is tiny and bounded (n_lists rows) — collecting it is
@@ -593,8 +608,8 @@ def lsh_ann_topk(
     queries: DataFrame,
     dim: int,
     k: int = 10,
-    n_planes: int = 6,
-    n_tables: int = 4,
+    n_planes: int | None = None,
+    n_tables: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -605,7 +620,20 @@ def lsh_ann_topk(
     bucket-partitioned to Iceberg); each query joins its buckets only —
     candidate set shrinks ~2^n_planes/n_tables-fold vs brute force.
     Recall vs cosine_topk measured in tests.
+
+    n_planes defaults CORPUS-SIZED (one count() job): enough planes to
+    target ~100-vector buckets, clamped to [4, 16] — a fixed plane
+    count is wrong in both directions (6 planes leave 1.5k-vector
+    buckets at 100k, paying 5x wall for LESS recall than 10 planes:
+    0.88@9.7s vs 0.916@1.9s, BENCH/ANN_RECALL.md; 10 planes shatter a
+    200-vector corpus to recall 0.02). 8 tables is the measured recall
+    lever. Pass n_planes explicitly to skip the count.
     """
+    if n_planes is None:
+        import math
+
+        n_corpus = corpus.count()
+        n_planes = min(16, max(4, round(math.log2(max(n_corpus, 1) / 100 + 1))))
     from pyspark.sql import Window as W
 
     cb = with_lsh_buckets(

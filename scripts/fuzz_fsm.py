@@ -39,6 +39,14 @@ fuzzes the in-pass E110 referential check (seed-derived valid-id set,
 engine vs stateless_doc_checks(valid_media_ids=)); evidence: all six
 legs x 30,000 docs x fresh seeds (1213, 4242) -> ~2.7M rows + ~14.6k
 census counts, exact multiset parity (~4.8k E110 rows per seed).
+Round-6: a seventh leg draws the CONFIG ITSELF from the seed —
+chips_per_lane incl. None/0, random orderings with duplicates and
+non-increasing runs, random trigger period, random valid-id set, all
+four knobs compounded in one engine run. Evidence: all seven legs x
+30,000 docs x fresh seeds (606, 1717) -> ~6.3M rows + ~15k census
+counts, exact multiset parity on every leg (the drawn configs hit
+cpl=3 ords=[[7,5,7,2],[6,9,2],[7,1]] tp=7 |valid|=1 and cpl=4
+ords=[[8,9],[8,2],[7,6,9]] tp=7 |valid|=0).
 """
 
 from __future__ import annotations
