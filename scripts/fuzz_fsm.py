@@ -46,7 +46,11 @@ four knobs compounded in one engine run. Evidence: all seven legs x
 30,000 docs x fresh seeds (606, 1717) -> ~6.3M rows + ~15k census
 counts, exact multiset parity on every leg (the drawn configs hit
 cpl=3 ords=[[7,5,7,2],[6,9,2],[7,1]] tp=7 |valid|=1 and cpl=4
-ords=[[8,9],[8,2],[7,6,9]] tp=7 |valid|=0).
+ords=[[8,9],[8,2],[7,6,9]] tp=7 |valid|=0). Post-re-pin re-run on the
+final round-6 code: seeds (90210, 31415, 27183) x all seven legs ->
+~9.4M rows + ~22k census counts, exact parity everywhere, drawn
+configs covering cpl=None/0/1 and ords with singleton + duplicate-id
+orderings.
 """
 
 from __future__ import annotations
