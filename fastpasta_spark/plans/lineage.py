@@ -61,7 +61,17 @@ def record_lineage(
 ) -> str:
     """Append per-bucket lineage rows after a successful pass.
 
-    One row per bucket: (run_id, bucket, docs_seen, violations, verdict).
+    One row per bucket: (run_id, bucket, docs_seen, violations,
+    check_counts, verdict) — check_counts is a map<check_code, count>
+    mirroring the reference's per-error-type stat totals
+    (fastpasta/src/stats/stats_collector.rs:161-175) at per-unit
+    granularity, the north_rule's "per-partition lineage + metrics".
+    Bounded: one entry per distinct check code (~dozens), aggregated
+    with a (bucket, check_code) key-only shuffle before the per-bucket
+    rollup. NULL-doc_id violations (E10) are counted too: xxhash64 of a
+    NULL key is the seed constant, so those docs AND their violations
+    land deterministically in the same bucket.
+
     Append-mode parquet = the checkpoint table; a killed run simply never
     appends its rows, so its buckets re-run on resume (idempotent because
     the caller writes violations with dynamic partition-overwrite per
@@ -74,11 +84,24 @@ def record_lineage(
         .agg(F.count(F.lit(1)).alias("docs_seen"))
     )
     viol_per_bucket = (
-        violations.filter(F.col("doc_id").isNotNull())
+        violations
         .withColumn("bucket",
                     F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int"))
+        .groupBy("bucket",
+                 F.coalesce(F.col("check_code"), F.lit("UNKNOWN"))
+                 .alias("check_code"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
         .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("violations"))
+        .agg(
+            F.sum("cnt").alias("violations"),
+            # sort_array -> deterministic entry order in the stored map
+            F.map_from_entries(
+                F.sort_array(F.collect_list(F.struct("check_code", "cnt")))
+            ).alias("check_counts"),
+        )
+    )
+    empty_map = F.expr(
+        "map_from_entries(CAST(array() AS array<struct<c:string,n:bigint>>))"
     )
     lineage = (
         per_bucket.join(viol_per_bucket, "bucket", "left")
@@ -88,6 +111,7 @@ def record_lineage(
             "bucket",
             "docs_seen",
             "violations",
+            F.coalesce(F.col("check_counts"), empty_map).alias("check_counts"),
             F.lit("DONE").alias("verdict"),
         )
     )

@@ -66,6 +66,50 @@ def test_resume_produces_identical_output(spark, tmp_path):
     assert _viol_rows(out2.drop("bucket")) == expected
 
 
+def test_lineage_check_counts_reconcile(spark, tmp_path):
+    """Per-bucket check_counts (north_rule "lineage + metrics", mirroring
+    the reference's per-error-type stat totals) reconcile exactly with
+    the violation table: sum over buckets of each code's count equals
+    the global per-code counts, the per-bucket `violations` counter
+    equals the sum of its map values, and NULL-doc_id violations (E10)
+    are counted in the bucket their doc hashes to."""
+    cfg = CorpusConfig(n_docs=300, corrupt_per_mille=400, dup_per_mille=20)
+    docs = corpus_df(spark, cfg)
+    # the generator never emits a NULL doc_id — inject one so the E10 /
+    # NULL-hash-bucket attribution is exercised
+    docs = docs.unionByName(spark.createDataFrame(
+        [(None, [("content", "x", None, 0)])], docs.schema))
+    media = media_df(spark, cfg)
+    n_buckets = 16
+    ckpt = str(tmp_path / "ckpt")
+
+    res = check_all(docs, media)
+    bucketed = L.with_bucket(docs, n_buckets)
+    L.record_lineage(res.violations, bucketed, ckpt, n_buckets)
+
+    lin = spark.read.parquet(ckpt + "/lineage").collect()
+    assert len(lin) == n_buckets  # every bucket got a row
+    # per-row: counter == sum of its map values (empty map -> 0)
+    for r in lin:
+        assert r.violations == sum(r.check_counts.values())
+    # global reconciliation per check code
+    got: dict[str, int] = {}
+    for r in lin:
+        for code, n in r.check_counts.items():
+            got[code] = got.get(code, 0) + n
+    expected = {
+        r.check_code: r.cnt
+        for r in res.violations.groupBy("check_code")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert got == expected
+    # the fixture's corrupt docs include NULL doc_ids -> E10 present and
+    # attributed to the constant NULL-hash bucket alongside its docs
+    assert "E10" in got
+    res.release()
+
+
 def test_bucket_is_partition_layout_independent(spark):
     docs = corpus_df(spark, CFG)
     a = sorted(
