@@ -15,6 +15,8 @@ Training-pipeline extensions (north_rule, beyond the reference):
                          (exit 4 on drift past the thresholds)
     sample <in> -o out   deterministic hash-gate --rate or exact
                          -k per --stratum sampling of a flat table
+    lineage <ckpt>       inspect a resumable run's checkpoint: buckets
+                         done, docs validated, per-check-code totals
 
 Run via spark-submit --py-files fastpasta_spark.zip -m, or plain python
 (local mode):  python -m fastpasta_spark check all /path/docs.parquet
@@ -140,6 +142,17 @@ def main(argv: list[str] | None = None) -> int:
     smp.add_argument("--stratum", default=None,
                      help="stratum column (required with -k)")
 
+    lng = sub.add_parser(
+        "lineage", help="inspect a resumable run's checkpoint: buckets "
+                        "done, docs validated, per-check-type violation "
+                        "totals (the operational 'how far along is my "
+                        "killed run' view)")
+    lng.add_argument("checkpoint",
+                     help="dir previously passed to `check all --checkpoint`")
+    lng.add_argument("--buckets", action="store_true",
+                     help="also print the per-bucket lineage table "
+                          "(bounded: one row per resume bucket)")
+
     args = p.parse_args(argv)
 
     # flag-combination validation BEFORE any Spark work (fail fast,
@@ -181,6 +194,42 @@ def main(argv: list[str] | None = None) -> int:
         docs = _load_docs(spark, args.input)
         df = views.view_docs(docs) if args.what == "docs" else views.view_frames(docs)
         df.show(args.n, truncate=False)
+        return 0
+
+    if args.cmd == "lineage":
+        import os
+
+        from pyspark.sql import functions as F
+
+        path = os.path.join(args.checkpoint, "lineage")
+        try:
+            lin = spark.read.parquet(path)
+        except Exception:
+            raise SystemExit(
+                f"no lineage table at {path} — run `check all <docs> "
+                f"--checkpoint {args.checkpoint}` first")
+        done = lin.filter(F.col("verdict") == "DONE")
+        # every aggregate here is bounded: one row per resume bucket,
+        # one per run, one per distinct check code (~dozens)
+        totals = done.agg(
+            F.countDistinct("run_id").alias("runs"),
+            F.countDistinct("bucket").alias("buckets_done"),
+            F.sum("docs_seen").alias("docs"),
+            F.sum("violations").alias("violations"),
+        ).first()
+        print(f"runs={totals.runs} buckets_done={totals.buckets_done} "
+              f"docs_validated={totals.docs} violations={totals.violations}")
+        if "check_counts" in done.columns:  # pre-round-6 checkpoints lack it
+            by_code = (
+                done.select(F.explode("check_counts").alias("code", "n"))
+                .groupBy("code").agg(F.sum("n").alias("n"))
+                .orderBy(F.desc("n"), "code")
+            )
+            for r in by_code.collect():
+                print(f"  {r.code:<8} {r.n}")
+        if args.buckets:
+            n = done.count()
+            done.orderBy("bucket").show(n, truncate=False)
         return 0
 
     if args.cmd == "drift":

@@ -78,6 +78,26 @@ def test_resumable_via_cli(fixture_paths, capsys):
     assert "run_id=" in capsys.readouterr().out
 
 
+def test_lineage_inspect_cli(fixture_paths, capsys):
+    ckpt = str(fixture_paths / "ckpt_inspect")
+    assert main(["check", "all", str(fixture_paths / "docs"),
+                 "--media", str(fixture_paths / "media"),
+                 "--checkpoint", ckpt]) == 2
+    capsys.readouterr()
+    rc = main(["lineage", ckpt, "--buckets"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    # 153 = 150 docs + 3 dup_per_mille duplicate rows
+    assert "runs=1" in out and "docs_validated=153" in out
+    # per-code breakdown present (corrupt fixture always trips E110)
+    assert "E110" in out
+    # --buckets prints the per-bucket table
+    assert "check_counts" in out
+
+    with pytest.raises(SystemExit, match="no lineage table"):
+        main(["lineage", str(fixture_paths / "nonexistent_ckpt")])
+
+
 def test_code_filter_flag(fixture_paths, capsys):
     # -w restricts the DISPLAYED errors to the given codes (prefix
     # optional, like the reference's --show-only-errors-with-codes)
