@@ -98,6 +98,23 @@ def test_lineage_inspect_cli(fixture_paths, capsys):
         main(["lineage", str(fixture_paths / "nonexistent_ckpt")])
 
 
+def test_lineage_inspect_pre_check_counts_checkpoint(
+        spark, tmp_path, capsys):
+    """Checkpoints written before the check_counts column existed must
+    inspect cleanly (no code breakdown, no error)."""
+    ckpt = tmp_path / "old_ckpt"
+    spark.createDataFrame(
+        [("r1", 0, 10, 2, "DONE"), ("r1", 1, 12, 0, "DONE")],
+        "run_id string, bucket int, docs_seen long, violations long, "
+        "verdict string",
+    ).write.parquet(str(ckpt / "lineage"))
+    rc = main(["lineage", str(ckpt)])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "buckets_done=2" in out and "violations=2" in out
+    assert "E" not in out.split("\n")[0] and "  E" not in out
+
+
 def test_code_filter_flag(fixture_paths, capsys):
     # -w restricts the DISPLAYED errors to the given codes (prefix
     # optional, like the reference's --show-only-errors-with-codes)
