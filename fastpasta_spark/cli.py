@@ -197,39 +197,37 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "lineage":
-        import os
+        from fastpasta_spark.plans.lineage import read_lineage
 
-        from pyspark.sql import functions as F
-
-        path = os.path.join(args.checkpoint, "lineage")
-        try:
-            lin = spark.read.parquet(path)
-        except Exception:
+        lin = read_lineage(spark, args.checkpoint)
+        if lin is None:
             raise SystemExit(
-                f"no lineage table at {path} — run `check all <docs> "
-                f"--checkpoint {args.checkpoint}` first")
-        done = lin.filter(F.col("verdict") == "DONE")
-        # every aggregate here is bounded: one row per resume bucket,
-        # one per run, one per distinct check code (~dozens)
-        totals = done.agg(
-            F.countDistinct("run_id").alias("runs"),
-            F.countDistinct("bucket").alias("buckets_done"),
-            F.sum("docs_seen").alias("docs"),
-            F.sum("violations").alias("violations"),
-        ).first()
-        print(f"runs={totals.runs} buckets_done={totals.buckets_done} "
-              f"docs_validated={totals.docs} violations={totals.violations}")
-        if "check_counts" in done.columns:  # pre-round-6 checkpoints lack it
-            by_code = (
-                done.select(F.explode("check_counts").alias("code", "n"))
-                .groupBy("code").agg(F.sum("n").alias("n"))
-                .orderBy(F.desc("n"), "code")
-            )
-            for r in by_code.collect():
-                print(f"  {r.code:<8} {r.n}")
+                f"no lineage table under {args.checkpoint} — run "
+                f"`check all <docs> --checkpoint {args.checkpoint}` first")
+        # ONE job: the table is bounded (one row per resume bucket per
+        # run), so collect it and derive everything driver-side instead
+        # of re-scanning the checkpoint per aggregate
+        rows = [r for r in lin.collect() if r.verdict == "DONE"]
+        runs = {r.run_id for r in rows}
+        buckets = {r.bucket for r in rows}
+        print(f"runs={len(runs)} buckets_done={len(buckets)} "
+              f"docs_validated={sum(r.docs_seen for r in rows)} "
+              f"violations={sum(r.violations for r in rows)}")
+        codes: dict[str, int] = {}
+        for r in rows:
+            # pre-check_counts rows read as NULL under mergeSchema
+            for c, n in (getattr(r, "check_counts", None) or {}).items():
+                codes[c] = codes.get(c, 0) + n
+        for c, n in sorted(codes.items(), key=lambda kv: (-kv[1], kv[0])):
+            print(f"  {c:<8} {n}")
         if args.buckets:
-            n = done.count()
-            done.orderBy("bucket").show(n, truncate=False)
+            print(f"{'bucket':>6} {'docs_seen':>9} {'violations':>10} "
+                  f"{'run_id':<32} check_counts")
+            for r in sorted(rows, key=lambda r: (r.bucket, r.run_id)):
+                cc = getattr(r, "check_counts", None) or {}
+                cc_s = ",".join(f"{c}:{n}" for c, n in sorted(cc.items()))
+                print(f"{r.bucket:>6} {r.docs_seen:>9} {r.violations:>10} "
+                      f"{r.run_id:<32} {cc_s}")
         return 0
 
     if args.cmd == "drift":

@@ -33,12 +33,33 @@ def with_bucket(docs: DataFrame, n_buckets: int) -> DataFrame:
     )
 
 
-def completed_buckets(spark: SparkSession, checkpoint_dir: str) -> DataFrame:
-    """Buckets already validated in any prior attempt ((bucket) rows)."""
+def read_lineage(spark: SparkSession, checkpoint_dir: str) -> DataFrame | None:
+    """The checkpoint's lineage table, or None if it doesn't exist yet.
+
+    Single owner of the checkpoint layout (<dir>/lineage) for both the
+    resume logic and the CLI inspector. mergeSchema=true: a checkpoint
+    started before the check_counts column existed and resumed by newer
+    code holds mixed-schema part files — without merging, whichever
+    footer Spark samples wins and the column silently vanishes (or old
+    rows vanish from an explode). Only a genuinely-missing path maps to
+    None; a corrupt/unreadable table raises (silently treating it as
+    "nothing done" would recompute the world on a 10^12-doc run)."""
+    from pyspark.errors import AnalysisException
+
     path = os.path.join(checkpoint_dir, "lineage")
     try:
-        lin = spark.read.parquet(path)
-    except Exception:
+        return spark.read.option("mergeSchema", "true").parquet(path)
+    except AnalysisException as e:
+        if ("PATH_NOT_FOUND" in str(e)
+                or "UNABLE_TO_INFER_SCHEMA" in str(e)):
+            return None
+        raise
+
+
+def completed_buckets(spark: SparkSession, checkpoint_dir: str) -> DataFrame:
+    """Buckets already validated in any prior attempt ((bucket) rows)."""
+    lin = read_lineage(spark, checkpoint_dir)
+    if lin is None:
         return spark.createDataFrame([], "bucket int")
     return lin.filter(F.col("verdict") == "DONE").select("bucket").distinct()
 

@@ -115,6 +115,35 @@ def test_lineage_inspect_pre_check_counts_checkpoint(
     assert "E" not in out.split("\n")[0] and "  E" not in out
 
 
+def test_lineage_inspect_mixed_schema_checkpoint(spark, tmp_path, capsys):
+    """A checkpoint started pre-check_counts and RESUMED by new code
+    holds mixed-schema part files; mergeSchema must keep both the old
+    rows (NULL map -> counted, no breakdown) and the new rows' code
+    breakdown instead of letting one sampled footer win."""
+    ckpt = tmp_path / "mixed_ckpt"
+    path = str(ckpt / "lineage")
+    spark.createDataFrame(
+        [("old", 0, 10, 2, "DONE")],
+        "run_id string, bucket int, docs_seen long, violations long, "
+        "verdict string",
+    ).write.mode("append").parquet(path)
+    spark.createDataFrame(
+        [("new", 1, 5, 3, {"E70": 3}, "DONE")],
+        "run_id string, bucket int, docs_seen long, violations long, "
+        "check_counts map<string,bigint>, verdict string",
+    ).write.mode("append").parquet(path)
+    rc = main(["lineage", str(ckpt), "--buckets"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    # both files' rows survive the merged read
+    assert "buckets_done=2" in out and "docs_validated=15" in out
+    assert "violations=5" in out
+    # the new file's breakdown is present; the old row contributes none
+    assert "E70      3" in out
+    # per-bucket table shows both rows
+    assert "old" in out and "new" in out
+
+
 def test_code_filter_flag(fixture_paths, capsys):
     # -w restricts the DISPLAYED errors to the given codes (prefix
     # optional, like the reference's --show-only-errors-with-codes)
