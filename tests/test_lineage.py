@@ -2,6 +2,7 @@
 completed buckets and produces byte-identical final outputs
 (north_rule; FIXTURES.md resume_corpus)."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from fastpasta_spark.plans import lineage as L
@@ -108,6 +109,20 @@ def test_lineage_check_counts_reconcile(spark, tmp_path):
     # attributed to the constant NULL-hash bucket alongside its docs
     assert "E10" in got
     res.release()
+
+
+def test_read_lineage_missing_vs_corrupt(spark, tmp_path):
+    """Missing checkpoint -> None (fresh run); corrupt table -> raise.
+    Silently treating an unreadable lineage table as nothing-done would
+    recompute the world on a 10^12-doc run."""
+    assert L.read_lineage(spark, str(tmp_path / "never_written")) is None
+
+    bad = tmp_path / "bad_ckpt" / "lineage"
+    bad.mkdir(parents=True)
+    (bad / "part-00000.parquet").write_bytes(b"not a parquet file")
+    with pytest.raises(Exception):
+        df = L.read_lineage(spark, str(tmp_path / "bad_ckpt"))
+        df.collect()  # schema inference may be lazy; force the read
 
 
 def test_bucket_is_partition_layout_independent(spark):
