@@ -1084,6 +1084,89 @@ FROM base b LEFT JOIN agg a USING (doc_id)
 """
 
 
+_BM25_TERMS = ("dup", "hash", "window", "merge")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def _q_bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-relevance curation: per-doc BM25 against a fixed query
+    set (one rare + three common corpus terms for idf spread). Two
+    map-only passes, zero shuffles (operators/textstats.bm25_scores)."""
+    from fastpasta_spark.operators.textstats import bm25_scores
+
+    d = _read_spread(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text")
+    return bm25_scores(d, list(_BM25_TERMS), k1=_BM25_K1, b=_BM25_B)
+
+
+def _sql_bm25_score() -> str:
+    tk = duckdb_tokens("text")
+    k1, b = _BM25_K1, _BM25_B
+    dfs = ", ".join(
+        f"sum(coalesce(list_contains(t, '{q}'), false)::INT)::BIGINT AS df_{i}"
+        for i, q in enumerate(_BM25_TERMS))
+    score = " + ".join(
+        f"(CASE WHEN len(list_filter(t, x -> x = '{q}')) = 0 THEN 0.0 ELSE "
+        f"ln((st.n - st.df_{i} + 0.5) / (st.df_{i} + 0.5) + 1.0) "
+        f"* len(list_filter(t, x -> x = '{q}'))::DOUBLE * {k1 + 1.0!r} "
+        f"/ (len(list_filter(t, x -> x = '{q}'))::DOUBLE "
+        f"+ {k1!r} * ({1.0 - b!r} + {b!r} "
+        f"* coalesce(len(t), 0)::DOUBLE / st.avgdl)) END)"
+        for i, q in enumerate(_BM25_TERMS))
+    any_match = " OR ".join(
+        f"coalesce(list_contains(t, '{q}'), false)" for q in _BM25_TERMS)
+    return f"""
+WITH tk AS (SELECT doc_id, {tk} AS t FROM documents),
+st AS (SELECT count(*) AS n,
+              sum(coalesce(len(t), 0))::DOUBLE / count(*) AS avgdl,
+              {dfs}
+       FROM tk)
+SELECT tk.doc_id, coalesce(len(t), 0)::BIGINT AS n_tokens,
+       round({score}, 6) AS bm25
+FROM tk, st
+WHERE {any_match}
+"""
+
+
+_DSIR_BUCKETS = 512
+
+
+def _q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights: per-doc mean hashed-unigram
+    log-likelihood ratio of the lang='en' target slice vs the raw
+    corpus (operators/textstats.dsir_weights — one bounded-profile
+    shuffle, then a map-only scoring pass over a constant-folded
+    log-ratio table)."""
+    from fastpasta_spark.operators.textstats import dsir_weights
+
+    d = _read_spread(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text", "lang")
+    return dsir_weights(d, F.col("lang") == "en", buckets=_DSIR_BUCKETS)
+
+
+def _sql_dsir_weights() -> str:
+    tk = duckdb_tokens("text")
+    B = _DSIR_BUCKETS
+    return f"""
+WITH tk AS (SELECT doc_id, lang, {tk} AS t FROM documents),
+ex AS (SELECT doc_id, lang, unnest(t) AS token FROM tk),
+bu AS (SELECT doc_id, lang,
+              {duckdb_md5_hash('token')} % {B} AS b FROM ex),
+prof AS (SELECT b, count(*) AS c_raw,
+                coalesce(sum((lang = 'en')::INT), 0) AS c_tgt
+         FROM bu GROUP BY b),
+tot AS (SELECT sum(c_raw) AS t_raw, sum(c_tgt) AS t_tgt FROM prof),
+lr AS (SELECT b, ln((c_tgt + 1.0) / (t_tgt + {B}))
+              - ln((c_raw + 1.0) / (t_raw + {B})) AS v
+       FROM prof, tot),
+sc AS (SELECT bu.doc_id, count(*) AS n, sum(lr.v) AS s
+       FROM bu JOIN lr USING (b) GROUP BY bu.doc_id)
+SELECT d.doc_id, coalesce(sc.n, 0)::BIGINT AS n_tokens,
+       round(sc.s / sc.n, 6) AS dsir_logratio
+FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+"""
+
+
 def _q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: corpus docs sharing >= 2 distinct
     5-gram shingles with a deterministic 2% 'eval set' slice of the
@@ -2166,7 +2249,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_chi2": _q_drift_chi2,
         "drift_ks": _q_drift_ks,
         "drift_psi": _q_drift_psi,
-        "bitflag_hist": _q_bitflag_hist,
         "masked_filter": _q_masked_filter,
         "dup_content": _q_dup_content,
         "uniqueness_totals": _q_uniqueness_totals,
@@ -2177,7 +2259,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "alpide_census": _q_alpide_census,
         "golden_diff": _q_golden_diff,
         # relational coverage (§2.2, 2.6, 2.9) — survivors of the rotation
-        "source_uniformity": _q_source_uniformity,
         "asof_join": _q_asof_join,
         "trigger_period": _q_trigger_period,
         # training-data pipeline ops
@@ -2188,6 +2269,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam": _q_decontam,
         "top_tokens": _q_top_tokens,
         "unigram_lm": _q_unigram_lm,
+        "bm25_score": _q_bm25_score,
+        "dsir_weights": _q_dsir_weights,
         "dup_clusters": _q_dup_clusters,
         "curation": _q_curation,
         "segment_dedup": _q_segment_dedup,
@@ -2216,6 +2299,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_agg": _q_rollup,
         "sessionize": _q_sessionize,
         "length_hist": _q_length_hist,
+        "source_uniformity": _q_source_uniformity,
+        "bitflag_hist": _q_bitflag_hist,
     }
 
 
@@ -2256,6 +2341,8 @@ def oracle_sql() -> dict[str, str]:
         "decontam": _sql_decontam(),
         "top_tokens": _sql_top_tokens(),
         "unigram_lm": _sql_unigram_lm(),
+        "bm25_score": _sql_bm25_score(),
+        "dsir_weights": _sql_dsir_weights(),
         "dup_clusters": _sql_dup_clusters(),
         "curation": _sql_curation(),
         "segment_dedup": _sql_segment_dedup(),

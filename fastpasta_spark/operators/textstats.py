@@ -321,3 +321,164 @@ def unigram_logprob(df: DataFrame, id_col: str = "doc_id",
         F.round(F.expr(f"IF({n} = 0, CAST(NULL AS DOUBLE), {logp} / {n})"),
                 dp).alias("avg_logprob"),
     )
+
+
+def bm25_scores(df: DataFrame, query_terms: list[str],
+                id_col: str = "doc_id", text_col: str = "text",
+                k1: float = 1.2, b: float = 0.75, dp: int = 6) -> DataFrame:
+    """Per-document BM25 relevance against a fixed query-term set — the
+    keyword-relevance curation/search primitive (targeted subcorpus
+    pulls: "every doc about X"). Robertson/Lucene idf variant
+    ``ln((N - df + 0.5)/(df + 0.5) + 1)`` (always positive).
+
+    Scale shape: TWO corpus passes, ZERO shuffles. Pass 1 is a single
+    map-side tree-aggregate producing bounded artifacts only (N, total
+    token count, one df counter per query term). Pass 2 scores each row
+    with a literal-idf expression — no explode, no join, no exchange;
+    the inverted index a search engine would build is pointless when
+    the query set is known up front. Docs containing none of the terms
+    are dropped BEFORE the project (predicate on total tf), so output
+    traffic ~ matching docs only. |query| is validated small (<= 32):
+    each term adds one filter() over the token array per row.
+
+    Returns (id_col, n_tokens, bm25 rounded to ``dp``), matching docs
+    only. Empty/null text never matches. k1/b are the classic BM25
+    free parameters (tf saturation / length normalization).
+    """
+    if not query_terms:
+        raise ValueError("bm25_scores needs at least one query term")
+    if len(query_terms) > 32:
+        raise ValueError(
+            f"bm25_scores query set capped at 32 terms "
+            f"(got {len(query_terms)}): each term adds a per-row "
+            "filter() over the token array; build an inverted index "
+            "for ad-hoc many-term search instead")
+    if len(set(query_terms)) != len(query_terms):
+        raise ValueError("bm25_scores query terms must be distinct")
+    _assert_sql_safe_tokens(query_terms)
+    if not (k1 > 0 and 0 <= b <= 1):
+        raise ValueError(f"bm25 params out of range: k1={k1}, b={b}")
+
+    toks = spark_tokens(text_col)
+    stats = df.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.expr(f"coalesce(size({toks}), 0)")).alias("total_tokens"),
+        *[F.sum(F.expr(f"coalesce(array_contains({toks}, '{t}'), false)")
+                .cast("long")).alias(f"df_{i}")
+          for i, t in enumerate(query_terms)],
+    ).first()
+    n_docs = stats["n_docs"]
+    total = stats["total_tokens"] or 0
+    if n_docs == 0 or total == 0:
+        return df.select(
+            F.col(id_col),
+            F.lit(0).cast("long").alias("n_tokens"),
+            F.lit(None).cast("double").alias("bm25"),
+        ).limit(0)
+    avgdl = total / n_docs  # > 0 here; the dl/avgdl literal below is safe
+
+    import math
+
+    dl = f"cast(coalesce(size({toks}), 0) as double)"
+    terms_sql = []
+    for i, t in enumerate(query_terms):
+        idf = math.log((n_docs - stats[f"df_{i}"] + 0.5)
+                       / (stats[f"df_{i}"] + 0.5) + 1.0)
+        tf = f"cast(coalesce(size(filter({toks}, x -> x = '{t}')), 0) as double)"
+        # denominator >= k1 * (1 - b) > 0 unless b = 1; with b = 1 it is
+        # tf + k1 * dl / avgdl, still > 0 whenever tf > 0 (dl >= tf) —
+        # and tf = 0 contributes 0 via the IF, never a 0/0.
+        terms_sql.append(
+            f"IF({tf} = 0.0D, 0.0D, CAST({idf!r} AS DOUBLE) * {tf} "
+            f"* CAST({k1 + 1.0!r} AS DOUBLE) / ({tf} + CAST({k1!r} AS DOUBLE) "
+            f"* (CAST({1.0 - b!r} AS DOUBLE) + CAST({b!r} AS DOUBLE) "
+            f"* {dl} / CAST({avgdl!r} AS DOUBLE))))")
+    score = " + ".join(terms_sql)
+    any_match = " OR ".join(
+        f"coalesce(array_contains({toks}, '{t}'), false)"
+        for t in query_terms)
+    return (
+        df.filter(F.expr(any_match))
+        .select(
+            F.col(id_col),
+            F.expr(f"coalesce(size({toks}), 0)").cast("long")
+            .alias("n_tokens"),
+            F.round(F.expr(score), dp).alias("bm25"),
+        )
+    )
+
+
+def dsir_weights(df: DataFrame, target_filter, id_col: str = "doc_id",
+                 text_col: str = "text", buckets: int = 512,
+                 dp: int = 6) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every doc by
+    how much more likely its hashed-unigram profile is under a TARGET
+    distribution (``df.filter(target_filter)``) than under the raw
+    corpus, i.e. mean over tokens of
+    ``ln p_target(bucket(tok)) - ln p_raw(bucket(tok))`` with
+    Laplace-smoothed bucket probabilities. High scores = target-like
+    docs; feed into stratified/exact-k sampling for importance
+    resampling.
+
+    Scale shape: ONE profile job — explode tokens, md5-bucket
+    (functions/hashing, oracle-portable), groupBy(bucket) with map-side
+    combine, so the exchange carries at most ``buckets`` rows per map
+    partition regardless of corpus size; target and raw counts come
+    from the SAME pass via a conditional sum (the target subset is
+    never re-scanned). The collected profile is a bounded artifact
+    (<= buckets rows) folded driver-side into a CONSTANT length-
+    ``buckets`` double array literal (constant-folded once, O(1)
+    element_at per token — unlike a map literal's linear scan), then
+    scoring is a map-only second pass: no explode, no join, no shuffle.
+
+    Returns (id_col, n_tokens, dsir_logratio rounded to ``dp``) for
+    EVERY input row; empty/null text -> n_tokens 0, NULL score.
+    """
+    if buckets < 2 or buckets > 65536:
+        raise ValueError(f"buckets must be in [2, 65536], got {buckets}")
+
+    from fastpasta_spark.functions.hashing import spark_md5_hash
+
+    toks = spark_tokens(text_col)
+
+    def bucket(col: str) -> str:
+        return f"pmod({spark_md5_hash(col)}, {buckets})"
+
+    is_target = F.when(target_filter, F.lit(1)).otherwise(F.lit(0))
+    prof = (
+        df.select(F.explode(F.expr(toks)).alias("token"),
+                  is_target.alias("is_t"))
+        .select(F.expr(bucket("token")).alias("b"), "is_t")
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("c_raw"), F.sum("is_t").alias("c_tgt"))
+        .collect()
+    )
+    raw_counts = [0] * buckets
+    tgt_counts = [0] * buckets
+    for r in prof:
+        raw_counts[r["b"]] = r["c_raw"]
+        tgt_counts[r["b"]] = r["c_tgt"]
+    t_raw = sum(raw_counts)
+    t_tgt = sum(tgt_counts)
+
+    import math
+
+    lrs = [
+        math.log((tgt_counts[i] + 1.0) / (t_tgt + buckets))
+        - math.log((raw_counts[i] + 1.0) / (t_raw + buckets))
+        for i in range(buckets)
+    ]
+    arr = "array(" + ", ".join(f"CAST({v!r} AS DOUBLE)" for v in lrs) + ")"
+    # element_at is 1-based; pmod output is in [0, buckets) so the +1
+    # index can never be out of bounds (ANSI-safe).
+    tok_lr = f"element_at({arr}, cast({bucket('t')} as int) + 1)"
+    total_lr = (f"aggregate({toks}, CAST(0.0 AS DOUBLE), "
+                f"(acc, t) -> acc + {tok_lr})")
+    n = f"coalesce(size({toks}), 0)"
+    return df.select(
+        F.col(id_col),
+        F.expr(n).cast("long").alias("n_tokens"),
+        F.round(F.expr(f"IF({n} = 0, CAST(NULL AS DOUBLE), {total_lr} / {n})"),
+                dp).alias("dsir_logratio"),
+    )

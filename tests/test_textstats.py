@@ -196,3 +196,137 @@ def test_redact_patterns(spark):
     # out_col keeps the original when asked
     both = redact_patterns(df, out_col="clean").collect()
     assert all(r.text == dict(rows)[r.doc_id] for r in both)
+
+
+def _py_bm25(docs, terms, k1=1.2, b=0.75, dp=6):
+    """Pure-python BM25 twin (Robertson +1 idf), docs = [(id, text)]."""
+    import math
+
+    toks = {i: py_tokens(t) for i, t in docs}
+    n = len(docs)
+    total = sum(len(v) for v in toks.values())
+    avgdl = total / n
+    dfs = {t: sum(1 for v in toks.values() if t in v) for t in terms}
+    out = {}
+    for i, tv in toks.items():
+        if not any(t in tv for t in terms):
+            continue
+        s = 0.0
+        for t in terms:
+            tf = float(tv.count(t))
+            if tf == 0.0:
+                continue
+            idf = math.log((n - dfs[t] + 0.5) / (dfs[t] + 0.5) + 1.0)
+            s += idf * tf * (k1 + 1.0) / (
+                tf + k1 * (1.0 - b + b * len(tv) / avgdl))
+        out[i] = (len(tv), round(s, dp))
+    return out
+
+
+def test_bm25_matches_python_oracle(documents):
+    terms = ["dup", "hash", "window", "merge"]
+    got = {r.doc_id: (r.n_tokens, r.bm25)
+           for r in textstats.bm25_scores(documents, terms).collect()}
+    docs = [(r.doc_id, r.text) for r in documents.collect()]
+    assert got == _py_bm25(docs, terms)
+    assert got, "corpus should contain at least one matching doc"
+
+
+def test_bm25_null_empty_and_nonmatching_docs_are_dropped(spark):
+    df = spark.createDataFrame(
+        [(1, "hash join hash"), (2, None), (3, ""), (4, "scan only here")],
+        "doc_id long, text string")
+    got = {r.doc_id: (r.n_tokens, r.bm25)
+           for r in textstats.bm25_scores(df, ["hash", "join"]).collect()}
+    assert set(got) == {1}
+    assert got == _py_bm25([(r[0], r[1]) for r in df.collect()],
+                           ["hash", "join"])
+
+
+def test_bm25_empty_corpus_and_param_validation(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([], "doc_id long, text string")
+    out = textstats.bm25_scores(df, ["hash"])
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["doc_id", "n_tokens", "bm25"]
+    full = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    for bad_terms in ([], ["hash", "hash"], ["bad term"], ["O'Neill"],
+                      [f"t{i}" for i in range(33)]):
+        with _pytest.raises(ValueError):
+            textstats.bm25_scores(full, bad_terms)
+    with _pytest.raises(ValueError):
+        textstats.bm25_scores(full, ["x"], k1=0.0)
+    with _pytest.raises(ValueError):
+        textstats.bm25_scores(full, ["x"], b=1.5)
+
+
+def _py_dsir(docs, buckets, dp=6):
+    """Pure-python DSIR twin, docs = [(id, text, target_bool)]."""
+    import math
+
+    bmap = lambda t: py_md5_hash(t) % buckets
+    raw = [0] * buckets
+    tgt = [0] * buckets
+    toks = {}
+    for i, text, is_t in docs:
+        toks[i] = py_tokens(text)
+        for t in toks[i]:
+            raw[bmap(t)] += 1
+            if is_t:
+                tgt[bmap(t)] += 1
+    t_raw, t_tgt = sum(raw), sum(tgt)
+    lr = [math.log((tgt[j] + 1.0) / (t_tgt + buckets))
+          - math.log((raw[j] + 1.0) / (t_raw + buckets))
+          for j in range(buckets)]
+    out = {}
+    for i, text, _ in docs:
+        tv = toks[i]
+        if not tv:
+            out[i] = (0, None)
+        else:
+            out[i] = (len(tv), round(sum(lr[bmap(t)] for t in tv) / len(tv), dp))
+    return out
+
+
+def test_dsir_matches_python_oracle(documents):
+    from pyspark.sql import functions as F
+
+    got = {r.doc_id: (r.n_tokens, r.dsir_logratio)
+           for r in textstats.dsir_weights(
+               documents, F.col("lang") == "en", buckets=32).collect()}
+    docs = [(r.doc_id, r.text, r.lang == "en") for r in documents.collect()]
+    assert got == _py_dsir(docs, 32)
+    assert got, "corpus should produce weights"
+
+
+def test_dsir_null_text_null_target_and_validation(spark):
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "hash join", "en"), (2, None, None), (3, "", "de"),
+         (4, "hash hash hash", None)],
+        "doc_id long, text string, lang string")
+    got = {r.doc_id: (r.n_tokens, r.dsir_logratio)
+           for r in textstats.dsir_weights(
+               df, F.col("lang") == "en", buckets=16).collect()}
+    docs = [(r.doc_id, r.text, r.lang == "en") for r in df.collect()]
+    assert got == _py_dsir(docs, 16)
+    assert got[2] == (0, None) and got[3] == (0, None)
+    for bad in (1, 65537):
+        with _pytest.raises(ValueError):
+            textstats.dsir_weights(df, F.col("lang") == "en", buckets=bad)
+
+
+def test_dsir_logratio_table_is_constant_folded(documents):
+    """The per-bucket log-ratio table must reach the executor as ONE
+    folded literal array (O(1) element_at per token), never a
+    per-row CreateArray of `buckets` casts."""
+    from pyspark.sql import functions as F
+
+    out = textstats.dsir_weights(documents, F.col("lang") == "en", buckets=32)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "element_at([" in plan, "literal array was not constant-folded"
+    assert "element_at(array(" not in plan
