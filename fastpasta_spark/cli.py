@@ -15,6 +15,9 @@ Training-pipeline extensions (north_rule, beyond the reference):
                          (exit 4 on drift past the thresholds)
     sample <in> -o out   deterministic hash-gate --rate or exact
                          -k per --stratum sampling of a flat table
+    score <in> -o out    per-doc curation signals (quality, unigram-LM
+                         fluency, BM25 keyword relevance, DSIR
+                         importance weight) over a flat table
     lineage <ckpt>       inspect a resumable run's checkpoint: buckets
                          done, docs validated, per-check-code totals
 
@@ -142,6 +145,28 @@ def main(argv: list[str] | None = None) -> int:
     smp.add_argument("--stratum", default=None,
                      help="stratum column (required with -k)")
 
+    scr = sub.add_parser(
+        "score", help="per-doc curation scoring signals over a flat "
+                      "(doc_id, text[, lang]) table; writes doc_id + "
+                      "n_tokens + one column per requested signal "
+                      "(NULL bm25 = no query term present)")
+    scr.add_argument("input")
+    scr.add_argument("-o", "--output", required=True)
+    scr.add_argument("--signals", nargs="+", required=True,
+                     choices=["quality", "lm", "bm25", "dsir"],
+                     help="quality = heuristic [0,1] gate; lm = mean "
+                          "unigram logprob; bm25 = keyword relevance "
+                          "(needs --terms); dsir = importance weight vs "
+                          "a --target slice")
+    scr.add_argument("--terms", nargs="+", default=None, metavar="TERM",
+                     help="bm25 query terms ([a-z0-9]+, <= 32)")
+    scr.add_argument("--target", default=None, metavar="SQL",
+                     help="SQL predicate defining the dsir target "
+                          "slice, e.g. \"lang = 'en'\"")
+    scr.add_argument("--dsir-buckets", type=int, default=512)
+    scr.add_argument("--vocab-k", type=int, default=1000,
+                     help="lm model vocabulary size")
+
     lng = sub.add_parser(
         "lineage", help="inspect a resumable run's checkpoint: buckets "
                         "done, docs validated, per-check-type violation "
@@ -183,6 +208,19 @@ def main(argv: list[str] | None = None) -> int:
                     "sample_stratified API, not a CLI flag)")
             if not 0 < args.rate <= 1:
                 raise SystemExit(f"--rate must be in (0, 1], got {args.rate}")
+
+    if args.cmd == "score":
+        # fail fast pre-Spark: a requested flag must never be silently
+        # ignored, and a required one must never fail mid-job
+        sigs = list(dict.fromkeys(args.signals))
+        if "bm25" in sigs and not args.terms:
+            raise SystemExit("--signals bm25 requires --terms")
+        if args.terms and "bm25" not in sigs:
+            raise SystemExit("--terms only applies to --signals bm25")
+        if "dsir" in sigs and not args.target:
+            raise SystemExit("--signals dsir requires --target")
+        if args.target and "dsir" not in sigs:
+            raise SystemExit("--target only applies to --signals dsir")
 
     from fastpasta_spark.session import get_spark
 
@@ -301,6 +339,48 @@ def main(argv: list[str] | None = None) -> int:
             F.expr(f"exists(spans, s -> s.kind = '{args.kind}')"))
         kept.write.mode("overwrite").parquet(args.output)
         print(f"wrote {spark.read.parquet(args.output).count()} docs")
+        return 0
+
+    if args.cmd == "score":
+        from pyspark.sql import functions as F
+
+        from fastpasta_spark.operators import textstats as T
+
+        docs = spark.read.parquet(args.input)
+        if "doc_id" not in docs.columns or "text" not in docs.columns:
+            raise SystemExit(f"score needs (doc_id, text); got {docs.columns}")
+        from fastpasta_spark.functions.hashing import spark_tokens
+
+        # null text counts as 0 tokens here (token_count's raw size()
+        # yields NULL for a NULL array)
+        out = docs.select(
+            "doc_id",
+            F.expr(f"coalesce(size({spark_tokens('text')}), 0)")
+            .cast("long").alias("n_tokens"))
+        # each signal is a keyed (doc_id, score) frame off the same
+        # input; assembled with doc_id equi-joins (convenience path —
+        # library users compose the operators directly to keep a
+        # single-pass plan)
+        if "quality" in sigs:
+            out = out.join(
+                T.quality_score(docs).select("doc_id", "quality"),
+                "doc_id", "left")
+        if "lm" in sigs:
+            out = out.join(
+                T.unigram_logprob(docs, vocab_k=args.vocab_k)
+                .select("doc_id", "avg_logprob"), "doc_id", "left")
+        if "bm25" in sigs:
+            out = out.join(
+                T.bm25_scores(docs, args.terms).select("doc_id", "bm25"),
+                "doc_id", "left")
+        if "dsir" in sigs:
+            out = out.join(
+                T.dsir_weights(docs, F.expr(args.target),
+                               buckets=args.dsir_buckets)
+                .select("doc_id", "dsir_logratio"), "doc_id", "left")
+        out.write.mode("overwrite").parquet(args.output)
+        print(f"wrote {spark.read.parquet(args.output).count()} rows "
+              f"with signals: {', '.join(sigs)}")
         return 0
 
     if args.cmd == "curate":

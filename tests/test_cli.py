@@ -356,3 +356,58 @@ def test_docs_loader_rejects_flat_table(spark, tmp_path):
         main(["check", "all", str(tmp_path / "flat")])
     with pytest.raises(SystemExit, match="not a docs-model"):
         main(["drift", str(tmp_path / "flat"), str(tmp_path / "flat")])
+
+
+def test_score_cli_all_signals(spark, tmp_path, capsys):
+    docs = spark.createDataFrame(
+        [(1, "hash join hash window merge scan", "en"),
+         (2, "the quick brown fox jumps over the lazy dog", "en"),
+         (3, "scan filter only", "de"),
+         (4, None, None)],
+        "doc_id long, text string, lang string")
+    src = str(tmp_path / "flat")
+    out = str(tmp_path / "scored")
+    docs.write.parquet(src)
+    rc = main(["score", src, "-o", out,
+               "--signals", "quality", "lm", "bm25", "dsir",
+               "--terms", "hash", "merge",
+               "--target", "lang = 'en'", "--dsir-buckets", "16"])
+    assert rc == 0
+    assert "quality, lm, bm25, dsir" in capsys.readouterr().out
+    got = {r.doc_id: r.asDict() for r in spark.read.parquet(out).collect()}
+    assert set(got) == {1, 2, 3, 4}
+    assert set(got[1]) == {"doc_id", "n_tokens", "quality", "avg_logprob",
+                           "bm25", "dsir_logratio"}
+    # doc 1 matches both terms; docs 2/3 match none -> NULL bm25
+    assert got[1]["bm25"] is not None
+    assert got[2]["bm25"] is None and got[3]["bm25"] is None
+    # null text: 0 tokens, NULL lm/dsir, quality 0
+    assert got[4]["n_tokens"] == 0 and got[4]["avg_logprob"] is None
+    assert got[4]["dsir_logratio"] is None and got[4]["quality"] == 0.0
+    # oracle spot-check against the operator twins already pytest-pinned
+    from fastpasta_spark.operators.textstats import bm25_scores
+
+    direct = {r.doc_id: r.bm25
+              for r in bm25_scores(docs, ["hash", "merge"]).collect()}
+    assert got[1]["bm25"] == direct[1]
+
+
+def test_score_cli_flag_validation(spark, tmp_path):
+    src = str(tmp_path / "flat2")
+    spark.createDataFrame([(1, "x")], "doc_id long, text string") \
+        .write.parquet(src)
+    with pytest.raises(SystemExit, match="bm25 requires --terms"):
+        main(["score", src, "-o", "/tmp/x", "--signals", "bm25"])
+    with pytest.raises(SystemExit, match="only applies to --signals bm25"):
+        main(["score", src, "-o", "/tmp/x", "--signals", "quality",
+              "--terms", "hash"])
+    with pytest.raises(SystemExit, match="dsir requires --target"):
+        main(["score", src, "-o", "/tmp/x", "--signals", "dsir"])
+    with pytest.raises(SystemExit, match="only applies to --signals dsir"):
+        main(["score", src, "-o", "/tmp/x", "--signals", "quality",
+              "--target", "lang = 'en'"])
+    # missing required columns fails fast
+    flat = str(tmp_path / "noid")
+    spark.createDataFrame([("x",)], "text string").write.parquet(flat)
+    with pytest.raises(SystemExit, match="score needs"):
+        main(["score", flat, "-o", "/tmp/x", "--signals", "quality"])
