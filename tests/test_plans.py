@@ -307,3 +307,31 @@ def test_semantic_dup_hot_cluster_drop_is_broadcast_anti(spark):
     assert re.search(r"Broadcast.*Join.*LeftAnti", plan) or \
         ("LeftAnti" in plan and "Broadcast" in plan)
     release_tracked()
+
+
+def test_bm25_scoring_is_map_only(spark):
+    from fastpasta_spark.operators.textstats import bm25_scores
+
+    df = spark.createDataFrame(
+        [(1, "hash join"), (2, "scan scan")], "doc_id long, text string")
+    plan = (bm25_scores(df, ["hash", "scan"])
+            ._jdf.queryExecution().executedPlan().toString())
+    # pass 1 (N/avgdl/df stats) is a separate tree-agg job; the
+    # returned SCORING dataframe is filter + project — zero exchanges
+    assert "Exchange" not in plan
+
+
+def test_dsir_scoring_is_map_only(spark):
+    from pyspark.sql import functions as F
+
+    from fastpasta_spark.operators.textstats import dsir_weights
+
+    df = spark.createDataFrame(
+        [(1, "hash join", "en"), (2, "scan", "de")],
+        "doc_id long, text string, lang string")
+    plan = (dsir_weights(df, F.col("lang") == "en", buckets=8)
+            ._jdf.queryExecution().executedPlan().toString())
+    # the bounded bucket-profile groupBy is a separate job; the
+    # returned SCORING dataframe is a pure projection over the
+    # constant-folded log-ratio array — zero exchanges
+    assert "Exchange" not in plan
