@@ -163,9 +163,10 @@ def main(argv: list[str] | None = None) -> int:
     scr.add_argument("--target", default=None, metavar="SQL",
                      help="SQL predicate defining the dsir target "
                           "slice, e.g. \"lang = 'en'\"")
-    scr.add_argument("--dsir-buckets", type=int, default=512)
-    scr.add_argument("--vocab-k", type=int, default=1000,
-                     help="lm model vocabulary size")
+    scr.add_argument("--dsir-buckets", type=int, default=None,
+                     help="dsir hash buckets (default 512)")
+    scr.add_argument("--vocab-k", type=int, default=None,
+                     help="lm model vocabulary size (default 1000)")
 
     lng = sub.add_parser(
         "lineage", help="inspect a resumable run's checkpoint: buckets "
@@ -211,7 +212,13 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd == "score":
         # fail fast pre-Spark: a requested flag must never be silently
-        # ignored, and a required one must never fail mid-job
+        # ignored, and a required one must never fail mid-job (these
+        # imports load no JVM — Spark starts at get_spark below)
+        from fastpasta_spark.operators.textstats import (
+            validate_bm25_query,
+            validate_dsir_buckets,
+        )
+
         sigs = list(dict.fromkeys(args.signals))
         if "bm25" in sigs and not args.terms:
             raise SystemExit("--signals bm25 requires --terms")
@@ -221,6 +228,19 @@ def main(argv: list[str] | None = None) -> int:
             raise SystemExit("--signals dsir requires --target")
         if args.target and "dsir" not in sigs:
             raise SystemExit("--target only applies to --signals dsir")
+        if args.dsir_buckets is not None and "dsir" not in sigs:
+            raise SystemExit("--dsir-buckets only applies to --signals dsir")
+        if args.vocab_k is not None and "lm" not in sigs:
+            raise SystemExit("--vocab-k only applies to --signals lm")
+        try:
+            if args.terms:
+                validate_bm25_query(args.terms)
+            validate_dsir_buckets(args.dsir_buckets
+                                  if args.dsir_buckets is not None else 512)
+            if args.vocab_k is not None and args.vocab_k < 1:
+                raise ValueError(f"--vocab-k must be >= 1, got {args.vocab_k}")
+        except ValueError as e:
+            raise SystemExit(str(e)) from None
 
     from fastpasta_spark.session import get_spark
 
@@ -351,33 +371,31 @@ def main(argv: list[str] | None = None) -> int:
             raise SystemExit(f"score needs (doc_id, text); got {docs.columns}")
         from fastpasta_spark.functions.hashing import spark_tokens
 
-        # null text counts as 0 tokens here (token_count's raw size()
-        # yields NULL for a NULL array)
-        out = docs.select(
+        # chain the operators' append modes: every signal is appended
+        # as a column on the SAME rows — one scan, zero joins, so
+        # duplicate or NULL doc_ids score row-wise instead of fanning
+        # out / dropping through an equi-join (the stats/profile jobs
+        # each operator runs stay bounded-artifact collects)
+        out = docs
+        if "quality" in sigs:
+            out = T.quality_score(out)
+        if "lm" in sigs:
+            out = T.unigram_logprob(
+                out, vocab_k=args.vocab_k or 1000, append=True)
+        if "bm25" in sigs:
+            out = T.bm25_scores(out, args.terms, append=True)
+        if "dsir" in sigs:
+            out = T.dsir_weights(out, F.expr(args.target),
+                                 buckets=args.dsir_buckets or 512,
+                                 append=True)
+        sig_cols = {"quality": "quality", "lm": "avg_logprob",
+                    "bm25": "bm25", "dsir": "dsir_logratio"}
+        # null text counts as 0 tokens (raw size() of a NULL array is NULL)
+        out = out.select(
             "doc_id",
             F.expr(f"coalesce(size({spark_tokens('text')}), 0)")
-            .cast("long").alias("n_tokens"))
-        # each signal is a keyed (doc_id, score) frame off the same
-        # input; assembled with doc_id equi-joins (convenience path —
-        # library users compose the operators directly to keep a
-        # single-pass plan)
-        if "quality" in sigs:
-            out = out.join(
-                T.quality_score(docs).select("doc_id", "quality"),
-                "doc_id", "left")
-        if "lm" in sigs:
-            out = out.join(
-                T.unigram_logprob(docs, vocab_k=args.vocab_k)
-                .select("doc_id", "avg_logprob"), "doc_id", "left")
-        if "bm25" in sigs:
-            out = out.join(
-                T.bm25_scores(docs, args.terms).select("doc_id", "bm25"),
-                "doc_id", "left")
-        if "dsir" in sigs:
-            out = out.join(
-                T.dsir_weights(docs, F.expr(args.target),
-                               buckets=args.dsir_buckets)
-                .select("doc_id", "dsir_logratio"), "doc_id", "left")
+            .cast("long").alias("n_tokens"),
+            *[sig_cols[s] for s in sig_cols if s in sigs])
         out.write.mode("overwrite").parquet(args.output)
         print(f"wrote {spark.read.parquet(args.output).count()} rows "
               f"with signals: {', '.join(sigs)}")

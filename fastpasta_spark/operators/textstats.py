@@ -273,7 +273,7 @@ def _assert_sql_safe_tokens(vocab) -> None:
 
 def unigram_logprob(df: DataFrame, id_col: str = "doc_id",
                     text_col: str = "text", vocab_k: int = 2000,
-                    dp: int = 4) -> DataFrame:
+                    dp: int = 4, append: bool = False) -> DataFrame:
     """Per-document mean unigram log-probability under the corpus's own
     unigram model — the LM-fluency curation signal (the unigram analogue
     of KenLM perplexity filtering): gibberish and OOV-dense documents
@@ -315,36 +315,21 @@ def unigram_logprob(df: DataFrame, id_col: str = "doc_id",
             f"acc + ln(coalesce(element_at({pmap}, t), "
             f"CAST({floor!r} AS DOUBLE))))")
     n = f"coalesce(size({toks}), 0)"  # null text -> 0 tokens, not NULL
+    score = F.round(
+        F.expr(f"IF({n} = 0, CAST(NULL AS DOUBLE), {logp} / {n})"), dp)
+    if append:
+        return df.withColumn("avg_logprob", score)
     return df.select(
         F.col(id_col),
         F.expr(n).cast("long").alias("n_tokens"),
-        F.round(F.expr(f"IF({n} = 0, CAST(NULL AS DOUBLE), {logp} / {n})"),
-                dp).alias("avg_logprob"),
+        score.alias("avg_logprob"),
     )
 
 
-def bm25_scores(df: DataFrame, query_terms: list[str],
-                id_col: str = "doc_id", text_col: str = "text",
-                k1: float = 1.2, b: float = 0.75, dp: int = 6) -> DataFrame:
-    """Per-document BM25 relevance against a fixed query-term set — the
-    keyword-relevance curation/search primitive (targeted subcorpus
-    pulls: "every doc about X"). Robertson/Lucene idf variant
-    ``ln((N - df + 0.5)/(df + 0.5) + 1)`` (always positive).
-
-    Scale shape: TWO corpus passes, ZERO shuffles. Pass 1 is a single
-    map-side tree-aggregate producing bounded artifacts only (N, total
-    token count, one df counter per query term). Pass 2 scores each row
-    with a literal-idf expression — no explode, no join, no exchange;
-    the inverted index a search engine would build is pointless when
-    the query set is known up front. Docs containing none of the terms
-    are dropped BEFORE the project (predicate on total tf), so output
-    traffic ~ matching docs only. |query| is validated small (<= 32):
-    each term adds one filter() over the token array per row.
-
-    Returns (id_col, n_tokens, bm25 rounded to ``dp``), matching docs
-    only. Empty/null text never matches. k1/b are the classic BM25
-    free parameters (tf saturation / length normalization).
-    """
+def validate_bm25_query(query_terms: list[str], k1: float = 1.2,
+                        b: float = 0.75) -> None:
+    """Pure-python parameter validation shared by bm25_scores and the
+    CLI's pre-Spark flag check (fail before the JVM starts)."""
     if not query_terms:
         raise ValueError("bm25_scores needs at least one query term")
     if len(query_terms) > 32:
@@ -359,17 +344,59 @@ def bm25_scores(df: DataFrame, query_terms: list[str],
     if not (k1 > 0 and 0 <= b <= 1):
         raise ValueError(f"bm25 params out of range: k1={k1}, b={b}")
 
+
+def bm25_scores(df: DataFrame, query_terms: list[str],
+                id_col: str = "doc_id", text_col: str = "text",
+                k1: float = 1.2, b: float = 0.75, dp: int = 6,
+                append: bool = False) -> DataFrame:
+    """Per-document BM25 relevance against a fixed query-term set — the
+    keyword-relevance curation/search primitive (targeted subcorpus
+    pulls: "every doc about X"). Robertson/Lucene idf variant
+    ``ln((N - df + 0.5)/(df + 0.5) + 1)`` (always positive).
+
+    Scale shape: TWO corpus passes, no data-sized exchange. Pass 1
+    reduces each row to a tiny struct (dl + one 0/1 flag per term) and
+    aggregates it globally — the partial/final split exchanges ONE
+    bounded row per partition (N, total tokens, per-term df). Pass 2
+    scores each row with a literal-idf expression — no explode, no
+    join, zero exchanges (plan-pinned); the inverted index a search
+    engine would build is pointless when the query set is known up
+    front. Both passes bind the token array ONCE per row via the
+    1-element-aggregate let-binding (see with_textstats: codegen does
+    NOT subexpression-eliminate lambda-bearing subtrees, so naive
+    per-term expressions re-tokenize |terms|+1 times).
+
+    Default output: (id_col, n_tokens, bm25 rounded to ``dp``),
+    matching docs only — the always-positive idf makes score > 0
+    equivalent to "contains a query term", so non-matching docs are
+    dropped by the score predicate with no extra tokenization.
+    With ``append=True``: every input row and column is kept and one
+    ``bm25`` column is added (NULL = no query term present).
+    Empty/null text never matches. k1/b are the classic BM25 free
+    parameters (tf saturation / length normalization).
+    """
+    validate_bm25_query(query_terms, k1, b)
+
     toks = spark_tokens(text_col)
-    stats = df.agg(
+    flags = ", ".join(
+        f"'c{i}', IF(coalesce(array_contains(toks, '{t}'), false), 1L, 0L)"
+        for i, t in enumerate(query_terms))
+    zero1 = ("named_struct('dl', 0L, " + ", ".join(
+        f"'c{i}', 0L" for i in range(len(query_terms))) + ")")
+    row1 = (f"aggregate(array({toks}), {zero1}, (acc, toks) -> "
+            f"named_struct('dl', cast(coalesce(size(toks), 0) as long), "
+            f"{flags}))")
+    stats = df.select(F.expr(row1).alias("s")).agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.expr(f"coalesce(size({toks}), 0)")).alias("total_tokens"),
-        *[F.sum(F.expr(f"coalesce(array_contains({toks}, '{t}'), false)")
-                .cast("long")).alias(f"df_{i}")
-          for i, t in enumerate(query_terms)],
+        F.sum("s.dl").alias("total_tokens"),
+        *[F.sum(f"s.c{i}").alias(f"df_{i}")
+          for i in range(len(query_terms))],
     ).first()
     n_docs = stats["n_docs"]
     total = stats["total_tokens"] or 0
     if n_docs == 0 or total == 0:
+        if append:
+            return df.withColumn("bm25", F.lit(None).cast("double"))
         return df.select(
             F.col(id_col),
             F.lit(0).cast("long").alias("n_tokens"),
@@ -379,12 +406,12 @@ def bm25_scores(df: DataFrame, query_terms: list[str],
 
     import math
 
-    dl = f"cast(coalesce(size({toks}), 0) as double)"
+    dl = "cast(coalesce(size(toks), 0) as double)"
     terms_sql = []
     for i, t in enumerate(query_terms):
         idf = math.log((n_docs - stats[f"df_{i}"] + 0.5)
                        / (stats[f"df_{i}"] + 0.5) + 1.0)
-        tf = f"cast(coalesce(size(filter({toks}, x -> x = '{t}')), 0) as double)"
+        tf = f"cast(coalesce(size(filter(toks, x -> x = '{t}')), 0) as double)"
         # denominator >= k1 * (1 - b) > 0 unless b = 1; with b = 1 it is
         # tf + k1 * dl / avgdl, still > 0 whenever tf > 0 (dl >= tf) —
         # and tf = 0 contributes 0 via the IF, never a 0/0.
@@ -393,24 +420,40 @@ def bm25_scores(df: DataFrame, query_terms: list[str],
             f"* CAST({k1 + 1.0!r} AS DOUBLE) / ({tf} + CAST({k1!r} AS DOUBLE) "
             f"* (CAST({1.0 - b!r} AS DOUBLE) + CAST({b!r} AS DOUBLE) "
             f"* {dl} / CAST({avgdl!r} AS DOUBLE))))")
-    score = " + ".join(terms_sql)
-    any_match = " OR ".join(
-        f"coalesce(array_contains({toks}, '{t}'), false)"
-        for t in query_terms)
+    zero2 = "named_struct('n', 0L, 'score', CAST(0.0 AS DOUBLE))"
+    row2 = (f"aggregate(array({toks}), {zero2}, (acc, toks) -> "
+            f"named_struct('n', cast(coalesce(size(toks), 0) as long), "
+            f"'score', {' + '.join(terms_sql)}))")
+    if append:
+        return (
+            df.withColumn("_bm", F.expr(row2))
+            .withColumn("bm25", F.expr(
+                f"IF(_bm.score > 0.0D, round(_bm.score, {dp}), "
+                "CAST(NULL AS DOUBLE))"))
+            .drop("_bm")
+        )
     return (
-        df.filter(F.expr(any_match))
+        df.select(F.col(id_col), F.expr(row2).alias("_bm"))
+        # score > 0 <=> at least one query term present (idf > 0 always)
+        .filter(F.col("_bm.score") > 0.0)
         .select(
             F.col(id_col),
-            F.expr(f"coalesce(size({toks}), 0)").cast("long")
-            .alias("n_tokens"),
-            F.round(F.expr(score), dp).alias("bm25"),
+            F.col("_bm.n").alias("n_tokens"),
+            F.round(F.col("_bm.score"), dp).alias("bm25"),
         )
     )
 
 
+def validate_dsir_buckets(buckets: int) -> None:
+    """Pure-python parameter validation shared by dsir_weights and the
+    CLI's pre-Spark flag check."""
+    if buckets < 2 or buckets > 65536:
+        raise ValueError(f"buckets must be in [2, 65536], got {buckets}")
+
+
 def dsir_weights(df: DataFrame, target_filter, id_col: str = "doc_id",
                  text_col: str = "text", buckets: int = 512,
-                 dp: int = 6) -> DataFrame:
+                 dp: int = 6, append: bool = False) -> DataFrame:
     """DSIR-style importance weights (Xie et al. 2023, "Data Selection
     for Language Models via Importance Resampling"): score every doc by
     how much more likely its hashed-unigram profile is under a TARGET
@@ -433,10 +476,11 @@ def dsir_weights(df: DataFrame, target_filter, id_col: str = "doc_id",
     scoring is a map-only second pass: no explode, no join, no shuffle.
 
     Returns (id_col, n_tokens, dsir_logratio rounded to ``dp``) for
-    EVERY input row; empty/null text -> n_tokens 0, NULL score.
+    EVERY input row; empty/null text -> n_tokens 0, NULL score. With
+    ``append=True`` all input columns are kept and only a
+    ``dsir_logratio`` column is added.
     """
-    if buckets < 2 or buckets > 65536:
-        raise ValueError(f"buckets must be in [2, 65536], got {buckets}")
+    validate_dsir_buckets(buckets)
 
     from fastpasta_spark.functions.hashing import spark_md5_hash
 
@@ -473,12 +517,26 @@ def dsir_weights(df: DataFrame, target_filter, id_col: str = "doc_id",
     # element_at is 1-based; pmod output is in [0, buckets) so the +1
     # index can never be out of bounds (ANSI-safe).
     tok_lr = f"element_at({arr}, cast({bucket('t')} as int) + 1)"
-    total_lr = (f"aggregate({toks}, CAST(0.0 AS DOUBLE), "
-                f"(acc, t) -> acc + {tok_lr})")
-    n = f"coalesce(size({toks}), 0)"
-    return df.select(
-        F.col(id_col),
-        F.expr(n).cast("long").alias("n_tokens"),
-        F.round(F.expr(f"IF({n} = 0, CAST(NULL AS DOUBLE), {total_lr} / {n})"),
-                dp).alias("dsir_logratio"),
+    # bind the token array once per row (1-element-aggregate let-binding,
+    # see with_textstats) instead of tokenizing for n and again for the sum
+    zero = "named_struct('n', 0L, 's', CAST(0.0 AS DOUBLE))"
+    row = (f"aggregate(array({toks}), {zero}, (acc, toks) -> "
+           f"named_struct('n', cast(coalesce(size(toks), 0) as long), "
+           f"'s', aggregate(toks, CAST(0.0 AS DOUBLE), "
+           f"(acc2, t) -> acc2 + {tok_lr})))")
+    score = (f"IF(_ds.n = 0, CAST(NULL AS DOUBLE), "
+             f"round(_ds.s / _ds.n, {dp}))")
+    if append:
+        return (
+            df.withColumn("_ds", F.expr(row))
+            .withColumn("dsir_logratio", F.expr(score))
+            .drop("_ds")
+        )
+    return (
+        df.select(F.col(id_col), F.expr(row).alias("_ds"))
+        .select(
+            F.col(id_col),
+            F.col("_ds.n").alias("n_tokens"),
+            F.expr(score).alias("dsir_logratio"),
+        )
     )

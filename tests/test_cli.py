@@ -411,3 +411,55 @@ def test_score_cli_flag_validation(spark, tmp_path):
     spark.createDataFrame([("x",)], "text string").write.parquet(flat)
     with pytest.raises(SystemExit, match="score needs"):
         main(["score", flat, "-o", "/tmp/x", "--signals", "quality"])
+
+
+def test_score_cli_no_join_semantics(spark, tmp_path, capsys):
+    """Signals are appended row-wise in one pass — duplicate and NULL
+    doc_ids must neither fan out (equi-join multiplication) nor lose
+    their computable signals (NULL != NULL join key)."""
+    docs = spark.createDataFrame(
+        [(7, "hash join hash", "en"), (7, "scan only", "de"),
+         (None, "the quick brown fox jumps over it", "en")],
+        "doc_id long, text string, lang string")
+    src = str(tmp_path / "dups")
+    out = str(tmp_path / "dups_scored")
+    docs.write.parquet(src)
+    rc = main(["score", src, "-o", out,
+               "--signals", "quality", "lm", "bm25", "dsir",
+               "--terms", "hash", "--target", "lang = 'en'",
+               "--dsir-buckets", "16"])
+    assert rc == 0
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 3  # no fan-out
+    null_row = [r for r in rows if r.doc_id is None][0]
+    assert null_row.quality is not None and null_row.avg_logprob is not None
+    assert null_row.dsir_logratio is not None
+    sevens = sorted((r for r in rows if r.doc_id == 7),
+                    key=lambda r: r.n_tokens)
+    assert sevens[0].bm25 is None      # "scan only": no term
+    assert sevens[1].bm25 is not None  # "hash join hash"
+
+
+def test_score_cli_pre_spark_validation(spark, tmp_path):
+    src = str(tmp_path / "flat3")
+    spark.createDataFrame([(1, "x")], "doc_id long, text string") \
+        .write.parquet(src)
+    with pytest.raises(SystemExit, match="only applies to --signals dsir"):
+        main(["score", src, "-o", "/tmp/x", "--signals", "quality",
+              "--dsir-buckets", "64"])
+    with pytest.raises(SystemExit, match="only applies to --signals lm"):
+        main(["score", src, "-o", "/tmp/x", "--signals", "quality",
+              "--vocab-k", "50"])
+    # operator-level constraints surface pre-Spark as clean exits
+    with pytest.raises(SystemExit, match="must be distinct"):
+        main(["score", src, "-o", "/tmp/x", "--signals", "bm25",
+              "--terms", "hash", "hash"])
+    with pytest.raises(SystemExit, match="SQL-literal"):
+        main(["score", src, "-o", "/tmp/x", "--signals", "bm25",
+              "--terms", "O'Neill"])
+    with pytest.raises(SystemExit, match=r"buckets must be in"):
+        main(["score", src, "-o", "/tmp/x", "--signals", "dsir",
+              "--target", "lang = 'en'", "--dsir-buckets", "1"])
+    with pytest.raises(SystemExit, match="vocab-k"):
+        main(["score", src, "-o", "/tmp/x", "--signals", "lm",
+              "--vocab-k", "0"])

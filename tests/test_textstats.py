@@ -330,3 +330,35 @@ def test_dsir_logratio_table_is_constant_folded(documents):
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert "element_at([" in plan, "literal array was not constant-folded"
     assert "element_at(array(" not in plan
+
+
+def test_bm25_and_dsir_append_mode(spark):
+    """append=True keeps every row and column, adding only the score
+    column (NULL bm25 = no term; the projection mode's values match)."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "hash join hash", "en"), (2, None, None),
+         (3, "scan only", "de")],
+        "doc_id long, text string, lang string")
+    a = {r.doc_id: r for r in textstats.bm25_scores(
+        df, ["hash"], append=True).collect()}
+    assert set(a) == {1, 2, 3}
+    assert set(a[1].asDict()) == {"doc_id", "text", "lang", "bm25"}
+    proj = {r.doc_id: r.bm25
+            for r in textstats.bm25_scores(df, ["hash"]).collect()}
+    assert a[1].bm25 == proj[1] and a[2].bm25 is None and a[3].bm25 is None
+
+    d = {r.doc_id: r for r in textstats.dsir_weights(
+        df, F.col("lang") == "en", buckets=16, append=True).collect()}
+    assert set(d[1].asDict()) == {"doc_id", "text", "lang", "dsir_logratio"}
+    dproj = {r.doc_id: r.dsir_logratio for r in textstats.dsir_weights(
+        df, F.col("lang") == "en", buckets=16).collect()}
+    assert all(d[i].dsir_logratio == dproj[i] for i in (1, 2, 3))
+
+    u = {r.doc_id: r for r in textstats.unigram_logprob(
+        df, vocab_k=5, append=True).collect()}
+    assert set(u[1].asDict()) == {"doc_id", "text", "lang", "avg_logprob"}
+    uproj = {r.doc_id: r.avg_logprob
+             for r in textstats.unigram_logprob(df, vocab_k=5).collect()}
+    assert all(u[i].avg_logprob == uproj[i] for i in (1, 2, 3))
