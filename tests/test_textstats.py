@@ -362,3 +362,46 @@ def test_bm25_and_dsir_append_mode(spark):
     uproj = {r.doc_id: r.avg_logprob
              for r in textstats.unigram_logprob(df, vocab_k=5).collect()}
     assert all(u[i].avg_logprob == uproj[i] for i in (1, 2, 3))
+
+
+def test_bm25_and_dsir_property_match_twins(spark):
+    """Property: for random small corpora (hostile token mixes, null/
+    empty text, all-target / no-target splits), both scoring operators
+    equal their pure-python twins exactly."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from pyspark.sql import functions as F
+
+    token = st.sampled_from(["hash", "join", "scan", "a", "x9", "dup"])
+    text = st.one_of(
+        st.none(),
+        st.just(""),
+        st.lists(token, min_size=1, max_size=12).map(" ".join),
+        # separators/case the tokenizer must fold identically
+        st.lists(token, min_size=1, max_size=6).map(
+            lambda ts: "  ".join(t.upper() for t in ts) + "!!"),
+    )
+
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(
+        texts=st.lists(text, min_size=1, max_size=12),
+        langs=st.lists(st.sampled_from(["en", "de", None]),
+                       min_size=12, max_size=12),
+        terms=st.sets(token, min_size=1, max_size=3).map(sorted),
+        buckets=st.sampled_from([2, 8, 32]),
+    )
+    def check(texts, langs, terms, buckets):
+        rows = [(i, t, langs[i]) for i, t in enumerate(texts)]
+        df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+        got_b = {r.doc_id: (r.n_tokens, r.bm25)
+                 for r in textstats.bm25_scores(df, list(terms)).collect()}
+        assert got_b == _py_bm25([(i, t) for i, t, _ in rows], list(terms))
+        got_d = {r.doc_id: (r.n_tokens, r.dsir_logratio)
+                 for r in textstats.dsir_weights(
+                     df, F.col("lang") == "en", buckets=buckets).collect()}
+        assert got_d == _py_dsir(
+            [(i, t, lg == "en") for i, t, lg in rows], buckets)
+
+    check()
