@@ -1628,6 +1628,48 @@ GROUP BY k.doc_id
 """
 
 
+_DUP_SPAN_N = 20
+
+
+def _q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplicate spans (Lee et al. 2022 granularity):
+    maximal token spans whose every 20-token window repeats in the
+    corpus — the dedup level whole-doc and segment dedup both miss
+    (operators/dedup.dup_spans: hashed positional shingles, count
+    filter, per-doc gaps-and-islands merge; no pair join anywhere)."""
+    from fastpasta_spark.operators.dedup import dup_spans
+
+    d = _read_spread(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text")
+    return dup_spans(d, n=_DUP_SPAN_N)
+
+
+def _sql_dup_spans() -> str:
+    tk = duckdb_tokens("text")
+    N = _DUP_SPAN_N
+    return f"""
+WITH tk AS (SELECT doc_id, {tk} AS t FROM documents),
+pos AS (SELECT doc_id, t, unnest(generate_series(0, len(t) - {N})) AS i
+        FROM tk WHERE coalesce(len(t), 0) >= {N}),
+sh AS (SELECT doc_id, i,
+       {duckdb_md5_hash(f"array_to_string(list_slice(t, i + 1, i + {N}), ' ')")} AS h
+       FROM pos),
+dupk AS (SELECT h FROM sh GROUP BY h HAVING count(*) >= 2),
+d AS (SELECT sh.doc_id, sh.i FROM sh JOIN dupk USING (h)),
+flg AS (SELECT doc_id, i,
+        CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) <= {N}
+             THEN 0 ELSE 1 END AS new_island
+        FROM d),
+isl AS (SELECT doc_id, i,
+        sum(new_island) OVER (PARTITION BY doc_id ORDER BY i) AS island
+        FROM flg)
+SELECT doc_id, min(i)::BIGINT AS span_start,
+       (max(i) + {N} - 1)::BIGINT AS span_end,
+       count(*)::BIGINT AS n_shingles
+FROM isl GROUP BY doc_id, island
+"""
+
+
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprints (32-bit, portable hash family)."""
     from fastpasta_spark.operators.dedup import simhash
@@ -2274,6 +2316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_clusters": _q_dup_clusters,
         "curation": _q_curation,
         "segment_dedup": _q_segment_dedup,
+        "dup_spans": _q_dup_spans,
         "text_patterns": _q_text_patterns,
         "redact": _q_redact,
         "stratified_sample": _q_stratified_sample,
@@ -2281,7 +2324,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_report": _q_mix_report,
         "simhash": _q_simhash,
         "cosine_topk": _q_cosine_topk,
-        "media_meta": _q_media_meta,
         "lsh_near_dup": _q_lsh_near_dup,
         "lsh_ann": _q_lsh_ann,
         "ivf_ann": _q_ivf_ann,
@@ -2301,6 +2343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_hist": _q_length_hist,
         "source_uniformity": _q_source_uniformity,
         "bitflag_hist": _q_bitflag_hist,
+        "media_meta": _q_media_meta,
     }
 
 
@@ -2346,6 +2389,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_clusters": _sql_dup_clusters(),
         "curation": _sql_curation(),
         "segment_dedup": _sql_segment_dedup(),
+        "dup_spans": _sql_dup_spans(),
         "text_patterns": _sql_text_patterns(),
         "redact": _sql_redact(),
         "stratified_sample": _sql_stratified_sample(),

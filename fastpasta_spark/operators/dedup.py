@@ -516,3 +516,79 @@ def decontaminate(
         .agg(F.count(F.lit(1)).alias("overlap"))
         .filter(F.col("overlap") >= min_overlap)
     )
+
+
+def dup_spans(df: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text", n: int = 20,
+              min_count: int = 2) -> DataFrame:
+    """Substring-level duplicate spans (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better"
+    granularity): every maximal token span of length >= ``n`` whose
+    every ``n``-token window occurs at least ``min_count`` times in the
+    corpus (counting all occurrences, within- and cross-document).
+    Whole-doc and segment dedup miss these — a copied paragraph inside
+    an otherwise unique page survives both.
+
+    Mechanics: positional n-token shingles (NOT distinct — position
+    matters), md5-derived 60-bit keys (functions/hashing, oracle-
+    portable); a shingle occurrence is duplicated when its key's global
+    count >= min_count; per doc, duplicated start positions i and j
+    merge into one span when j - i <= n (their [i, i+n-1] windows
+    overlap or touch), via gaps-and-islands over a per-doc window.
+
+    Scale shape: the shingle explode is linear in corpus tokens and
+    shuffles only (key, id, start) — shingle TEXT never leaves the map
+    side (hashed before the explode); counts ride a map-side-combined
+    groupBy(key); flagging is one shuffle join back on the key (no
+    pair join anywhere, so no quadratic blowup and no df cap needed);
+    the island window partitions by doc — bounded by doc length. The
+    token array is let-bound once per row (see with_textstats).
+
+    Returns (id_col, span_start, span_end, n_shingles): token-index
+    span [start, end] inclusive, plus how many duplicated windows
+    merged into it. Docs shorter than ``n`` tokens emit nothing.
+    """
+    if n < 2:
+        raise ValueError(f"span shingle length n must be >= 2, got {n}")
+    if min_count < 2:
+        raise ValueError(f"min_count must be >= 2, got {min_count}")
+    toks = spark_tokens(text_col)
+    h = spark_md5_hash("concat_ws(' ', slice(toks, i + 1, " + str(n) + "))")
+    zero = "CAST(array() AS array<struct<i: int, h: bigint>>)"
+    shingles = (
+        f"aggregate(array({toks}), {zero}, (acc, toks) -> "
+        f"CASE WHEN coalesce(size(toks), 0) < {n} THEN {zero} "
+        f"ELSE transform(sequence(0, size(toks) - {n}), "
+        f"i -> named_struct('i', i, 'h', {h})) END)"
+    )
+    occ = (
+        df.select(F.col(id_col), F.explode(F.expr(shingles)).alias("s"))
+        .select(id_col, F.col("s.i").alias("i"), F.col("s.h").alias("h"))
+    )
+    # two consumers (global counts + the flag join) — without the
+    # boundary each re-runs the tokenize+shingle+hash chain
+    occ = tracked_persist(occ)
+    dup_keys = (
+        occ.groupBy("h").agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+        .select("h")
+    )
+    dup_occ = occ.join(dup_keys, "h").select(id_col, "i")
+    w = Window.partitionBy(id_col).orderBy("i")
+    islands = (
+        dup_occ
+        .withColumn("new_island",
+                    F.when(F.col("i") - F.lag("i").over(w) <= n, 0)
+                    .otherwise(1))
+        .withColumn("island", F.sum("new_island").over(w))
+    )
+    return (
+        islands.groupBy(id_col, "island")
+        .agg(F.min("i").alias("span_start"),
+             (F.max("i") + n - 1).alias("span_end"),
+             F.count(F.lit(1)).alias("n_shingles"))
+        .select(F.col(id_col),
+                F.col("span_start").cast("long").alias("span_start"),
+                F.col("span_end").cast("long").alias("span_end"),
+                F.col("n_shingles").cast("long").alias("n_shingles"))
+    )

@@ -263,3 +263,81 @@ def test_simhash_duplicates_match_bruteforce(spark):
         df, max_hamming=3, max_bucket=None if False else 200).collect()}
     assert got == expected
     assert ("d0", "d1") in got  # the exact dup is definitely in there
+
+
+def _py_dup_spans(rows, n, min_count=2):
+    """Pure-python twin of dedup.dup_spans, rows = [(id, text)]."""
+    from collections import Counter
+
+    occ, cnt = {}, Counter()
+    for i, t in rows:
+        tv = py_tokens(t)
+        ss = ([(j, py_md5_hash(" ".join(tv[j:j + n])))
+               for j in range(len(tv) - n + 1)] if len(tv) >= n else [])
+        occ[i] = ss
+        for _, h in ss:
+            cnt[h] += 1
+    out = []
+    for i, ss in occ.items():
+        dups = sorted(j for j, h in ss if cnt[h] >= min_count)
+        if not dups:
+            continue
+        start = prev = dups[0]
+        k = 1
+        for j in dups[1:]:
+            if j - prev <= n:
+                prev, k = j, k + 1
+            else:
+                out.append((i, start, prev + n - 1, k))
+                start, prev, k = j, j, 1
+        out.append((i, start, prev + n - 1, k))
+    return sorted(out)
+
+
+def test_dup_spans_matches_python_twin(spark):
+    rows = [
+        # shared 10-gram twice in doc 1 (within-doc repeat) + in doc 2
+        (1, "a b c d e f g h i j unique one two three a b c d e f g h i j"),
+        (2, "x y a b c d e f g h i j z w"),
+        (3, "totally different content here nothing shared with anyone at all"),
+        (4, None),
+        (5, "short"),
+        # exact duplicate pair -> full-doc span in both
+        (6, "p q r s t u v w aa bb cc dd"),
+        (7, "p q r s t u v w aa bb cc dd"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted((r.doc_id, r.span_start, r.span_end, r.n_shingles)
+                 for r in dedup.dup_spans(df, n=10).collect())
+    assert got == _py_dup_spans(rows, 10)
+    ids = {g[0] for g in got}
+    assert {1, 2, 6, 7} <= ids and not {3, 4, 5} & ids
+    # the exact-dup pair's span covers the whole 12-token doc
+    assert (6, 0, 11, 3) in got and (7, 0, 11, 3) in got
+
+
+def test_dup_spans_island_merge_and_gaps(spark):
+    # two dup regions in one doc separated by > n unique tokens must
+    # stay two spans; overlapping/adjacent windows merge into one
+    shared = "a b c d e f g h i j"
+    gap = " ".join(f"u{k}" for k in range(15))
+    rows = [
+        (1, f"{shared} {gap} {shared}"),
+        (2, f"{shared} {shared}"),   # back-to-back -> merges into one
+        (3, f"{shared} kk {shared}"),  # 1 unique token between -> 2 spans
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted((r.doc_id, r.span_start, r.span_end, r.n_shingles)
+                 for r in dedup.dup_spans(df, n=10).collect())
+    assert got == _py_dup_spans(rows, 10)
+    assert len([g for g in got if g[0] == 1]) == 2  # gap keeps 2 islands
+    assert (2, 0, 19, 2) in got                     # merged whole-doc span
+    assert len([g for g in got if g[0] == 3]) == 2  # unique token splits
+
+
+def test_dup_spans_validation(spark):
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="n must be >= 2"):
+        dedup.dup_spans(df, n=1)
+    with pytest.raises(ValueError, match="min_count must be >= 2"):
+        dedup.dup_spans(df, min_count=1)
