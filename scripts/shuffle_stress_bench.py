@@ -45,6 +45,7 @@ QUERIES = [
     "jaccard_pairs",
     "minhash_signatures",
     "lsh_ann",
+    "dup_spans",
 ]
 
 
