@@ -341,3 +341,29 @@ def test_dup_spans_validation(spark):
         dedup.dup_spans(df, n=1)
     with pytest.raises(ValueError, match="min_count must be >= 2"):
         dedup.dup_spans(df, min_count=1)
+
+
+def test_dup_spans_property_matches_twin(spark):
+    """Property: random small corpora from a tiny vocab (forcing both
+    genuine repeats and near-misses), random n — engine == twin."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    token = st.sampled_from(["a", "b", "c", "d"])
+    text = st.one_of(
+        st.none(),
+        st.lists(token, min_size=0, max_size=14).map(" ".join),
+    )
+
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(texts=st.lists(text, min_size=1, max_size=8),
+           n=st.integers(min_value=2, max_value=5))
+    def check(texts, n):
+        rows = [(i, t) for i, t in enumerate(texts)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = sorted((r.doc_id, r.span_start, r.span_end, r.n_shingles)
+                     for r in dedup.dup_spans(df, n=n).collect())
+        assert got == _py_dup_spans(rows, n)
+
+    check()
