@@ -335,3 +335,18 @@ def test_dsir_scoring_is_map_only(spark):
     # returned SCORING dataframe is a pure projection over the
     # constant-folded log-ratio array — zero exchanges
     assert "Exchange" not in plan
+
+
+def test_dup_spans_window_is_per_doc_and_no_cartesian(spark):
+    from fastpasta_spark.operators.dedup import dup_spans
+    from fastpasta_spark.functions.cache import release_tracked
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e")], "doc_id long, text string")
+    plan = executed_plan_of(dup_spans(df, n=3))
+    release_tracked()
+    # the island merge must ride a PER-DOC window (bounded by doc
+    # length), never a global one, and nothing may plan cartesian
+    assert re.search(r"Window \[[^\]]*\], \[doc_id", plan), plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
