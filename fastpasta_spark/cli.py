@@ -18,6 +18,9 @@ Training-pipeline extensions (north_rule, beyond the reference):
     score <in> -o out    per-doc curation signals (quality, unigram-LM
                          fluency, BM25 keyword relevance, DSIR
                          importance weight) over a flat table
+    dedup <in> -o out    exact content groups, MinHash-LSH near-dup
+                         pairs (--mode near), or substring-level
+                         duplicate spans (--mode spans)
     lineage <ckpt>       inspect a resumable run's checkpoint: buckets
                          done, docs validated, per-check-code totals
 
@@ -145,6 +148,21 @@ def main(argv: list[str] | None = None) -> int:
     smp.add_argument("--stratum", default=None,
                      help="stratum column (required with -k)")
 
+    dd = sub.add_parser(
+        "dedup", help="duplicate detection over a flat (doc_id, text) "
+                      "table: exact content groups, MinHash-LSH near-dup "
+                      "pairs, or substring-level duplicate spans")
+    dd.add_argument("input")
+    dd.add_argument("-o", "--output", required=True)
+    dd.add_argument("--mode", choices=["exact", "near", "spans"],
+                    default="exact")
+    dd.add_argument("--threshold", type=float, default=None,
+                    help="near mode: estimated-jaccard cutoff "
+                         "(default 0.5)")
+    dd.add_argument("--span-tokens", type=int, default=None,
+                    help="spans mode: duplicated-window length in "
+                         "tokens (default 20)")
+
     scr = sub.add_parser(
         "score", help="per-doc curation scoring signals over a flat "
                       "(doc_id, text[, lang]) table; writes doc_id + "
@@ -209,6 +227,20 @@ def main(argv: list[str] | None = None) -> int:
                     "sample_stratified API, not a CLI flag)")
             if not 0 < args.rate <= 1:
                 raise SystemExit(f"--rate must be in (0, 1], got {args.rate}")
+
+    if args.cmd == "dedup":
+        if args.threshold is not None:
+            if args.mode != "near":
+                raise SystemExit("--threshold only applies to --mode near")
+            if not 0 < args.threshold <= 1:
+                raise SystemExit(
+                    f"--threshold must be in (0, 1], got {args.threshold}")
+        if args.span_tokens is not None:
+            if args.mode != "spans":
+                raise SystemExit("--span-tokens only applies to --mode spans")
+            if args.span_tokens < 2:
+                raise SystemExit(
+                    f"--span-tokens must be >= 2, got {args.span_tokens}")
 
     if args.cmd == "score":
         # fail fast pre-Spark: a requested flag must never be silently
@@ -359,6 +391,26 @@ def main(argv: list[str] | None = None) -> int:
             F.expr(f"exists(spans, s -> s.kind = '{args.kind}')"))
         kept.write.mode("overwrite").parquet(args.output)
         print(f"wrote {spark.read.parquet(args.output).count()} docs")
+        return 0
+
+    if args.cmd == "dedup":
+        from fastpasta_spark.functions.cache import release_tracked
+        from fastpasta_spark.operators import dedup as D
+
+        docs = spark.read.parquet(args.input)
+        if "doc_id" not in docs.columns or "text" not in docs.columns:
+            raise SystemExit(f"dedup needs (doc_id, text); got {docs.columns}")
+        if args.mode == "exact":
+            out = D.exact_duplicates(docs)
+        elif args.mode == "near":
+            out = D.minhash_near_duplicates(
+                docs, threshold=args.threshold or 0.5)
+        else:
+            out = D.dup_spans(docs, n=args.span_tokens or 20)
+        out.write.mode("overwrite").parquet(args.output)
+        release_tracked()  # near/spans persist mid-plan boundaries
+        print(f"wrote {spark.read.parquet(args.output).count()} "
+              f"{args.mode} rows")
         return 0
 
     if args.cmd == "score":

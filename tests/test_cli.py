@@ -463,3 +463,56 @@ def test_score_cli_pre_spark_validation(spark, tmp_path):
     with pytest.raises(SystemExit, match="vocab-k"):
         main(["score", src, "-o", "/tmp/x", "--signals", "lm",
               "--vocab-k", "0"])
+
+
+def test_dedup_cli_modes(spark, tmp_path, capsys):
+    shared = "a b c d e f g h i j k l m n o p q r s t"
+    docs = spark.createDataFrame(
+        [(1, shared), (2, shared),                     # exact pair
+         (3, f"{shared} extra tail tokens here"),      # near + span overlap
+         (4, "completely different text with nothing shared at all")],
+        "doc_id long, text string")
+    src = str(tmp_path / "flat")
+    docs.write.parquet(src)
+
+    out_e = str(tmp_path / "exact")
+    assert main(["dedup", src, "-o", out_e]) == 0
+    groups = spark.read.parquet(out_e).collect()
+    assert len(groups) == 1 and groups[0].dup_count == 2
+    assert sorted(groups[0].doc_ids) == [1, 2]
+
+    out_n = str(tmp_path / "near")
+    assert main(["dedup", src, "-o", out_n, "--mode", "near",
+                 "--threshold", "0.5"]) == 0
+    pairs = {(r.doc_a, r.doc_b)
+             for r in spark.read.parquet(out_n).collect()}
+    assert (1, 2) in pairs and not any(4 in p for p in pairs)
+
+    out_s = str(tmp_path / "spans")
+    assert main(["dedup", src, "-o", out_s, "--mode", "spans",
+                 "--span-tokens", "10"]) == 0
+    spans = {r.doc_id: (r.span_start, r.span_end)
+             for r in spark.read.parquet(out_s).collect()}
+    # the shared 20-token prefix is a full span in docs 1-3, nothing in 4
+    assert set(spans) == {1, 2, 3} and spans[1] == (0, 19)
+
+
+def test_dedup_cli_flag_validation(spark, tmp_path):
+    src = str(tmp_path / "flat4")
+    spark.createDataFrame([(1, "x")], "doc_id long, text string") \
+        .write.parquet(src)
+    with pytest.raises(SystemExit, match="only applies to --mode near"):
+        main(["dedup", src, "-o", "/tmp/x", "--threshold", "0.5"])
+    with pytest.raises(SystemExit, match="only applies to --mode spans"):
+        main(["dedup", src, "-o", "/tmp/x", "--mode", "near",
+              "--span-tokens", "10"])
+    with pytest.raises(SystemExit, match="threshold must be in"):
+        main(["dedup", src, "-o", "/tmp/x", "--mode", "near",
+              "--threshold", "1.5"])
+    with pytest.raises(SystemExit, match="span-tokens must be >= 2"):
+        main(["dedup", src, "-o", "/tmp/x", "--mode", "spans",
+              "--span-tokens", "1"])
+    flat = str(tmp_path / "noid2")
+    spark.createDataFrame([("x",)], "text string").write.parquet(flat)
+    with pytest.raises(SystemExit, match="dedup needs"):
+        main(["dedup", flat, "-o", "/tmp/x"])
