@@ -477,6 +477,7 @@ def decontaminate(
     n: int = 5,
     min_overlap: int = 1,
     hash_shingles: bool = True,
+    broadcast_index: bool = True,
 ) -> DataFrame:
     """Test-set decontamination: flag corpus documents sharing at least
     ``min_overlap`` distinct word n-gram shingles with any benchmark
@@ -490,6 +491,11 @@ def decontaminate(
     60-bit longs before the join (same lever as jaccard_pairs: the
     broadcast table and join keys are fixed-width, and jaccard's
     collision bound applies).
+
+    ``broadcast_index=False`` is the large-eval-set escape hatch (the
+    same commitment split as referential_violations' broadcast_dim):
+    the hint is dropped so the shingle join plans as a shuffle join —
+    identical output, no executor-memory bound on the benchmark side.
 
     Returns (id_col, bench_id_col, overlap) where overlap counts the
     DISTINCT shared shingles (with_shingles de-dups per document, so a
@@ -510,8 +516,10 @@ def decontaminate(
 
     c_inv = inv(corpus, id_col, id_col)
     b_inv = inv(benchmark, bench_id_col, bench_id_col)
+    if broadcast_index:
+        b_inv = F.broadcast(b_inv)
     return (
-        c_inv.join(F.broadcast(b_inv), "shingle")
+        c_inv.join(b_inv, "shingle")
         .groupBy(id_col, bench_id_col)
         .agg(F.count(F.lit(1)).alias("overlap"))
         .filter(F.col("overlap") >= min_overlap)

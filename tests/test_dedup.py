@@ -367,3 +367,28 @@ def test_dup_spans_property_matches_twin(spark):
         assert got == _py_dup_spans(rows, n)
 
     check()
+
+
+def test_decontaminate_shuffle_path_matches_broadcast(spark):
+    """broadcast_index=False (the large-eval-set escape hatch) must be
+    row-identical to the broadcast form, and only the broadcast form
+    may carry the broadcast hint in its optimized plan."""
+    from fastpasta_spark.operators.dedup import decontaminate
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "totally unrelated words live here now"),
+         (3, "alpha beta gamma delta epsilon"),
+         (4, None)],
+        "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta"),
+         (101, "")],
+        "bench_id long, text string")
+    bc = decontaminate(corpus, bench, n=5, min_overlap=1,
+                       bench_id_col="bench_id")
+    sh = decontaminate(corpus, bench, n=5, min_overlap=1,
+                       bench_id_col="bench_id", broadcast_index=False)
+    assert sorted(map(tuple, bc.collect())) == sorted(map(tuple, sh.collect()))
+    assert "ResolvedHint" in bc._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in sh._jdf.queryExecution().analyzed().toString()
