@@ -55,28 +55,31 @@ def language_id(df: DataFrame, text_col: str = "text",
     return df.withColumn(out_col, F.expr(pick))
 
 
-def quality_score(df: DataFrame, text_col: str = "text",
-                  out_col: str = "quality") -> DataFrame:
-    """Heuristic quality in [0,1]: length band + mean word length band +
-    alpha ratio + English stopword presence. Same formula in the oracle.
-    Null text scores 0 (treated as empty)."""
-    text_col = f"coalesce({text_col}, '')"
-    toks = spark_tokens(text_col)
-    n_chars = f"length({text_col})"
+def _quality_expr(text_col: str = "text") -> str:
+    tc = f"coalesce({text_col}, '')"
+    toks = spark_tokens(tc)
+    n_chars = f"length({tc})"
     n_toks = f"greatest(size({toks}), 1)"
     mean_wl = f"CAST({n_chars} AS DOUBLE) / {n_toks}"
     alpha_ratio = (
-        f"CAST(length(regexp_replace(lower({text_col}), '[^a-z]', '')) AS DOUBLE)"
+        f"CAST(length(regexp_replace(lower({tc}), '[^a-z]', '')) AS DOUBLE)"
         f" / greatest({n_chars}, 1)"
     )
-    sw = stopword_ratio_expr(text_col, "en")
-    score = (
+    sw = stopword_ratio_expr(tc, "en")
+    return (
         f"round((IF({n_chars} BETWEEN 50 AND 5000, 0.25, 0.0) + "
         f"IF({mean_wl} BETWEEN 3.0 AND 12.0, 0.25, 0.0) + "
         f"0.25 * least({alpha_ratio} * 1.25, 1.0) + "
         f"0.25 * least({sw} * 5.0, 1.0)), 6)"
     )
-    return df.withColumn(out_col, F.expr(score))
+
+
+def quality_score(df: DataFrame, text_col: str = "text",
+                  out_col: str = "quality") -> DataFrame:
+    """Heuristic quality in [0,1]: length band + mean word length band +
+    alpha ratio + English stopword presence. Same formula in the oracle.
+    Null text scores 0 (treated as empty)."""
+    return df.withColumn(out_col, F.expr(_quality_expr(text_col)))
 
 
 def fingerprint(df: DataFrame, text_col: str = "text",
@@ -296,10 +299,26 @@ def unigram_logprob(df: DataFrame, id_col: str = "doc_id",
     Returns (id_col, n_tokens, avg_logprob); empty/null text -> NULL
     score, n_tokens 0.
     """
+    score = F.expr(_fit_unigram_expr(df, text_col, vocab_k, dp))
+    if append:
+        return df.withColumn("avg_logprob", score)
+    n = f"coalesce(size({spark_tokens(text_col)}), 0)"
+    return df.select(
+        F.col(id_col),
+        F.expr(n).cast("long").alias("n_tokens"),
+        score.alias("avg_logprob"),
+    )
+
+
+def _fit_unigram_expr(ref: DataFrame, text_col: str, vocab_k: int,
+                      dp: int) -> str:
+    """Fit the unigram model's bounded artifacts on ``ref`` (a scalar
+    total + the TakeOrdered vocab head) and return the self-contained
+    per-row score expression."""
     toks = spark_tokens(text_col)
-    total = df.agg(F.sum(F.expr(f"size({toks})"))).first()[0] or 0
+    total = ref.agg(F.sum(F.expr(f"size({toks})"))).first()[0] or 0
     head = (
-        df.select(F.explode(F.expr(toks)).alias("token"))
+        ref.select(F.explode(F.expr(toks)).alias("token"))
         .groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy(F.desc("cnt"), F.asc("token")).limit(vocab_k)
     )
@@ -315,15 +334,7 @@ def unigram_logprob(df: DataFrame, id_col: str = "doc_id",
             f"acc + ln(coalesce(element_at({pmap}, t), "
             f"CAST({floor!r} AS DOUBLE))))")
     n = f"coalesce(size({toks}), 0)"  # null text -> 0 tokens, not NULL
-    score = F.round(
-        F.expr(f"IF({n} = 0, CAST(NULL AS DOUBLE), {logp} / {n})"), dp)
-    if append:
-        return df.withColumn("avg_logprob", score)
-    return df.select(
-        F.col(id_col),
-        F.expr(n).cast("long").alias("n_tokens"),
-        score.alias("avg_logprob"),
-    )
+    return f"round(IF({n} = 0, CAST(NULL AS DOUBLE), {logp} / {n}), {dp})"
 
 
 def validate_bm25_query(query_terms: list[str], k1: float = 1.2,
@@ -377,6 +388,41 @@ def bm25_scores(df: DataFrame, query_terms: list[str],
     """
     validate_bm25_query(query_terms, k1, b)
 
+    row2 = _fit_bm25_row_expr(df, query_terms, text_col, k1, b)
+    if row2 is None:  # empty or token-free corpus: nothing can match
+        if append:
+            return df.withColumn("bm25", F.lit(None).cast("double"))
+        return df.select(
+            F.col(id_col),
+            F.lit(0).cast("long").alias("n_tokens"),
+            F.lit(None).cast("double").alias("bm25"),
+        ).limit(0)
+    if append:
+        return (
+            df.withColumn("_bm", F.expr(row2))
+            .withColumn("bm25", F.expr(
+                f"IF(_bm.score > 0.0D, round(_bm.score, {dp}), "
+                "CAST(NULL AS DOUBLE))"))
+            .drop("_bm")
+        )
+    return (
+        df.select(F.col(id_col), F.expr(row2).alias("_bm"))
+        # score > 0 <=> at least one query term present (idf > 0 always)
+        .filter(F.col("_bm.score") > 0.0)
+        .select(
+            F.col(id_col),
+            F.col("_bm.n").alias("n_tokens"),
+            F.round(F.col("_bm.score"), dp).alias("bm25"),
+        )
+    )
+
+
+def _fit_bm25_row_expr(ref: DataFrame, query_terms: list[str],
+                       text_col: str, k1: float, b: float) -> str | None:
+    """Fit the BM25 stats (N, avgdl, per-term df — one tree-aggregate of
+    per-row tiny structs) on ``ref`` and return the per-row
+    (n, score)-struct expression, or None for an empty/token-free
+    reference (nothing can ever match)."""
     toks = spark_tokens(text_col)
     flags = ", ".join(
         f"'c{i}', IF(coalesce(array_contains(toks, '{t}'), false), 1L, 0L)"
@@ -386,7 +432,7 @@ def bm25_scores(df: DataFrame, query_terms: list[str],
     row1 = (f"aggregate(array({toks}), {zero1}, (acc, toks) -> "
             f"named_struct('dl', cast(coalesce(size(toks), 0) as long), "
             f"{flags}))")
-    stats = df.select(F.expr(row1).alias("s")).agg(
+    stats = ref.select(F.expr(row1).alias("s")).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("s.dl").alias("total_tokens"),
         *[F.sum(f"s.c{i}").alias(f"df_{i}")
@@ -395,13 +441,7 @@ def bm25_scores(df: DataFrame, query_terms: list[str],
     n_docs = stats["n_docs"]
     total = stats["total_tokens"] or 0
     if n_docs == 0 or total == 0:
-        if append:
-            return df.withColumn("bm25", F.lit(None).cast("double"))
-        return df.select(
-            F.col(id_col),
-            F.lit(0).cast("long").alias("n_tokens"),
-            F.lit(None).cast("double").alias("bm25"),
-        ).limit(0)
+        return None
     avgdl = total / n_docs  # > 0 here; the dl/avgdl literal below is safe
 
     import math
@@ -421,27 +461,9 @@ def bm25_scores(df: DataFrame, query_terms: list[str],
             f"* (CAST({1.0 - b!r} AS DOUBLE) + CAST({b!r} AS DOUBLE) "
             f"* {dl} / CAST({avgdl!r} AS DOUBLE))))")
     zero2 = "named_struct('n', 0L, 'score', CAST(0.0 AS DOUBLE))"
-    row2 = (f"aggregate(array({toks}), {zero2}, (acc, toks) -> "
+    return (f"aggregate(array({toks}), {zero2}, (acc, toks) -> "
             f"named_struct('n', cast(coalesce(size(toks), 0) as long), "
             f"'score', {' + '.join(terms_sql)}))")
-    if append:
-        return (
-            df.withColumn("_bm", F.expr(row2))
-            .withColumn("bm25", F.expr(
-                f"IF(_bm.score > 0.0D, round(_bm.score, {dp}), "
-                "CAST(NULL AS DOUBLE))"))
-            .drop("_bm")
-        )
-    return (
-        df.select(F.col(id_col), F.expr(row2).alias("_bm"))
-        # score > 0 <=> at least one query term present (idf > 0 always)
-        .filter(F.col("_bm.score") > 0.0)
-        .select(
-            F.col(id_col),
-            F.col("_bm.n").alias("n_tokens"),
-            F.round(F.col("_bm.score"), dp).alias("bm25"),
-        )
-    )
 
 
 def validate_dsir_buckets(buckets: int) -> None:
@@ -482,6 +504,30 @@ def dsir_weights(df: DataFrame, target_filter, id_col: str = "doc_id",
     """
     validate_dsir_buckets(buckets)
 
+    row = _fit_dsir_row_expr(df, target_filter, text_col, buckets)
+    score = (f"IF(_ds.n = 0, CAST(NULL AS DOUBLE), "
+             f"round(_ds.s / _ds.n, {dp}))")
+    if append:
+        return (
+            df.withColumn("_ds", F.expr(row))
+            .withColumn("dsir_logratio", F.expr(score))
+            .drop("_ds")
+        )
+    return (
+        df.select(F.col(id_col), F.expr(row).alias("_ds"))
+        .select(
+            F.col(id_col),
+            F.col("_ds.n").alias("n_tokens"),
+            F.expr(score).alias("dsir_logratio"),
+        )
+    )
+
+
+def _fit_dsir_row_expr(ref: DataFrame, target_filter, text_col: str,
+                       buckets: int) -> str:
+    """Fit the DSIR bucket profile on ``ref`` (one bounded groupBy) and
+    return the per-row (n, s)-struct expression over a constant-folded
+    log-ratio array."""
     from fastpasta_spark.functions.hashing import spark_md5_hash
 
     toks = spark_tokens(text_col)
@@ -491,8 +537,8 @@ def dsir_weights(df: DataFrame, target_filter, id_col: str = "doc_id",
 
     is_target = F.when(target_filter, F.lit(1)).otherwise(F.lit(0))
     prof = (
-        df.select(F.explode(F.expr(toks)).alias("token"),
-                  is_target.alias("is_t"))
+        ref.select(F.explode(F.expr(toks)).alias("token"),
+                   is_target.alias("is_t"))
         .select(F.expr(bucket("token")).alias("b"), "is_t")
         .groupBy("b")
         .agg(F.count(F.lit(1)).alias("c_raw"), F.sum("is_t").alias("c_tgt"))
@@ -520,23 +566,95 @@ def dsir_weights(df: DataFrame, target_filter, id_col: str = "doc_id",
     # bind the token array once per row (1-element-aggregate let-binding,
     # see with_textstats) instead of tokenizing for n and again for the sum
     zero = "named_struct('n', 0L, 's', CAST(0.0 AS DOUBLE))"
-    row = (f"aggregate(array({toks}), {zero}, (acc, toks) -> "
-           f"named_struct('n', cast(coalesce(size(toks), 0) as long), "
-           f"'s', aggregate(toks, CAST(0.0 AS DOUBLE), "
-           f"(acc2, t) -> acc2 + {tok_lr})))")
-    score = (f"IF(_ds.n = 0, CAST(NULL AS DOUBLE), "
-             f"round(_ds.s / _ds.n, {dp}))")
-    if append:
-        return (
-            df.withColumn("_ds", F.expr(row))
-            .withColumn("dsir_logratio", F.expr(score))
-            .drop("_ds")
-        )
-    return (
-        df.select(F.col(id_col), F.expr(row).alias("_ds"))
-        .select(
-            F.col(id_col),
-            F.col("_ds.n").alias("n_tokens"),
-            F.expr(score).alias("dsir_logratio"),
-        )
-    )
+    return (f"aggregate(array({toks}), {zero}, (acc, toks) -> "
+            f"named_struct('n', cast(coalesce(size(toks), 0) as long), "
+            f"'s', aggregate(toks, CAST(0.0 AS DOUBLE), "
+            f"(acc2, t) -> acc2 + {tok_lr})))")
+
+
+class ScoringModel:
+    """Fitted curation-signal models as pure column transforms.
+
+    Built by :func:`fit_scoring_model` from a REFERENCE corpus; every
+    model artifact is a bounded literal baked into an expression, so
+    ``apply`` adds score columns to ANY same-schema frame — batch or
+    Structured Streaming (no fit-time jobs, no state, no shuffle) —
+    without rescanning the reference. The 100-TB shape: fit once on a
+    sample/reference slice, apply to the full corpus and to live
+    streams; per-call operators (bm25_scores etc.) refit per call.
+    """
+
+    def __init__(self, transforms):
+        self._transforms = transforms  # list of (out_col, df -> df)
+
+    @property
+    def columns(self) -> list[str]:
+        return [c for c, _ in self._transforms]
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        for _, fn in self._transforms:
+            df = fn(df)
+        return df
+
+
+def fit_scoring_model(ref: DataFrame, signals: list[str],
+                      text_col: str = "text", terms: list[str] | None = None,
+                      target_filter=None, vocab_k: int = 1000,
+                      buckets: int = 512, k1: float = 1.2, b: float = 0.75,
+                      dp: int = 6) -> ScoringModel:
+    """Fit the requested curation signals on ``ref`` and return a
+    :class:`ScoringModel`. Signals: ``quality`` (stateless heuristic),
+    ``lm`` (unigram fluency under ref's model -> ``avg_logprob``),
+    ``bm25`` (needs ``terms``; ref supplies N/avgdl/df -> ``bm25``,
+    NULL = no term present), ``dsir`` (needs ``target_filter``; ref
+    supplies the bucket profile -> ``dsir_logratio``).
+    """
+    known = ("quality", "lm", "bm25", "dsir")
+    bad = [s for s in signals if s not in known]
+    if bad:
+        raise ValueError(f"unknown signals {bad}; pick from {known}")
+    if not signals:
+        raise ValueError("fit_scoring_model needs at least one signal")
+    transforms = []
+    for s in dict.fromkeys(signals):
+        if s == "quality":
+            e = _quality_expr(text_col)
+            transforms.append(
+                ("quality",
+                 lambda df, e=e: df.withColumn("quality", F.expr(e))))
+        elif s == "lm":
+            e = _fit_unigram_expr(ref, text_col, vocab_k, dp)
+            transforms.append(
+                ("avg_logprob",
+                 lambda df, e=e: df.withColumn("avg_logprob", F.expr(e))))
+        elif s == "bm25":
+            if not terms:
+                raise ValueError("bm25 signal needs query terms")
+            validate_bm25_query(terms, k1, b)
+            row = _fit_bm25_row_expr(ref, terms, text_col, k1, b)
+            if row is None:  # token-free reference: nothing ever matches
+                transforms.append(
+                    ("bm25", lambda df: df.withColumn(
+                        "bm25", F.lit(None).cast("double"))))
+            else:
+                score = (f"IF(_bm.score > 0.0D, round(_bm.score, {dp}), "
+                         "CAST(NULL AS DOUBLE))")
+                transforms.append(
+                    ("bm25",
+                     lambda df, row=row, score=score: (
+                         df.withColumn("_bm", F.expr(row))
+                         .withColumn("bm25", F.expr(score)).drop("_bm"))))
+        else:  # dsir
+            if target_filter is None:
+                raise ValueError("dsir signal needs a target_filter")
+            validate_dsir_buckets(buckets)
+            row = _fit_dsir_row_expr(ref, target_filter, text_col, buckets)
+            score = (f"IF(_ds.n = 0, CAST(NULL AS DOUBLE), "
+                     f"round(_ds.s / _ds.n, {dp}))")
+            transforms.append(
+                ("dsir_logratio",
+                 lambda df, row=row, score=score: (
+                     df.withColumn("_ds", F.expr(row))
+                     .withColumn("dsir_logratio", F.expr(score))
+                     .drop("_ds"))))
+    return ScoringModel(transforms)

@@ -405,3 +405,74 @@ def test_bm25_and_dsir_property_match_twins(spark):
             [(i, t, lg == "en") for i, t, lg in rows], buckets)
 
     check()
+
+
+def test_scoring_model_matches_per_call_operators(spark, documents):
+    """fit_scoring_model(ref).apply(ref) must equal each per-call
+    operator run on the same frame (same fit inputs => same literals)."""
+    from pyspark.sql import functions as F
+
+    ref = documents.select("doc_id", "text", "lang")
+    model = textstats.fit_scoring_model(
+        ref, ["quality", "lm", "bm25", "dsir"],
+        terms=["dup", "hash"], target_filter=F.col("lang") == "en",
+        vocab_k=100, buckets=32)
+    assert model.columns == ["quality", "avg_logprob", "bm25",
+                             "dsir_logratio"]
+    got = {r.doc_id: (r.quality, r.avg_logprob, r.bm25, r.dsir_logratio)
+           for r in model.apply(ref).collect()}
+    q = {r.doc_id: r.quality
+         for r in textstats.quality_score(ref).collect()}
+    lm = {r.doc_id: r.avg_logprob
+          for r in textstats.unigram_logprob(ref, vocab_k=100, dp=6).collect()}
+    bm = {r.doc_id: r.bm25
+          for r in textstats.bm25_scores(ref, ["dup", "hash"]).collect()}
+    ds = {r.doc_id: r.dsir_logratio
+          for r in textstats.dsir_weights(
+              ref, F.col("lang") == "en", buckets=32).collect()}
+    for i, (gq, glm, gbm, gds) in got.items():
+        assert (gq, glm, gds) == (q[i], lm[i], ds[i]), i
+        assert gbm == bm.get(i), i  # NULL where the operator drops the row
+
+
+def test_scoring_model_applies_to_unseen_frame_and_validates(spark, documents):
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    ref = documents.select("doc_id", "text", "lang")
+    model = textstats.fit_scoring_model(ref, ["lm"], vocab_k=50)
+    fresh = spark.createDataFrame(
+        [(900001, "hash join table scan", "en"), (900002, None, None)],
+        "doc_id long, text string, lang string")
+    rows = {r.doc_id: r.avg_logprob for r in model.apply(fresh).collect()}
+    assert rows[900001] is not None and rows[900002] is None
+    for bad in (dict(signals=[]), dict(signals=["nope"]),
+                dict(signals=["bm25"]),
+                dict(signals=["dsir"])):
+        with _pytest.raises(ValueError):
+            textstats.fit_scoring_model(ref, **bad)
+
+
+def test_scoring_model_applies_to_stream(spark, tmp_path, documents):
+    """The fitted model is pure column expressions, so it must apply
+    directly to a Structured Streaming frame and agree with batch."""
+    from pyspark.sql import functions as F
+
+    ref = documents.select("doc_id", "text", "lang")
+    model = textstats.fit_scoring_model(
+        ref, ["quality", "lm"], vocab_k=50)
+    in_dir = str(tmp_path / "in")
+    ref.repartition(2).write.parquet(in_dir)
+    stream = spark.readStream.schema(ref.schema).parquet(in_dir)
+    q = (model.apply(stream)
+         .select("doc_id", "quality", "avg_logprob")
+         .writeStream.format("memory").queryName("scored_stream")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r.doc_id: (r.quality, r.avg_logprob)
+           for r in spark.sql("SELECT * FROM scored_stream").collect()}
+    exp = {r.doc_id: (r.quality, r.avg_logprob)
+           for r in model.apply(ref)
+           .select("doc_id", "quality", "avg_logprob").collect()}
+    assert got == exp and len(got) == ref.count()
