@@ -185,6 +185,10 @@ def main(argv: list[str] | None = None) -> int:
                      help="dsir hash buckets (default 512)")
     scr.add_argument("--vocab-k", type=int, default=None,
                      help="lm model vocabulary size (default 1000)")
+    scr.add_argument("--ref", default=None, metavar="PARQUET",
+                     help="fit the signal models on this reference "
+                          "corpus instead of the input itself (fit "
+                          "once on a sample slice, score everything)")
 
     lng = sub.add_parser(
         "lineage", help="inspect a resumable run's checkpoint: buckets "
@@ -421,33 +425,28 @@ def main(argv: list[str] | None = None) -> int:
         docs = spark.read.parquet(args.input)
         if "doc_id" not in docs.columns or "text" not in docs.columns:
             raise SystemExit(f"score needs (doc_id, text); got {docs.columns}")
+        ref = spark.read.parquet(args.ref) if args.ref else docs
+        if args.ref and "text" not in ref.columns:
+            raise SystemExit(f"--ref needs a text column; got {ref.columns}")
         from fastpasta_spark.functions.hashing import spark_tokens
 
-        # chain the operators' append modes: every signal is appended
-        # as a column on the SAME rows — one scan, zero joins, so
-        # duplicate or NULL doc_ids score row-wise instead of fanning
-        # out / dropping through an equi-join (the stats/profile jobs
-        # each operator runs stay bounded-artifact collects)
-        out = docs
-        if "quality" in sigs:
-            out = T.quality_score(out)
-        if "lm" in sigs:
-            out = T.unigram_logprob(
-                out, vocab_k=args.vocab_k or 1000, append=True)
-        if "bm25" in sigs:
-            out = T.bm25_scores(out, args.terms, append=True)
-        if "dsir" in sigs:
-            out = T.dsir_weights(out, F.expr(args.target),
-                                 buckets=args.dsir_buckets or 512,
-                                 append=True)
-        sig_cols = {"quality": "quality", "lm": "avg_logprob",
-                    "bm25": "bm25", "dsir": "dsir_logratio"}
+        # fit the signal models ONCE (on --ref when given, else on the
+        # input itself — identical to per-call operator semantics),
+        # then apply as pure column expressions: every signal is a
+        # column on the SAME rows — one scan, zero joins, so duplicate
+        # or NULL doc_ids score row-wise instead of fanning out /
+        # dropping through an equi-join
+        model = T.fit_scoring_model(
+            ref, sigs, terms=args.terms,
+            target_filter=F.expr(args.target) if args.target else None,
+            vocab_k=args.vocab_k or 1000,
+            buckets=args.dsir_buckets or 512)
         # null text counts as 0 tokens (raw size() of a NULL array is NULL)
-        out = out.select(
+        out = model.apply(docs).select(
             "doc_id",
             F.expr(f"coalesce(size({spark_tokens('text')}), 0)")
             .cast("long").alias("n_tokens"),
-            *[sig_cols[s] for s in sig_cols if s in sigs])
+            *model.columns)
         out.write.mode("overwrite").parquet(args.output)
         print(f"wrote {spark.read.parquet(args.output).count()} rows "
               f"with signals: {', '.join(sigs)}")

@@ -516,3 +516,33 @@ def test_dedup_cli_flag_validation(spark, tmp_path):
     spark.createDataFrame([("x",)], "text string").write.parquet(flat)
     with pytest.raises(SystemExit, match="dedup needs"):
         main(["dedup", flat, "-o", "/tmp/x"])
+
+
+def test_score_cli_ref_corpus(spark, tmp_path, capsys):
+    """--ref fits the models on the reference slice; scoring the input
+    with a ref-fitted lm model must differ from self-fitted when the
+    distributions differ, and agree when ref == input."""
+    ref_docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta") for i in range(20)],
+        "doc_id long, text string")
+    in_docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "omega psi")],
+        "doc_id long, text string")
+    src, refp = str(tmp_path / "in"), str(tmp_path / "ref")
+    in_docs.write.parquet(src)
+    ref_docs.write.parquet(refp)
+    out1, out2 = str(tmp_path / "o1"), str(tmp_path / "o2")
+    assert main(["score", src, "-o", out1, "--signals", "lm",
+                 "--ref", refp]) == 0
+    assert main(["score", src, "-o", out2, "--signals", "lm"]) == 0
+    r1 = {r.doc_id: r.avg_logprob for r in spark.read.parquet(out1).collect()}
+    r2 = {r.doc_id: r.avg_logprob for r in spark.read.parquet(out2).collect()}
+    # under the ref model, in-vocab doc 1 scores higher than OOV doc 2
+    assert r1[1] > r1[2]
+    # and the ref-fitted model differs from the self-fitted one
+    assert r1 != r2
+    # a ref without text fails fast
+    spark.range(3).write.parquet(str(tmp_path / "notext"))
+    with pytest.raises(SystemExit, match="--ref needs a text column"):
+        main(["score", src, "-o", "/tmp/x", "--signals", "lm",
+              "--ref", str(tmp_path / "notext")])
