@@ -1633,10 +1633,11 @@ _DUP_SPAN_N = 20
 
 def _q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-level duplicate spans (Lee et al. 2022 granularity):
-    maximal token spans whose every 20-token window repeats in the
-    corpus — the dedup level whole-doc and segment dedup both miss
-    (operators/dedup.dup_spans: hashed positional shingles, count
-    filter, per-doc gaps-and-islands merge; no pair join anywhere)."""
+    maximal merges of overlapping-or-touching duplicated 20-token
+    windows (start gap <= 20) — the dedup level whole-doc and segment
+    dedup both miss (operators/dedup.dup_spans: hashed positional
+    shingles, count filter, per-doc gaps-and-islands merge; no pair
+    join anywhere)."""
     from fastpasta_spark.operators.dedup import dup_spans
 
     d = _read_spread(spark, sf_dir, "documents").select(
@@ -1648,7 +1649,8 @@ def _sql_dup_spans() -> str:
     tk = duckdb_tokens("text")
     N = _DUP_SPAN_N
     return f"""
-WITH tk AS (SELECT doc_id, {tk} AS t FROM documents),
+WITH tk AS (SELECT doc_id, {tk} AS t FROM documents
+            WHERE doc_id IS NOT NULL),
 pos AS (SELECT doc_id, t, unnest(generate_series(0, len(t) - {N})) AS i
         FROM tk WHERE coalesce(len(t), 0) >= {N}),
 sh AS (SELECT doc_id, i,

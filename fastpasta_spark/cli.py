@@ -268,6 +268,10 @@ def main(argv: list[str] | None = None) -> int:
             raise SystemExit("--dsir-buckets only applies to --signals dsir")
         if args.vocab_k is not None and "lm" not in sigs:
             raise SystemExit("--vocab-k only applies to --signals lm")
+        if args.ref and not {"lm", "bm25", "dsir"} & set(sigs):
+            raise SystemExit(
+                "--ref has no effect: none of the requested signals "
+                "fits a model (quality is stateless)")
         try:
             if args.terms:
                 validate_bm25_query(args.terms)

@@ -543,6 +543,17 @@ def dup_spans(df: DataFrame, id_col: str = "doc_id",
     count >= min_count; per doc, duplicated start positions i and j
     merge into one span when j - i <= n (their [i, i+n-1] windows
     overlap or touch), via gaps-and-islands over a per-doc window.
+    Note the merge is by START GAP: tokens strictly between two merged
+    windows may belong to interior windows that occur only once — a
+    span guarantees its first and last n tokens are duplicated windows
+    and no covered duplicated window is more than n starts from the
+    next, not that every interior window repeats.
+
+    Identity contract: ``id_col`` must identify a logical document.
+    Rows SHARING an id are pooled as one document (their window
+    positions count and merge together — the island window partitions
+    by id); rows with a NULL id are dropped (their spans could not be
+    attributed to any document).
 
     Scale shape: the shingle explode is linear in corpus tokens and
     shuffles only (key, id, start) — shingle TEXT never leaves the map
@@ -570,7 +581,8 @@ def dup_spans(df: DataFrame, id_col: str = "doc_id",
         f"i -> named_struct('i', i, 'h', {h})) END)"
     )
     occ = (
-        df.select(F.col(id_col), F.explode(F.expr(shingles)).alias("s"))
+        df.filter(F.col(id_col).isNotNull())
+        .select(F.col(id_col), F.explode(F.expr(shingles)).alias("s"))
         .select(id_col, F.col("s.i").alias("i"), F.col("s.h").alias("h"))
     )
     # two consumers (global counts + the flag join) — without the

@@ -337,6 +337,20 @@ def _fit_unigram_expr(ref: DataFrame, text_col: str, vocab_k: int,
     return f"round(IF({n} = 0, CAST(NULL AS DOUBLE), {logp} / {n}), {dp})"
 
 
+def _bm25_null_score_expr(dp: int) -> str:
+    """bm25 column from the bound (n, score) struct `_bm`: NULL = no
+    query term present. Single source for operator + ScoringModel."""
+    return (f"IF(_bm.score > 0.0D, round(_bm.score, {dp}), "
+            "CAST(NULL AS DOUBLE))")
+
+
+def _dsir_score_expr(dp: int) -> str:
+    """dsir_logratio column from the bound (n, s) struct `_ds`: NULL
+    for token-free text. Single source for operator + ScoringModel."""
+    return (f"IF(_ds.n = 0, CAST(NULL AS DOUBLE), "
+            f"round(_ds.s / _ds.n, {dp}))")
+
+
 def validate_bm25_query(query_terms: list[str], k1: float = 1.2,
                         b: float = 0.75) -> None:
     """Pure-python parameter validation shared by bm25_scores and the
@@ -400,9 +414,7 @@ def bm25_scores(df: DataFrame, query_terms: list[str],
     if append:
         return (
             df.withColumn("_bm", F.expr(row2))
-            .withColumn("bm25", F.expr(
-                f"IF(_bm.score > 0.0D, round(_bm.score, {dp}), "
-                "CAST(NULL AS DOUBLE))"))
+            .withColumn("bm25", F.expr(_bm25_null_score_expr(dp)))
             .drop("_bm")
         )
     return (
@@ -505,8 +517,7 @@ def dsir_weights(df: DataFrame, target_filter, id_col: str = "doc_id",
     validate_dsir_buckets(buckets)
 
     row = _fit_dsir_row_expr(df, target_filter, text_col, buckets)
-    score = (f"IF(_ds.n = 0, CAST(NULL AS DOUBLE), "
-             f"round(_ds.s / _ds.n, {dp}))")
+    score = _dsir_score_expr(dp)
     if append:
         return (
             df.withColumn("_ds", F.expr(row))
@@ -637,8 +648,7 @@ def fit_scoring_model(ref: DataFrame, signals: list[str],
                     ("bm25", lambda df: df.withColumn(
                         "bm25", F.lit(None).cast("double"))))
             else:
-                score = (f"IF(_bm.score > 0.0D, round(_bm.score, {dp}), "
-                         "CAST(NULL AS DOUBLE))")
+                score = _bm25_null_score_expr(dp)
                 transforms.append(
                     ("bm25",
                      lambda df, row=row, score=score: (
@@ -649,8 +659,7 @@ def fit_scoring_model(ref: DataFrame, signals: list[str],
                 raise ValueError("dsir signal needs a target_filter")
             validate_dsir_buckets(buckets)
             row = _fit_dsir_row_expr(ref, target_filter, text_col, buckets)
-            score = (f"IF(_ds.n = 0, CAST(NULL AS DOUBLE), "
-                     f"round(_ds.s / _ds.n, {dp}))")
+            score = _dsir_score_expr(dp)
             transforms.append(
                 ("dsir_logratio",
                  lambda df, row=row, score=score: (

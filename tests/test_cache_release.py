@@ -46,6 +46,7 @@ def test_every_persisting_operator_releases(spark):
     dedup.minhash_near_duplicates(docs, threshold=0.1).collect()
     dedup.jaccard_pairs(docs, threshold=0.1, max_df=10).collect()
     dedup.segment_dedup(docs, seg_tokens=5).collect()
+    dedup.dup_spans(docs, n=3).collect()
     dedup.simhash_duplicates(docs, max_hamming=3).collect()
     similarity.embedding_near_duplicates(
         emb, threshold=0.9, dim=8, n_planes=2, n_tables=2).collect()

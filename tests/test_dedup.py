@@ -266,15 +266,18 @@ def test_simhash_duplicates_match_bruteforce(spark):
 
 
 def _py_dup_spans(rows, n, min_count=2):
-    """Pure-python twin of dedup.dup_spans, rows = [(id, text)]."""
+    """Pure-python twin of dedup.dup_spans, rows = [(id, text)].
+    Same identity contract: NULL ids dropped, same-id rows pooled."""
     from collections import Counter
 
     occ, cnt = {}, Counter()
     for i, t in rows:
+        if i is None:
+            continue
         tv = py_tokens(t)
         ss = ([(j, py_md5_hash(" ".join(tv[j:j + n])))
                for j in range(len(tv) - n + 1)] if len(tv) >= n else [])
-        occ[i] = ss
+        occ.setdefault(i, []).extend(ss)
         for _, h in ss:
             cnt[h] += 1
     out = []
@@ -358,9 +361,14 @@ def test_dup_spans_property_matches_twin(spark):
     @settings(max_examples=10, deadline=None,
               suppress_health_check=[HealthCheck.too_slow])
     @given(texts=st.lists(text, min_size=1, max_size=8),
+           ids=st.lists(st.one_of(st.none(),
+                                  st.integers(min_value=0, max_value=4)),
+                        min_size=8, max_size=8),
            n=st.integers(min_value=2, max_value=5))
-    def check(texts, n):
-        rows = [(i, t) for i, t in enumerate(texts)]
+    def check(texts, ids, n):
+        # hostile identity space: duplicate ids (pooled as one logical
+        # doc) and NULL ids (dropped) per the operator contract
+        rows = [(ids[j], t) for j, t in enumerate(texts)]
         df = spark.createDataFrame(rows, "doc_id long, text string")
         got = sorted((r.doc_id, r.span_start, r.span_end, r.n_shingles)
                      for r in dedup.dup_spans(df, n=n).collect())
