@@ -526,9 +526,46 @@ def decontaminate(
     )
 
 
+def _span_occurrences(df: DataFrame, id_col: str, text_col: str, n: int,
+                      work_dir: str | None = None) -> DataFrame:
+    """Positional n-token shingle occurrences (id, i, h) for the
+    dup-span family, MATERIALIZED: the occurrence set feeds at least
+    two consumers (global counts + a flag join back), and without a
+    boundary each would re-run the tokenize+shingle+hash chain over the
+    full text column.
+
+    Default boundary is a tracked persist (functions/cache). With
+    ``work_dir`` the occurrences round-trip through parquet instead
+    (same lever as plans/check_all's work_dir): a 100-TB corpus has a
+    corpus-token-sized occurrence set that would otherwise pin the
+    block-manager cache — columnar files spill to disk for free and are
+    released by deleting the directory, not by executor memory
+    pressure. Rows with a NULL id are dropped (no document identity).
+    """
+    toks = spark_tokens(text_col)
+    h = spark_md5_hash("concat_ws(' ', slice(toks, i + 1, " + str(n) + "))")
+    zero = "CAST(array() AS array<struct<i: int, h: bigint>>)"
+    shingles = (
+        f"aggregate(array({toks}), {zero}, (acc, toks) -> "
+        f"CASE WHEN coalesce(size(toks), 0) < {n} THEN {zero} "
+        f"ELSE transform(sequence(0, size(toks) - {n}), "
+        f"i -> named_struct('i', i, 'h', {h})) END)"
+    )
+    occ = (
+        df.filter(F.col(id_col).isNotNull())
+        .select(F.col(id_col), F.explode(F.expr(shingles)).alias("s"))
+        .select(id_col, F.col("s.i").alias("i"), F.col("s.h").alias("h"))
+    )
+    if work_dir:
+        path = f"{work_dir}/span_occ"
+        occ.write.mode("overwrite").parquet(path)
+        return df.sparkSession.read.parquet(path)
+    return tracked_persist(occ)
+
+
 def dup_spans(df: DataFrame, id_col: str = "doc_id",
               text_col: str = "text", n: int = 20,
-              min_count: int = 2) -> DataFrame:
+              min_count: int = 2, work_dir: str | None = None) -> DataFrame:
     """Substring-level duplicate spans (the Lee et al. 2022
     "Deduplicating Training Data Makes Language Models Better"
     granularity): every maximal token span of length >= ``n`` whose
@@ -566,28 +603,14 @@ def dup_spans(df: DataFrame, id_col: str = "doc_id",
     Returns (id_col, span_start, span_end, n_shingles): token-index
     span [start, end] inclusive, plus how many duplicated windows
     merged into it. Docs shorter than ``n`` tokens emit nothing.
+    ``work_dir`` spills the occurrence cache to parquet instead of the
+    block manager (see _span_occurrences) — identical output.
     """
     if n < 2:
         raise ValueError(f"span shingle length n must be >= 2, got {n}")
     if min_count < 2:
         raise ValueError(f"min_count must be >= 2, got {min_count}")
-    toks = spark_tokens(text_col)
-    h = spark_md5_hash("concat_ws(' ', slice(toks, i + 1, " + str(n) + "))")
-    zero = "CAST(array() AS array<struct<i: int, h: bigint>>)"
-    shingles = (
-        f"aggregate(array({toks}), {zero}, (acc, toks) -> "
-        f"CASE WHEN coalesce(size(toks), 0) < {n} THEN {zero} "
-        f"ELSE transform(sequence(0, size(toks) - {n}), "
-        f"i -> named_struct('i', i, 'h', {h})) END)"
-    )
-    occ = (
-        df.filter(F.col(id_col).isNotNull())
-        .select(F.col(id_col), F.explode(F.expr(shingles)).alias("s"))
-        .select(id_col, F.col("s.i").alias("i"), F.col("s.h").alias("h"))
-    )
-    # two consumers (global counts + the flag join) — without the
-    # boundary each re-runs the tokenize+shingle+hash chain
-    occ = tracked_persist(occ)
+    occ = _span_occurrences(df, id_col, text_col, n, work_dir)
     dup_keys = (
         occ.groupBy("h").agg(F.count(F.lit(1)).alias("cnt"))
         .filter(F.col("cnt") >= min_count)
@@ -611,4 +634,125 @@ def dup_spans(df: DataFrame, id_col: str = "doc_id",
                 F.col("span_start").cast("long").alias("span_start"),
                 F.col("span_end").cast("long").alias("span_end"),
                 F.col("n_shingles").cast("long").alias("n_shingles"))
+    )
+
+
+def remove_dup_spans(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", n: int = 20,
+                     min_count: int = 2,
+                     work_dir: str | None = None) -> DataFrame:
+    """Duplicate-span EXCISION — the Lee et al. 2022 end product that
+    :func:`dup_spans` only detects: keep the corpus-wide FIRST
+    occurrence (by ``(doc_id, start)`` order) of every duplicated
+    ``n``-token window, cut every other occurrence's tokens, and
+    rebuild each document's text from the surviving tokens.
+
+    Semantics (window granularity, matching dup_spans' counting):
+      * a window is duplicated when its key's global occurrence count
+        >= ``min_count`` (within- and cross-document occurrences both
+        count)
+      * per duplicated key, the minimum ``(doc_id, start)`` occurrence
+        is the keeper; all other occurrences are CUT occurrences
+      * per document, cut occurrences merge into excision spans by the
+        same start-gap rule as dup_spans (gap <= n -> the windows
+        overlap or touch), and every token covered by a merged span is
+        removed
+      * the rebuilt text is the kept tokens joined by single spaces —
+        the same token-stream rebuild as segment_dedup (original
+        whitespace/punctuation does not survive tokenization).
+
+    Identity contract: ``id_col`` must be UNIQUE per row (one row = one
+    document) — the span join attaches each document's spans back to
+    its text row, so duplicate ids would cross-apply spans between the
+    rows sharing them (dup_spans' looser pooling contract does not
+    carry over). Rows with a NULL id are dropped.
+
+    Scale shape — keeper-join-shaped, NO pair join anywhere: the
+    occurrence explode is linear in corpus tokens and shuffles only
+    (key, id, start); keepers come from a map-side-combined
+    groupBy(key) min, exactly segment_dedup's template; the island
+    window partitions by document (bounded by doc length); span lists
+    rejoin documents on the id — per-doc span arrays are bounded by
+    doc length. The rebuild is one expression with the token array and
+    the kept-token array each let-bound once per row (codegen does not
+    subexpression-eliminate lambda-bearing subtrees). ``work_dir``
+    spills the occurrence cache to parquet (see _span_occurrences).
+
+    Returns one row per input document (NULL ids dropped):
+    (id_col, clean_text, n_kept, n_total, n_cut_spans). Documents with
+    nothing to cut return their token-rebuilt text unchanged; a fully
+    duplicated non-keeper document returns clean_text = ''.
+    """
+    if n < 2:
+        raise ValueError(f"span shingle length n must be >= 2, got {n}")
+    if min_count < 2:
+        raise ValueError(f"min_count must be >= 2, got {min_count}")
+    docs = df.filter(F.col(id_col).isNotNull())
+    occ = _span_occurrences(docs, id_col, text_col, n, work_dir)
+    dup_keys = (
+        occ.groupBy("h").agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+        .select("h")
+    )
+    dup_occ = occ.join(dup_keys, "h").select(id_col, "i", "h")
+    # corpus-wide first occurrence per key: groupBy min over a
+    # (doc_id, start) struct — map-side combinable, never a window sort
+    # over a hot key's 10^6 occurrences
+    keepers = dup_occ.groupBy("h").agg(
+        F.min(F.struct(F.col(id_col), F.col("i"))).alias("k"))
+    cut = (
+        dup_occ.join(keepers, "h")
+        .filter(F.struct(F.col(id_col), F.col("i")) != F.col("k"))
+        .select(id_col, "i")
+    )
+    w = Window.partitionBy(id_col).orderBy("i")
+    islands = (
+        cut.withColumn("new_island",
+                       F.when(F.col("i") - F.lag("i").over(w) <= n, 0)
+                       .otherwise(1))
+        .withColumn("island", F.sum("new_island").over(w))
+    )
+    spans = (
+        islands.groupBy(id_col, "island")
+        .agg(F.min("i").alias("s"), (F.max("i") + n - 1).alias("e"))
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.sort_array(F.collect_list(F.struct(
+            F.col("s").cast("int").alias("s"),
+            F.col("e").cast("int").alias("e")))).alias("_spc"),
+        F.count(F.lit(1)).alias("_nspans"),
+    )
+    joined = docs.join(per_doc, id_col, "left").withColumn(
+        "_spc",
+        F.coalesce(F.col("_spc"),
+                   F.expr("CAST(array() AS array<struct<s: int, e: int>>)")))
+    # rebuild: spans are sorted, disjoint and non-adjacent (consecutive
+    # islands are > n starts apart, so the inter-span gap is >= 1
+    # token), so the kept tokens are the size(_spc)+1 slices between
+    # them: segment k runs [prev_end+1, next_start), with prev_end = -1
+    # before the first span and next_start = size(toks) after the last
+    toks = spark_tokens(text_col)
+    seg_start = "IF(k = 0, 0, element_at(_spc, k).e + 1)"
+    seg_end = "IF(k = size(_spc), size(toks), element_at(_spc, k + 1).s)"
+    kept = (f"flatten(transform(sequence(0, size(_spc)), k -> "
+            f"slice(toks, {seg_start} + 1, "
+            f"greatest({seg_end} - ({seg_start}), 0))))")
+    zero = "named_struct('clean_text', '', 'n_kept', 0, 'n_total', 0)"
+    rebuild = (
+        f"aggregate(array(coalesce({toks}, CAST(array() AS array<string>))), "
+        f"{zero}, (acc, toks) -> aggregate(array({kept}), acc, "
+        f"(a2, kept) -> named_struct("
+        f"'clean_text', array_join(kept, ' '), "
+        f"'n_kept', size(kept), 'n_total', size(toks))))"
+    )
+    return (
+        joined.withColumn("_rb", F.expr(rebuild))
+        .select(
+            F.col(id_col),
+            F.col("_rb.clean_text").alias("clean_text"),
+            F.col("_rb.n_kept").cast("long").alias("n_kept"),
+            F.col("_rb.n_total").cast("long").alias("n_total"),
+            F.coalesce(F.col("_nspans"), F.lit(0)).cast("long")
+            .alias("n_cut_spans"),
+        )
     )

@@ -377,6 +377,144 @@ def test_dup_spans_property_matches_twin(spark):
     check()
 
 
+def _py_remove_dup_spans(rows, n, min_count=2):
+    """Pure-python twin of dedup.remove_dup_spans, rows = [(id, text)]
+    with UNIQUE non-null-or-None ids (the operator contract). Returns
+    sorted (id, clean_text, n_kept, n_total, n_cut_spans)."""
+    from collections import Counter
+
+    toks, occ, cnt = {}, {}, Counter()
+    for i, t in rows:
+        if i is None:
+            continue
+        tv = py_tokens(t)
+        toks[i] = tv
+        ss = ([(j, " ".join(tv[j:j + n])) for j in range(len(tv) - n + 1)]
+              if len(tv) >= n else [])
+        occ[i] = ss
+        for _, s in ss:
+            cnt[s] += 1
+    # corpus-wide first occurrence per duplicated key: iterate docs in
+    # id order, starts ascending within each doc -> first sighting is
+    # the (doc_id, start) minimum
+    keeper = {}
+    for i in sorted(occ):
+        for j, s in occ[i]:
+            if cnt[s] >= min_count and s not in keeper:
+                keeper[s] = (i, j)
+    out = []
+    for i in occ:
+        tv = toks[i]
+        cut_starts = sorted(j for j, s in occ[i]
+                            if cnt[s] >= min_count and keeper[s] != (i, j))
+        islands = []
+        for j in cut_starts:
+            if islands and j - islands[-1][1] <= n:
+                islands[-1][1] = j
+            else:
+                islands.append([j, j])
+        cutset = set()
+        for a, b in islands:
+            cutset.update(range(a, b + n))
+        kept = [tv[p] for p in range(len(tv)) if p not in cutset]
+        out.append((i, " ".join(kept), len(kept), len(tv), len(islands)))
+    return sorted(out)
+
+
+_RDS_COLS = ("doc_id", "clean_text", "n_kept", "n_total", "n_cut_spans")
+
+
+def _rds_rows(res):
+    return sorted(tuple(r[c] for c in _RDS_COLS) for r in res.collect())
+
+
+def test_remove_dup_spans_keeps_first_occurrence(spark):
+    rows = [
+        # doc 1 owns the corpus-wide first occurrence of the shared
+        # 10-gram (and repeats it within-doc: the repeat is cut)
+        (1, "a b c d e f g h i j unique one two three a b c d e f g h i j"),
+        (2, "x y a b c d e f g h i j z w"),
+        (3, "totally different content here nothing shared with anyone at all"),
+        (4, None),
+        (5, "short"),
+        # exact duplicate pair: 6 is the keeper, 7 is fully excised
+        (6, "p q r s t u v w aa bb cc dd"),
+        (7, "p q r s t u v w aa bb cc dd"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = _rds_rows(dedup.remove_dup_spans(df, n=10))
+    assert got == _py_remove_dup_spans(rows, 10)
+    by_id = {g[0]: g for g in got}
+    assert by_id[4] == (4, "", 0, 0, 0)        # NULL text -> empty, kept
+    # untouched docs come back token-rebuilt, zero spans cut
+    assert by_id[3] == (3, rows[2][1], 10, 10, 0)
+    assert by_id[5] == (5, "short", 1, 1, 0)
+    # keeper of the exact pair survives byte-identical; the dup empties
+    assert by_id[6] == (6, "p q r s t u v w aa bb cc dd", 12, 12, 0)
+    assert by_id[7] == (7, "", 0, 12, 1)
+    # doc 1 keeps its first copy, loses the within-doc repeat; doc 2's
+    # cross-doc copy is cut but its unique frame survives
+    assert by_id[1][1].startswith("a b c d e f g h i j unique one two three")
+    assert by_id[2][1] == "x y z w"
+
+
+def test_remove_dup_spans_validation(spark):
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="n must be >= 2"):
+        dedup.remove_dup_spans(df, n=1)
+    with pytest.raises(ValueError, match="min_count must be >= 2"):
+        dedup.remove_dup_spans(df, min_count=1)
+
+
+def test_remove_dup_spans_property_matches_twin(spark):
+    """Property: random small corpora from a tiny vocab, random n —
+    byte-exact rebuilt text vs the pure-python twin."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    token = st.sampled_from(["a", "b", "c", "d"])
+    text = st.one_of(
+        st.none(),
+        st.lists(token, min_size=0, max_size=14).map(" ".join),
+    )
+
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(texts=st.lists(text, min_size=1, max_size=8),
+           n=st.integers(min_value=2, max_value=5),
+           drop=st.booleans())
+    def check(texts, n, drop):
+        # unique ids per the rebuild contract; one optional NULL id
+        rows = [(None if drop and j == 0 else j, t)
+                for j, t in enumerate(texts)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = _rds_rows(dedup.remove_dup_spans(df, n=n))
+        assert got == _py_remove_dup_spans(rows, n)
+
+    check()
+
+
+def test_dup_span_family_work_dir_parity(spark, tmp_path):
+    """work_dir (parquet occurrence spill) must be row-identical to the
+    default tracked-persist path for BOTH dup_spans and
+    remove_dup_spans."""
+    rows = [
+        (1, "a b c d e f g h i j k l a b c d e f g h i j"),
+        (2, "z z a b c d e f g h i j q"),
+        (3, "p q r s t u v w aa bb cc dd"),
+        (4, "p q r s t u v w aa bb cc dd"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spans_mem = sorted(map(tuple, dedup.dup_spans(df, n=10).collect()))
+    spans_disk = sorted(map(tuple, dedup.dup_spans(
+        df, n=10, work_dir=str(tmp_path / "ds")).collect()))
+    assert spans_mem == spans_disk and spans_mem
+    rm_mem = _rds_rows(dedup.remove_dup_spans(df, n=10))
+    rm_disk = _rds_rows(dedup.remove_dup_spans(
+        df, n=10, work_dir=str(tmp_path / "rds")))
+    assert rm_mem == rm_disk and rm_mem
+
+
 def test_decontaminate_shuffle_path_matches_broadcast(spark):
     """broadcast_index=False (the large-eval-set escape hatch) must be
     row-identical to the broadcast form, and only the broadcast form
