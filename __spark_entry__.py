@@ -1672,6 +1672,63 @@ FROM isl GROUP BY doc_id, island
 """
 
 
+def _q_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-span EXCISION (Lee et al. 2022 end product): keep the
+    corpus-wide first occurrence of every duplicated 20-token window,
+    cut the rest, rebuild each doc's text from surviving tokens
+    (operators/dedup.remove_dup_spans — keeper-join-shaped: groupBy-min
+    keepers + id joins, no pair join; one let-bound rebuild expr)."""
+    from fastpasta_spark.operators.dedup import remove_dup_spans
+
+    d = _read_spread(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text")
+    return remove_dup_spans(d, n=_DUP_SPAN_N)
+
+
+def _sql_remove_dup_spans() -> str:
+    tk = duckdb_tokens("text")
+    N = _DUP_SPAN_N
+    return f"""
+WITH tk AS (SELECT doc_id, {tk} AS t FROM documents
+            WHERE doc_id IS NOT NULL),
+pos AS (SELECT doc_id, t, unnest(generate_series(0, len(t) - {N})) AS i
+        FROM tk WHERE coalesce(len(t), 0) >= {N}),
+sh AS (SELECT doc_id, i,
+       {duckdb_md5_hash(f"array_to_string(list_slice(t, i + 1, i + {N}), ' ')")} AS h
+       FROM pos),
+dupk AS (SELECT h FROM sh GROUP BY h HAVING count(*) >= 2),
+d AS (SELECT sh.doc_id, sh.i,
+      row_number() OVER (PARTITION BY sh.h ORDER BY sh.doc_id, sh.i) AS rn
+      FROM sh JOIN dupk USING (h)),
+cut AS (SELECT doc_id, i FROM d WHERE rn > 1),
+flg AS (SELECT doc_id, i,
+        CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) <= {N}
+             THEN 0 ELSE 1 END AS new_island
+        FROM cut),
+isl AS (SELECT doc_id, i,
+        sum(new_island) OVER (PARTITION BY doc_id ORDER BY i) AS island
+        FROM flg),
+spans AS (SELECT doc_id, min(i) AS s, max(i) + {N} - 1 AS e
+          FROM isl GROUP BY doc_id, island),
+tokpos AS (SELECT doc_id, unnest(t) AS tok, unnest(range(len(t))) AS p
+           FROM tk),
+kept AS (SELECT x.doc_id, x.p, x.tok FROM tokpos x
+         WHERE NOT EXISTS (SELECT 1 FROM spans sp
+                           WHERE sp.doc_id = x.doc_id
+                             AND x.p BETWEEN sp.s AND sp.e)),
+reb AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS clean_text,
+               count(*) AS n_kept
+        FROM kept GROUP BY doc_id),
+ns AS (SELECT doc_id, count(*) AS n_cut_spans FROM spans GROUP BY doc_id)
+SELECT tk.doc_id,
+       coalesce(reb.clean_text, '') AS clean_text,
+       coalesce(reb.n_kept, 0)::BIGINT AS n_kept,
+       coalesce(len(tk.t), 0)::BIGINT AS n_total,
+       coalesce(ns.n_cut_spans, 0)::BIGINT AS n_cut_spans
+FROM tk LEFT JOIN reb USING (doc_id) LEFT JOIN ns USING (doc_id)
+"""
+
+
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprints (32-bit, portable hash family)."""
     from fastpasta_spark.operators.dedup import simhash
@@ -2303,7 +2360,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "alpide_census": _q_alpide_census,
         "golden_diff": _q_golden_diff,
         # relational coverage (§2.2, 2.6, 2.9) — survivors of the rotation
-        "asof_join": _q_asof_join,
         "trigger_period": _q_trigger_period,
         # training-data pipeline ops
         "pack_chunks": _q_pack_chunks,
@@ -2319,6 +2375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation": _q_curation,
         "segment_dedup": _q_segment_dedup,
         "dup_spans": _q_dup_spans,
+        "remove_dup_spans": _q_remove_dup_spans,
         "text_patterns": _q_text_patterns,
         "redact": _q_redact,
         "stratified_sample": _q_stratified_sample,
@@ -2332,9 +2389,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": _q_embedding_near_dup,
         "kmeans_clusters": _q_kmeans,
         "semantic_dup": _q_semantic_dup,
-        # --- entries 51+: multi-round driver-green (r1-r4), rotated out of
-        # the driver's 50-query window; still verified every round by
-        # scripts/oracle_check.py (full-registry gate) and pytest.
+        # --- entries 51+: multi-round driver-green (r1-r4; asof_join
+        # r1-r6), rotated out of the driver's 50-query window; still
+        # verified every round by scripts/oracle_check.py (full-registry
+        # gate) and pytest.
         "q1_pricing_summary": _q1_pricing_summary,
         "q9_profit": _q9_profit,
         "join_revenue": _q_join_revenue,
@@ -2346,6 +2404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_uniformity": _q_source_uniformity,
         "bitflag_hist": _q_bitflag_hist,
         "media_meta": _q_media_meta,
+        "asof_join": _q_asof_join,
     }
 
 
@@ -2392,6 +2451,7 @@ def oracle_sql() -> dict[str, str]:
         "curation": _sql_curation(),
         "segment_dedup": _sql_segment_dedup(),
         "dup_spans": _sql_dup_spans(),
+        "remove_dup_spans": _sql_remove_dup_spans(),
         "text_patterns": _sql_text_patterns(),
         "redact": _sql_redact(),
         "stratified_sample": _sql_stratified_sample(),

@@ -46,6 +46,7 @@ QUERIES = [
     "minhash_signatures",
     "lsh_ann",
     "dup_spans",
+    "remove_dup_spans",
 ]
 
 
