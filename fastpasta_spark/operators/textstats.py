@@ -289,15 +289,21 @@ def unigram_logprob(df: DataFrame, id_col: str = "doc_id",
     Scale shape: the model is two bounded artifacts — a scalar total and
     the TakeOrdered vocab head — collected like any quantizer codebook.
     Scoring is then a per-row expression over a broadcast token->logp
-    map: the token stream is never exploded, never shuffled, and hot
-    stopwords cannot skew anything. The literal map lookup is a linear
-    scan, so keep vocab_k ~10^3-10^4; for a 10^6-type vocab, switch the
-    scoring side to explode + broadcast-hash-join against the vocab DF +
-    per-doc re-agg (still shuffle-free on the probe side, one map-side-
-    combined groupBy on ``id_col``).
+    map literal: the token stream is never exploded, never shuffled,
+    and hot stopwords cannot skew anything. MEASURED (BENCH/SCORING.md):
+    the map-literal lookup is NOT a per-token linear scan in practice —
+    27M tokens score in a flat ~2.25s at vocab_k 100, 1000 and 10000
+    alike (Spark 4 evaluates GetMapValue on a foldable map in ~O(1)),
+    and an md5-hash-bucketed array-literal probe benched 1.7x SLOWER
+    (the per-token md5 dominates). Keep vocab_k <= ~10^5 for literal
+    SIZE (plan/codegen bloat), not lookup cost; for a 10^6-type vocab,
+    switch the scoring side to explode + broadcast-hash-join against
+    the vocab DF + per-doc re-agg (still shuffle-free on the probe
+    side, one map-side-combined groupBy on ``id_col``).
 
     Returns (id_col, n_tokens, avg_logprob); empty/null text -> NULL
-    score, n_tokens 0.
+    score, n_tokens 0. ``vocab_k`` defaults to 2000 — kept EQUAL to
+    :func:`fit_scoring_model`'s default so both surfaces score alike.
     """
     score = F.expr(_fit_unigram_expr(df, text_col, vocab_k, dp))
     if append:
@@ -314,7 +320,13 @@ def _fit_unigram_expr(ref: DataFrame, text_col: str, vocab_k: int,
                       dp: int) -> str:
     """Fit the unigram model's bounded artifacts on ``ref`` (a scalar
     total + the TakeOrdered vocab head) and return the self-contained
-    per-row score expression."""
+    per-row score expression over a token->p map literal.
+
+    The flat map literal is deliberate: an md5-hash-bucketed
+    array-literal probe (the DSIR array trick adapted to exact token
+    keys) was built and benched 1.7x SLOWER at 27M tokens / vocab_k
+    10^4, and the map lookup measured FLAT across vocab_k 100..10^4 —
+    see BENCH/SCORING.md round-7 entry."""
     toks = spark_tokens(text_col)
     total = ref.agg(F.sum(F.expr(f"size({toks})"))).first()[0] or 0
     head = (
@@ -610,7 +622,7 @@ class ScoringModel:
 
 def fit_scoring_model(ref: DataFrame, signals: list[str],
                       text_col: str = "text", terms: list[str] | None = None,
-                      target_filter=None, vocab_k: int = 1000,
+                      target_filter=None, vocab_k: int = 2000,
                       buckets: int = 512, k1: float = 1.2, b: float = 0.75,
                       dp: int = 6) -> ScoringModel:
     """Fit the requested curation signals on ``ref`` and return a
@@ -619,6 +631,11 @@ def fit_scoring_model(ref: DataFrame, signals: list[str],
     ``bm25`` (needs ``terms``; ref supplies N/avgdl/df -> ``bm25``,
     NULL = no term present), ``dsir`` (needs ``target_filter``; ref
     supplies the bucket profile -> ``dsir_logratio``).
+
+    ``vocab_k`` defaults to 2000, deliberately EQUAL to
+    :func:`unigram_logprob`'s default so the same corpus yields the
+    same ``avg_logprob`` through either surface (operator call or
+    fitted model / CLI ``score --signals lm``).
     """
     known = ("quality", "lm", "bm25", "dsir")
     bad = [s for s in signals if s not in known]

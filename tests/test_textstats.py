@@ -476,3 +476,18 @@ def test_scoring_model_applies_to_stream(spark, tmp_path, documents):
            for r in model.apply(ref)
            .select("doc_id", "quality", "avg_logprob").collect()}
     assert got == exp and len(got) == ref.count()
+
+
+def test_scoring_model_lm_default_matches_operator(documents):
+    """fit_scoring_model's lm signal and the standalone unigram_logprob
+    share the vocab_k=2000 default — the same corpus must yield the
+    same avg_logprob through either surface (round-6 advice)."""
+    from pyspark.sql import functions as F
+
+    model = textstats.fit_scoring_model(documents, ["lm"], dp=6)
+    via_model = model.apply(documents.select("doc_id", "text"))
+    via_op = textstats.unigram_logprob(documents, dp=6)
+    mism = (via_model.select("doc_id", "avg_logprob").alias("a")
+            .join(via_op.select("doc_id", "avg_logprob").alias("b"), "doc_id")
+            .filter("NOT (a.avg_logprob <=> b.avg_logprob)").count())
+    assert mism == 0
