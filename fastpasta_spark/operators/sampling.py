@@ -160,6 +160,53 @@ def sample_k_per_stratum(df: DataFrame, strata_col: str, k: int,
             .drop("_rn", "_n", "_thresh"))
 
 
+def importance_resample(df: DataFrame, weight_col: str, k: int,
+                        id_col: str = "doc_id", seed: int = 0,
+                        temperature: float = 1.0) -> DataFrame:
+    """Deterministic importance resampling: exactly min(k, n) rows drawn
+    WITHOUT replacement with probability proportional to
+    ``exp(weight_col / temperature)`` — the resampling step of DSIR
+    (Xie et al. 2023): feed ``dsir_weights(append=True)`` output here
+    and the sample converges on the importance-weighted target mix.
+    ``weight_col`` is a LOG weight (dsir_logratio, avg_logprob, any
+    log-scale signal); for linear weights pass ln(w). ``temperature``
+    flattens (T > 1) or sharpens (T < 1) the draw.
+
+    Method: the Efraimidis–Spirtakis weighted order. Each row gets
+    u = (gate + 1) / (DENOM + 1) in (0, 1] from the seeded portable md5
+    gate, and key = ln(u) / w with w = exp(weight / T); the k LARGEST
+    keys are exactly a weight-proportional without-replacement sample.
+    Deterministic given (input, seed); NESTS across budgets (keys are
+    fixed per row, so top-10 is a subset of top-100); and reproducible
+    in any engine — the key is rounded to 9 dp so cross-engine libm ulp
+    differences collapse near-ties into exact ties, which break by id.
+
+    Scale shape: a pure map computes the key, then the top-k plans as
+    TakeOrderedAndProject — per-partition k-row heaps merged on the
+    driver, never a global sort, and the corpus never shuffles. Rows
+    with a NULL id or NULL weight are never sampled (no deterministic
+    hash identity / no weight), consistent with the hash-gate family.
+    Keep |weight / temperature| < ~700 or exp() saturates to inf/0 and
+    the proportionality (not determinism) degrades.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    if not temperature > 0:
+        raise ValueError(f"temperature must be > 0, got {temperature}")
+    h = spark_md5_hash(f"cast({id_col} as string)", seed=seed)
+    u = f"(CAST(pmod({h}, {DENOM}) + 1 AS DOUBLE) / {DENOM + 1}.0D)"
+    key = F.round(
+        F.expr(f"ln({u})")
+        * F.exp(-F.col(weight_col) / F.lit(float(temperature))), 9)
+    return (
+        df.filter(F.col(id_col).isNotNull() & F.col(weight_col).isNotNull())
+        .withColumn("_ikey", key)
+        .orderBy(F.desc("_ikey"), F.col(id_col).asc())
+        .limit(k)
+        .drop("_ikey")
+    )
+
+
 def mix_report(df: DataFrame, strata_cols: tuple[str, ...] = ("lang_pred",),
                token_col: str = "n_tokens") -> DataFrame:
     """Training-mix accounting: per-stratum doc counts, token sums and

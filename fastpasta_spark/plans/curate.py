@@ -69,12 +69,39 @@ def curate(
     max_df: int = 200,
     token_budget: int | None = None,
     exact_budget: bool = False,
+    scoring=None,
+    min_scores: dict[str, float] | None = None,
+    rank_col: str = "quality",
 ) -> CurateResult:
-    """Quality gate -> dedup keeper -> token budget. See module doc."""
+    """Quality gate -> dedup keeper -> token budget. See module doc.
+
+    Fitted signals: pass a ``ScoringModel`` (textstats.fit_scoring_model)
+    as ``scoring`` and its score columns (avg_logprob / bm25 /
+    dsir_logratio) are computed in the same scan as the textstats and
+    become gate- and rank-able: ``min_scores`` maps score column ->
+    minimum (NULL score fails the gate — an unscorable doc is not a
+    keeper), and ``rank_col`` picks which column the token budget ranks
+    by (default the stateless quality heuristic). The model is fit ONCE
+    by the caller on a reference slice; applying it here adds zero jobs
+    and zero shuffles (bounded literals in pure column exprs), so the
+    funnel's plan shape is unchanged at 100 TB.
+
+    Budget ranking by an arbitrary signal: exact mode orders by
+    (rank_col DESC NULLS LAST, id). The scale mode generalizes the
+    1000-bin histogram cutoff to the OBSERVED [min, max] of rank_col
+    (one extra pair of scalars in the same agg); NULL-ranked docs are
+    dropped first, and a degenerate rank (all docs tie) keeps
+    everything — the cut cannot separate ties, budget overshoot at bin
+    granularity is the documented contract.
+    """
     stats = with_textstats(docs.select(id_col, text_col), text_col)
+    if scoring is not None:
+        stats = scoring.apply(stats)
     gated = stats.filter(F.col("quality") >= min_quality)
     if langs:
         gated = gated.filter(F.col("lang_pred").isin(*langs))
+    for c, v in (min_scores or {}).items():
+        gated = gated.filter(F.col(c).isNotNull() & (F.col(c) >= v))
     gated = tracked_persist(gated)
 
     pairs = exact_dup_star_edges(gated, id_col, text_col).unionByName(
@@ -92,7 +119,8 @@ def curate(
     kept = unique
     if token_budget is not None:
         if exact_budget:
-            w = Window.orderBy(F.desc("quality"), id_col).rowsBetween(
+            w = Window.orderBy(
+                F.desc_nulls_last(rank_col), id_col).rowsBetween(
                 Window.unboundedPreceding, Window.currentRow)
             kept = (
                 unique.withColumn("_cum", F.sum("n_tokens").over(w))
@@ -100,29 +128,44 @@ def curate(
                 .drop("_cum")
             )
         else:
-            total = unique.agg(F.sum("n_tokens")).first()[0] or 0
-            if total > token_budget:
-                # TOKEN-weighted quality cutoff, not a doc-count quantile
-                # (when length correlates with quality a doc quantile can
+            agg = unique.agg(
+                F.sum("n_tokens").alias("_t"),
+                F.min(rank_col).alias("_lo"),
+                F.max(rank_col).alias("_hi"),
+            ).first()
+            total = agg["_t"] or 0
+            lo, hi = agg["_lo"], agg["_hi"]
+            if total > token_budget and lo is not None and hi > lo:
+                # TOKEN-weighted rank cutoff, not a doc-count quantile
+                # (when length correlates with rank a doc quantile can
                 # overshoot the token budget arbitrarily): bucketize
-                # quality into 1000 bins, aggregate token mass per bin
-                # (<=1001 rows collected), walk the cumulative sum from
-                # the top. One shuffle of tiny (bin, tokens) rows; no
-                # global sort of documents.
+                # rank_col into 1000 bins over its observed [lo, hi],
+                # aggregate token mass per bin (<=1001 rows collected),
+                # walk the cumulative sum from the top. One shuffle of
+                # tiny (bin, tokens) rows; no global sort of documents.
+                # NULL rank -> bin -1 (dropped first); hi == lo (all
+                # docs tie) keeps everything — handled above.
+                width = (hi - lo) / 1000.0
+                qb = F.when(F.col(rank_col).isNull(), F.lit(-1)).otherwise(
+                    F.least(
+                        F.lit(999),
+                        F.floor((F.col(rank_col) - F.lit(lo)) / F.lit(width)))
+                    .cast("int"))
                 bins = (
-                    unique.groupBy(
-                        F.floor(F.col("quality") * 1000).alias("_qb"))
+                    unique.groupBy(qb.alias("_qb"))
                     .agg(F.sum("n_tokens").alias("_t"))
                     .collect()
                 )
                 cum, cut_bin = 0, None
                 for r in sorted(bins, key=lambda r: -r["_qb"]):
+                    if r["_qb"] < 0:
+                        break  # only NULL-rank mass left below this point
                     cum += r["_t"]
                     cut_bin = r["_qb"]
                     if cum >= token_budget:
                         break
-                kept = unique.filter(
-                    F.floor(F.col("quality") * 1000) >= cut_bin)
+                if cut_bin is not None:
+                    kept = unique.filter(qb >= cut_bin)
 
     summary = (
         docs.select(F.count(F.lit(1)).alias("n_input"))
@@ -133,3 +176,35 @@ def curate(
             F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("kept_tokens")))
     )
     return CurateResult(kept=kept, summary=summary)
+
+
+def dsir_resample(
+    docs: DataFrame,
+    target_filter,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 512,
+    temperature: float = 1.0,
+    seed: int = 0,
+) -> DataFrame:
+    """DSIR end-to-end (Xie et al. 2023): importance weights against a
+    target slice, then deterministic weight-proportional resampling —
+    returns the min(k, n) docs drawn without replacement with
+    probability proportional to ``exp(dsir_logratio / temperature)``,
+    i.e. the importance-resampled training subset, with the
+    ``dsir_logratio`` column appended.
+
+    Composition of two scan-shaped operators: ``dsir_weights`` (one
+    bounded-profile shuffle + a map-only scoring pass) into
+    ``importance_resample`` (pure map + TakeOrderedAndProject top-k) —
+    no extra jobs, no corpus shuffle, deterministic on any cluster.
+    Token-free docs (NULL dsir_logratio) are never sampled.
+    """
+    from fastpasta_spark.operators.sampling import importance_resample
+    from fastpasta_spark.operators.textstats import dsir_weights
+
+    scored = dsir_weights(docs, target_filter, id_col=id_col,
+                          text_col=text_col, buckets=buckets, append=True)
+    return importance_resample(scored, "dsir_logratio", k, id_col=id_col,
+                               seed=seed, temperature=temperature)

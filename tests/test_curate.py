@@ -69,3 +69,91 @@ def test_budget_noop_when_under(spark):
     res = curate(_docs(spark), min_quality=0.5, jaccard_threshold=0.5,
                  token_budget=10_000_000, exact_budget=True)
     assert res.summary.first()["n_kept"] == 2
+
+
+# ---------------------------------------------------------------- #
+# fitted-signal gate + rank_col token budget (round-7 wiring)        #
+# ---------------------------------------------------------------- #
+
+GIBBERISH = ("zzq wvx qqj xxv zzk wwq vvx qqz kkx wwj zzv xxq jjw kkq "
+             "vvz wwx qqk jjx zzw vvq")  # OOV-dense: low avg_logprob
+
+
+def _scored_docs(spark):
+    rows = [
+        (1, GOOD), (2, GOOD2), (3, OTHER),
+        (4, GIBBERISH),
+        (5, None),  # unscorable: NULL avg_logprob
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _fit_lm(docs):
+    from fastpasta_spark.operators.textstats import fit_scoring_model
+
+    return fit_scoring_model(docs, ["lm"], vocab_k=2000)
+
+
+def test_fitted_gate_drops_low_lm_and_nulls(spark):
+    docs = _scored_docs(spark)
+    model = _fit_lm(docs)
+    scores = {r["doc_id"]: r["avg_logprob"]
+              for r in model.apply(docs).collect()}
+    assert scores[5] is None
+    # threshold between the gibberish doc and the real ones
+    good_min = min(scores[i] for i in (1, 2, 3))
+    assert scores[4] < good_min
+    thresh = (scores[4] + good_min) / 2
+    res = curate(docs, min_quality=0.0, jaccard_threshold=0.99,
+                 scoring=model, min_scores={"avg_logprob": thresh})
+    kept = {r["doc_id"]: r for r in res.kept.collect()}
+    assert set(kept) == {1, 2, 3}          # 4 under threshold, 5 NULL
+    assert kept[1]["avg_logprob"] == scores[1]  # score column flows out
+
+
+def test_exact_budget_ranks_by_fitted_signal(spark):
+    docs = _scored_docs(spark)
+    model = _fit_lm(docs)
+    # no budget first: collect (id, n_tokens, avg_logprob) survivors
+    base = curate(docs, min_quality=0.0, jaccard_threshold=0.99,
+                  scoring=model).kept.collect()
+    order = sorted(base, key=lambda r: (
+        r["avg_logprob"] is None, -(r["avg_logprob"] or 0), r["doc_id"]))
+    budget, cum, expect = 45, 0, []
+    for r in order:
+        cum += r["n_tokens"]
+        if cum > budget:
+            break
+        expect.append(r["doc_id"])
+    res = curate(docs, min_quality=0.0, jaccard_threshold=0.99,
+                 scoring=model, token_budget=budget, exact_budget=True,
+                 rank_col="avg_logprob")
+    assert sorted(r["doc_id"] for r in res.kept.collect()) == sorted(expect)
+
+
+def test_histogram_budget_generalizes_to_signal_and_drops_nulls(spark):
+    docs = _scored_docs(spark)
+    model = _fit_lm(docs)
+    base = curate(docs, min_quality=0.0, jaccard_threshold=0.99,
+                  scoring=model).kept.collect()
+    total = sum(r["n_tokens"] for r in base)
+    # budget below the top docs' mass so the walk stops before the
+    # gibberish doc's bin (the cut INCLUDES the bin that crosses the
+    # budget — overshoot is bounded by one bin's mass, not zero)
+    res = curate(docs, min_quality=0.0, jaccard_threshold=0.99,
+                 scoring=model, token_budget=40, exact_budget=False,
+                 rank_col="avg_logprob")
+    kept = res.kept.collect()
+    kept_ids = {r["doc_id"] for r in kept}
+    assert 5 not in kept_ids                    # NULL rank dropped first
+    assert 4 not in kept_ids                    # lowest-score bin cut
+    assert sum(r["n_tokens"] for r in kept) < total  # budget cut something
+    # bin-granularity contract: every dropped score <= every kept score
+    # + one bin width
+    scores = {r["doc_id"]: r["avg_logprob"] for r in base}
+    vals = [v for v in scores.values() if v is not None]
+    width = (max(vals) - min(vals)) / 1000.0
+    dropped = [scores[i] for i in scores
+               if i not in kept_ids and scores[i] is not None]
+    if dropped and kept:
+        assert max(dropped) <= min(r["avg_logprob"] for r in kept) + width

@@ -270,3 +270,85 @@ def test_sample_k_property_matches_twin(spark):
         assert got == _expected_topk(rows, k, seed=seed)
 
     check()
+
+
+# ---------------------------------------------------------------- #
+# importance_resample: deterministic weighted without-replacement   #
+# sampling (Efraimidis-Spirtakis over the portable md5 gate)         #
+# ---------------------------------------------------------------- #
+
+import math
+
+import pytest
+
+from fastpasta_spark.operators.sampling import importance_resample
+
+
+def _ikey(i, w, seed, temperature=1.0):
+    u = (py_md5_hash(str(i), seed=seed) % DENOM + 1) / (DENOM + 1)
+    return round(math.log(u) * math.exp(-w / temperature), 9)
+
+
+def _weighted(spark, n=300):
+    # deterministic log-weights in [-2, 2]
+    rows = [(i, ((i * 7) % 13 - 6) / 3.0) for i in range(n)]
+    return spark.createDataFrame(rows, "doc_id long, w double")
+
+
+def test_importance_matches_python_twin(spark):
+    got = [r["doc_id"] for r in importance_resample(
+        _weighted(spark), "w", k=50, seed=4).collect()]
+    keys = sorted(((-_ikey(i, ((i * 7) % 13 - 6) / 3.0, seed=4), i)
+                   for i in range(300)))
+    assert sorted(got) == sorted(i for _, i in keys[:50])
+
+
+def test_importance_nests_and_partition_independent(spark):
+    df = _weighted(spark)
+    top10 = {r["doc_id"] for r in
+             importance_resample(df, "w", k=10, seed=1).collect()}
+    top50 = {r["doc_id"] for r in
+             importance_resample(df.repartition(16), "w", k=50,
+                                 seed=1).collect()}
+    assert top10 <= top50 and len(top50) == 50
+
+
+def test_importance_converges_to_weighted_mix(spark):
+    # group A log-weight ln(9), group B 0 -> A is 9x likelier per draw;
+    # at k=200 of 2000 the realized mix must sit far above A's 50% base
+    # rate (binomial mean ~0.9, the 0.75 bound is > 6 sigma away)
+    rows = [(i, math.log(9.0) if i % 2 == 0 else 0.0, i % 2 == 0)
+            for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, w double, is_a boolean")
+    got = importance_resample(df, "w", k=200, seed=2).collect()
+    share_a = sum(r["is_a"] for r in got) / len(got)
+    assert share_a > 0.75
+
+
+def test_importance_null_weight_and_id_excluded(spark):
+    rows = [(0, None), (None, 5.0)] + [(i, 0.0) for i in range(1, 40)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = {r["doc_id"] for r in
+           importance_resample(df, "w", k=100, seed=0).collect()}
+    assert got == set(range(1, 40))
+
+
+def test_importance_validation():
+    with pytest.raises(ValueError, match="k must be positive"):
+        importance_resample(None, "w", k=0)
+    with pytest.raises(ValueError, match="temperature"):
+        importance_resample(None, "w", k=1, temperature=0.0)
+
+
+def test_dsir_resample_overrepresents_target(spark):
+    from fastpasta_spark.plans.curate import dsir_resample
+
+    en = "the quick brown fox jumps over the lazy dog again and again"
+    de = "der schnelle braune fuchs springt wieder uber den faulen hund"
+    rows = [(i, en if i % 2 == 0 else de, "en" if i % 2 == 0 else "de")
+            for i in range(400)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = dsir_resample(docs, F.col("lang") == "en", k=60, seed=5).collect()
+    assert "dsir_logratio" in got[0].asDict()
+    share_en = sum(r["lang"] == "en" for r in got) / len(got)
+    assert share_en > 0.75  # raw corpus share is 0.5
