@@ -122,6 +122,31 @@ def main(argv: list[str] | None = None) -> int:
                      help="deterministic cumulative-sum budget (single-"
                           "partition window; default is the distributed "
                           "quantile-cutoff scale path)")
+    cur.add_argument("--signals", nargs="+", default=None,
+                     choices=["quality", "lm", "bm25", "dsir"],
+                     help="fit these scoring signals once (on --ref if "
+                          "given, else the input) and make their columns "
+                          "gate-able (--min-score) and rank-able "
+                          "(--rank-by)")
+    cur.add_argument("--terms", nargs="+", default=None, metavar="TERM",
+                     help="bm25 query terms ([a-z0-9]+, <= 32)")
+    cur.add_argument("--target", default=None, metavar="SQL",
+                     help="SQL predicate defining the dsir target slice")
+    cur.add_argument("--vocab-k", type=int, default=None,
+                     help="lm model vocabulary size (default 2000)")
+    cur.add_argument("--dsir-buckets", type=int, default=None,
+                     help="dsir hash buckets (default 512)")
+    cur.add_argument("--ref", default=None, metavar="PARQUET",
+                     help="fit the signal models on this reference corpus "
+                          "instead of the input itself")
+    cur.add_argument("--min-score", action="append", default=None,
+                     metavar="COL=MIN",
+                     help="extra gate: keep docs with score column COL "
+                          ">= MIN (NULL fails); repeatable, e.g. "
+                          "--min-score avg_logprob=-5.0")
+    cur.add_argument("--rank-by", default="quality", metavar="COL",
+                     help="column the token budget ranks by "
+                          "(default quality; any fitted signal column)")
 
     dr = sub.add_parser(
         "drift", help="distribution drift between two docs corpora: "
@@ -146,7 +171,16 @@ def main(argv: list[str] | None = None) -> int:
     g.add_argument("-k", type=int,
                    help="exactly min(k, n) rows per --stratum value")
     smp.add_argument("--stratum", default=None,
-                     help="stratum column (required with -k)")
+                     help="stratum column (required with -k unless "
+                          "--weight-col)")
+    smp.add_argument("--weight-col", default=None, metavar="COL",
+                     help="with -k: exact-k importance resampling, draw "
+                          "probability proportional to exp(COL / T) — COL "
+                          "is a LOG weight (e.g. dsir_logratio from "
+                          "`score --signals dsir`)")
+    smp.add_argument("--temperature", type=float, default=1.0,
+                     help="importance-resampling temperature T (> 0; "
+                          "higher flattens the draw)")
 
     dd = sub.add_parser(
         "dedup", help="duplicate detection over a flat (doc_id, text) "
@@ -221,16 +255,26 @@ def main(argv: list[str] | None = None) -> int:
         if args.k is not None:
             if args.k <= 0:
                 raise SystemExit(f"-k must be positive, got {args.k}")
-            if not args.stratum:
-                raise SystemExit("-k requires --stratum")
+            if args.stratum and args.weight_col:
+                raise SystemExit("--stratum and --weight-col are mutually "
+                                 "exclusive (per-stratum importance "
+                                 "resampling is not a CLI flag)")
+            if not args.stratum and not args.weight_col:
+                raise SystemExit("-k requires --stratum or --weight-col")
         else:
             if args.stratum:
                 raise SystemExit(
                     "--stratum requires -k (a global --rate would "
                     "silently ignore it; per-stratum rates are the "
                     "sample_stratified API, not a CLI flag)")
+            if args.weight_col:
+                raise SystemExit("--weight-col requires -k (importance "
+                                 "resampling is an exact-k draw)")
             if not 0 < args.rate <= 1:
                 raise SystemExit(f"--rate must be in (0, 1], got {args.rate}")
+        if not args.temperature > 0:
+            raise SystemExit(
+                f"--temperature must be > 0, got {args.temperature}")
 
     if args.cmd == "dedup":
         if args.threshold is not None:
@@ -246,17 +290,26 @@ def main(argv: list[str] | None = None) -> int:
                 raise SystemExit(
                     f"--span-tokens must be >= 2, got {args.span_tokens}")
 
-    if args.cmd == "score":
+    if args.cmd in ("score", "curate"):
         # fail fast pre-Spark: a requested flag must never be silently
         # ignored, and a required one must never fail mid-job (these
-        # imports load no JVM — Spark starts at get_spark below)
+        # imports load no JVM — Spark starts at get_spark below).
+        # score and curate share the signal-model flag family.
         from fastpasta_spark.operators.textstats import (
             validate_bm25_query,
             validate_dsir_buckets,
         )
 
-        sigs = list(dict.fromkeys(args.signals))
-        if "bm25" in sigs and not args.terms:
+        sigs = list(dict.fromkeys(args.signals or []))
+        if not sigs:  # curate without --signals: model flags are inert
+            for flag, name in ((args.terms, "--terms"),
+                               (args.target, "--target"),
+                               (args.vocab_k, "--vocab-k"),
+                               (args.dsir_buckets, "--dsir-buckets"),
+                               (args.ref, "--ref")):
+                if flag:
+                    raise SystemExit(f"{name} requires --signals")
+        if sigs and "bm25" in sigs and not args.terms:
             raise SystemExit("--signals bm25 requires --terms")
         if args.terms and "bm25" not in sigs:
             raise SystemExit("--terms only applies to --signals bm25")
@@ -281,6 +334,35 @@ def main(argv: list[str] | None = None) -> int:
                 raise ValueError(f"--vocab-k must be >= 1, got {args.vocab_k}")
         except ValueError as e:
             raise SystemExit(str(e)) from None
+
+        if args.cmd == "curate":
+            # gate / rank columns must exist in the funnel's frame:
+            # quality is always computed; the rest need their signal
+            sig_cols = {"quality": "quality", "lm": "avg_logprob",
+                        "bm25": "bm25", "dsir": "dsir_logratio"}
+            allowed = {"quality"} | {sig_cols[s] for s in sigs}
+            args.min_scores = {}
+            for spec in args.min_score or []:
+                col, sep, val = spec.partition("=")
+                if not sep:
+                    raise SystemExit(
+                        f"--min-score wants COL=MIN, got {spec!r}")
+                try:
+                    args.min_scores[col] = float(val)
+                except ValueError:
+                    raise SystemExit(
+                        f"--min-score {spec!r}: MIN must be a number"
+                    ) from None
+                if col not in allowed:
+                    raise SystemExit(
+                        f"--min-score column {col!r} not available; "
+                        f"gate-able here: {sorted(allowed)} (request the "
+                        "matching --signals)")
+            if args.rank_by not in allowed:
+                raise SystemExit(
+                    f"--rank-by column {args.rank_by!r} not available; "
+                    f"rank-able here: {sorted(allowed)} (request the "
+                    "matching --signals)")
 
     from fastpasta_spark.session import get_spark
 
@@ -367,6 +449,7 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd == "sample":
         from fastpasta_spark.operators.sampling import (
+            importance_resample,
             sample_exact,
             sample_k_per_stratum,
         )
@@ -374,7 +457,14 @@ def main(argv: list[str] | None = None) -> int:
         tbl = spark.read.parquet(args.input)
         if args.id_col not in tbl.columns:
             raise SystemExit(f"--id-col {args.id_col!r} not in {tbl.columns}")
-        if args.k is not None:
+        if args.weight_col is not None:
+            if args.weight_col not in tbl.columns:
+                raise SystemExit(
+                    f"--weight-col {args.weight_col!r} not in {tbl.columns}")
+            out = importance_resample(tbl, args.weight_col, args.k,
+                                      id_col=args.id_col, seed=args.seed,
+                                      temperature=args.temperature)
+        elif args.k is not None:
             if args.stratum not in tbl.columns:
                 raise SystemExit(
                     f"--stratum {args.stratum!r} not in {tbl.columns}")
@@ -443,7 +533,7 @@ def main(argv: list[str] | None = None) -> int:
         model = T.fit_scoring_model(
             ref, sigs, terms=args.terms,
             target_filter=F.expr(args.target) if args.target else None,
-            vocab_k=args.vocab_k or 1000,
+            vocab_k=args.vocab_k if args.vocab_k is not None else 2000,
             buckets=args.dsir_buckets or 512)
         # null text counts as 0 tokens (raw size() of a NULL array is NULL)
         out = model.apply(docs).select(
@@ -462,11 +552,28 @@ def main(argv: list[str] | None = None) -> int:
         docs = spark.read.parquet(args.input)
         if "doc_id" not in docs.columns or "text" not in docs.columns:
             raise SystemExit(f"curate needs (doc_id, text); got {docs.columns}")
+        scoring = None
+        if args.signals:
+            from pyspark.sql import functions as F
+
+            from fastpasta_spark.operators import textstats as T
+
+            # fit ONCE on the reference slice (or the input), apply in
+            # the funnel's own textstats scan — no extra jobs there
+            ref = spark.read.parquet(args.ref) if args.ref else docs
+            scoring = T.fit_scoring_model(
+                ref, list(dict.fromkeys(args.signals)), terms=args.terms,
+                target_filter=F.expr(args.target) if args.target else None,
+                vocab_k=args.vocab_k if args.vocab_k is not None else 2000,
+                buckets=args.dsir_buckets or 512)
         res = curate(docs, min_quality=args.min_quality,
                      langs=tuple(args.langs) if args.langs else None,
                      jaccard_threshold=args.jaccard_threshold,
                      token_budget=args.token_budget,
-                     exact_budget=args.exact_budget)
+                     exact_budget=args.exact_budget,
+                     scoring=scoring,
+                     min_scores=getattr(args, "min_scores", None) or None,
+                     rank_col=args.rank_by)
         res.kept.write.mode("overwrite").parquet(args.output)
         s = res.summary.first()
         print(f"input={s['n_input']} gated={s['n_gated']} "

@@ -546,3 +546,80 @@ def test_score_cli_ref_corpus(spark, tmp_path, capsys):
     with pytest.raises(SystemExit, match="--ref needs a text column"):
         main(["score", src, "-o", "/tmp/x", "--signals", "lm",
               "--ref", str(tmp_path / "notext")])
+
+
+def test_curate_cli_fitted_signals(spark, tmp_path, capsys):
+    good = ("the quick brown fox jumps over the lazy dog and it is "
+            "a fine day for running checks in the data pipeline")
+    gib = ("zzq wvx qqj xxv zzk wwq vvx qqz kkx wwj zzv xxq jjw kkq "
+           "vvz wwx qqk jjx zzw vvq zqz wxw qjq vxv kzk qwq xvx zqq "
+           "xkk jww vzz qxx wjj qkk zvv xww kqq xjj wzz qvv")
+    docs = spark.createDataFrame(
+        [(1, good), (2, good.replace("dog", "cat")), (3, gib)],
+        "doc_id long, text string")
+    src = str(tmp_path / "flat")
+    out = str(tmp_path / "curated")
+    docs.write.parquet(src)
+    # fit lm on the corpus; gate drops the OOV-dense gibberish doc and
+    # the kept output carries the fitted score column
+    rc = main(["curate", src, "-o", out, "--min-quality", "0.0",
+               "--jaccard-threshold", "0.99",
+               "--signals", "lm", "--min-score", "avg_logprob=-4.2",
+               "--rank-by", "avg_logprob"])
+    assert rc == 0
+    kept = spark.read.parquet(out)
+    assert "avg_logprob" in kept.columns
+    ids = {r["doc_id"] for r in kept.collect()}
+    assert 3 not in ids and ids <= {1, 2}
+
+
+def test_curate_cli_signal_flag_validation(spark, tmp_path):
+    src = str(tmp_path / "flat")
+    spark.createDataFrame([(1, "x")], "doc_id long, text string") \
+        .write.parquet(src)
+    # model flags without --signals fail BEFORE Spark
+    with pytest.raises(SystemExit, match="--terms requires --signals"):
+        main(["curate", src, "-o", "/dev/null", "--terms", "x"])
+    with pytest.raises(SystemExit, match="--min-score wants COL=MIN"):
+        main(["curate", src, "-o", "/dev/null", "--min-score", "nope"])
+    with pytest.raises(SystemExit, match="MIN must be a number"):
+        main(["curate", src, "-o", "/dev/null", "--min-score", "quality=x"])
+    with pytest.raises(SystemExit, match="not available"):
+        main(["curate", src, "-o", "/dev/null",
+              "--min-score", "avg_logprob=-5"])  # lm signal not requested
+    with pytest.raises(SystemExit, match="not available"):
+        main(["curate", src, "-o", "/dev/null", "--rank-by", "bm25"])
+
+
+def test_sample_cli_importance_resample(spark, tmp_path, capsys):
+    import math
+
+    rows = [(i, math.log(9.0) if i % 2 == 0 else 0.0) for i in range(400)]
+    src = str(tmp_path / "weighted")
+    out = str(tmp_path / "resampled")
+    spark.createDataFrame(rows, "doc_id long, w double").write.parquet(src)
+    rc = main(["sample", src, "-o", out, "-k", "60", "--weight-col", "w",
+               "--seed", "2"])
+    assert rc == 0
+    got = spark.read.parquet(out).collect()
+    assert len(got) == 60
+    share_heavy = sum(r["doc_id"] % 2 == 0 for r in got) / 60
+    assert share_heavy > 0.7  # 9x weights dominate the draw
+
+
+def test_sample_cli_weight_flag_validation(spark, tmp_path):
+    src = str(tmp_path / "w2")
+    spark.createDataFrame([(1, 0.0)], "doc_id long, w double") \
+        .write.parquet(src)
+    with pytest.raises(SystemExit, match="mutually exclusive"):
+        main(["sample", src, "-o", "/dev/null", "-k", "5",
+              "--stratum", "w", "--weight-col", "w"])
+    with pytest.raises(SystemExit, match="--weight-col requires -k"):
+        main(["sample", src, "-o", "/dev/null", "--rate", "0.5",
+              "--weight-col", "w"])
+    with pytest.raises(SystemExit, match="temperature"):
+        main(["sample", src, "-o", "/dev/null", "-k", "5",
+              "--weight-col", "w", "--temperature", "0"])
+    with pytest.raises(SystemExit, match="not in"):
+        main(["sample", src, "-o", "/dev/null", "-k", "5",
+              "--weight-col", "nope"])
