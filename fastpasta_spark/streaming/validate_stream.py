@@ -24,20 +24,31 @@ from fastpasta_spark import schema as S
 from fastpasta_spark.operators.sequence import sequence_pass, split_sequence_output
 
 
+# once the media-id size guard trips, skip its distinct+LIMIT probe
+# (which collects up to max_ids+1 id rows per epoch just to discard
+# them) for this many epochs before probing again. A live dim never
+# shrinks, so the re-probe exists only for operational resets (env cap
+# raised, dim compacted) — keep it rare.
+GUARD_REPROBE_EPOCHS = 32
+
+
 def validate_stream(
     spark: SparkSession,
     input_dir: str,
     out_dir: str,
     checkpoint_dir: str,
     media: DataFrame | None = None,
+    max_files_per_trigger: int = 8,
 ) -> StreamingQuery:
     """readStream(parquet docs) -> fused validation per micro-batch ->
     violations parquet sink (append). Returns the running query."""
     stream = (
         spark.readStream.schema(S.DOCS_SCHEMA)
-        .option("maxFilesPerTrigger", 8)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(input_dir)
     )
+
+    guard = {"tripped_at": None}  # epoch id when the size guard tripped
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
         # the media-id set is re-resolved PER EPOCH, preserving the old
@@ -51,11 +62,19 @@ def validate_stream(
         # bound and will eventually cross MEDIA_BROADCAST_MAX): on None
         # the epoch's E110 degrades to the columnar anti-join over the
         # micro-batch — same guard, same fallback as plans/check_all.
+        # The guard trip is MEMOIZED: a dim past the cap stays past it,
+        # so later epochs go straight to the columnar fallback instead
+        # of re-paying the probe's driver collect every micro-batch;
+        # a low-frequency re-probe (GUARD_REPROBE_EPOCHS) recovers the
+        # broadcast path after an operational reset.
         vm_bc = None
         if media is not None:
             from fastpasta_spark.plans.check_all import media_id_broadcast
 
-            vm_bc = media_id_broadcast(media, track=False)
+            t = guard["tripped_at"]
+            if t is None or epoch_id - t >= GUARD_REPROBE_EPOCHS:
+                vm_bc = media_id_broadcast(media, track=False)
+                guard["tripped_at"] = None if vm_bc is not None else epoch_id
         out = sequence_pass(batch_df, fused=True, valid_media_ids=vm_bc)
         violations, stats = split_sequence_output(out.persist())
         if media is not None and vm_bc is None:

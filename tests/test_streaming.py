@@ -154,3 +154,98 @@ def test_stream_referential_guarded_fallback_parity(spark, tmp_path, monkeypatch
         .filter("check_code = 'E110'").collect()
     )
     assert got == expected and len(got) > 0
+
+
+def test_stream_guard_trip_memoized_across_epochs(spark, tmp_path,
+                                                  monkeypatch):
+    """Once the media-id size guard trips, later epochs must go straight
+    to the columnar fallback WITHOUT re-running the distinct+LIMIT probe
+    (ADVICE r6: a live dim never shrinks, so each epoch re-paid a
+    ~max_ids-row driver collect forever) — and the violations stay
+    row-identical to the batch engine."""
+    import fastpasta_spark.plans.check_all as ca
+    from fastpasta_spark.plans.check_all import check_all
+    from fastpasta_spark.sources.synth import media_df
+
+    docs = corpus_df(spark, CFG)
+    media = media_df(spark, CFG)
+    in_dir = str(tmp_path / "in")
+    docs.repartition(4).write.parquet(in_dir)
+
+    expected = sorted(
+        (r.doc_id, r.span_idx, r.offset, r.message)
+        for r in check_all(docs, media).violations
+        .filter("check_code = 'E110'").collect()
+    )
+    monkeypatch.setenv("FASTPASTA_MEDIA_BC_MAX", "1")
+
+    calls = {"n": 0}
+    real = ca.media_id_broadcast
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(ca, "media_id_broadcast", counting)
+    q = validate_stream(
+        spark, in_dir,
+        out_dir=str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        media=media,
+        max_files_per_trigger=1,  # 4 part files -> 4 epochs
+    )
+    q.awaitTermination(120)
+    n_epochs = (spark.read.parquet(str(tmp_path / "out" / "metrics"))
+                .select("epoch_id").distinct().count())
+    assert n_epochs >= 2, "test needs multiple epochs to mean anything"
+    assert calls["n"] == 1, (
+        f"guard probe ran {calls['n']}x across {n_epochs} epochs; "
+        "the trip must be memoized")
+    got = sorted(
+        (r.doc_id, r.span_idx, r.offset, r.message)
+        for r in spark.read.parquet(str(tmp_path / "out" / "violations"))
+        .filter("check_code = 'E110'").collect()
+    )
+    assert got == expected and len(got) > 0
+
+
+def test_score_stream_matches_batch_and_is_idempotent(spark, tmp_path):
+    """Fitted models applied on arrival: streamed scores+gate equal the
+    batch apply row-for-row, and a second availableNow run over the same
+    checkpoint adds nothing (file-sink exactly-once)."""
+    from fastpasta_spark.operators.textstats import fit_scoring_model
+    from fastpasta_spark.streaming.score_stream import score_stream
+
+    good = ("the quick brown fox jumps over the lazy dog and it is "
+            "a fine day for running checks in the data pipeline")
+    gib = "zzq wvx qqj xxv zzk wwq vvx qqz kkx wwj zzv xxq jjw kkq vvz"
+    rows = [(i, good if i % 3 else gib) for i in range(60)] + [(99, None)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    in_dir = str(tmp_path / "in")
+    docs.repartition(4).write.parquet(in_dir)
+
+    # fit on a REFERENCE slice, not the stream (the 100-TB contract)
+    ref = docs.filter("doc_id < 30")
+    model = fit_scoring_model(ref, ["quality", "lm"], vocab_k=2000)
+    gate = {"avg_logprob": -6.0}
+
+    expected = sorted(
+        (r.doc_id, r.quality, r.avg_logprob)
+        for r in model.apply(docs)
+        .filter("avg_logprob is not null and avg_logprob >= -6.0").collect()
+    )
+    assert 0 < len(expected) < 61  # the gate visibly cuts something
+
+    out = str(tmp_path / "scored")
+    ckpt = str(tmp_path / "ckpt")
+    q = score_stream(spark, in_dir, out, ckpt, model, min_scores=gate,
+                     max_files_per_trigger=2)  # >1 epoch
+    q.awaitTermination(120)
+    got = sorted((r.doc_id, r.quality, r.avg_logprob)
+                 for r in spark.read.parquet(out).collect())
+    assert got == expected
+
+    # idempotent restart: no new files -> no new rows
+    q2 = score_stream(spark, in_dir, out, ckpt, model, min_scores=gate)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out).count() == len(expected)
