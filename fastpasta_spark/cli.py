@@ -389,12 +389,25 @@ def main(argv: list[str] | None = None) -> int:
         # of re-scanning the checkpoint per aggregate
         rows = [r for r in lin.collect() if r.verdict == "DONE"]
         runs = {r.run_id for r in rows}
-        buckets = {r.bucket for r in rows}
-        print(f"runs={len(runs)} buckets_done={len(buckets)} "
-              f"docs_validated={sum(r.docs_seen for r in rows)} "
-              f"violations={sum(r.violations for r in rows)}")
-        codes: dict[str, int] = {}
+        # totals count ONE DONE row per bucket: two runs racing the same
+        # checkpoint dir can both append a DONE row for a bucket, and
+        # summing both would double-count docs/violations while
+        # buckets_done dedups — internally inconsistent output. Keep
+        # the lexicographically-last run_id per bucket (deterministic).
+        by_bucket: dict = {}
         for r in rows:
+            cur = by_bucket.get(r.bucket)
+            if cur is None or r.run_id > cur.run_id:
+                by_bucket[r.bucket] = r
+        done = list(by_bucket.values())
+        if len(rows) > len(done):
+            print(f"note: {len(rows) - len(done)} duplicate DONE row(s) "
+                  "across runs; totals use one row per bucket")
+        print(f"runs={len(runs)} buckets_done={len(done)} "
+              f"docs_validated={sum(r.docs_seen for r in done)} "
+              f"violations={sum(r.violations for r in done)}")
+        codes: dict[str, int] = {}
+        for r in done:
             # pre-check_counts rows read as NULL under mergeSchema
             for c, n in (getattr(r, "check_counts", None) or {}).items():
                 codes[c] = codes.get(c, 0) + n

@@ -18,6 +18,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+import weakref
+
 from fastpasta_spark.functions.cache import tracked_persist
 
 from fastpasta_spark.functions.hashing import py_md5_hash
@@ -388,6 +390,22 @@ def _assign_lists(df: DataFrame, centroids: list, nprobe: int,
         "list_id", F.explode(F.expr(f"transform({ranked}, s -> s.list_id)")))
 
 
+# corpus-sized knob defaults need a count() job; LOOP CALLERS should
+# pass the knobs explicitly (docstrings below), but when they re-pass
+# the SAME DataFrame object, memoize the count so only the first call
+# pays the job. Weak keys: the cache never pins a DataFrame alive.
+_corpus_counts: "weakref.WeakKeyDictionary[DataFrame, int]" = (
+    weakref.WeakKeyDictionary())
+
+
+def _counted(corpus: DataFrame) -> int:
+    n = _corpus_counts.get(corpus)
+    if n is None:
+        n = corpus.count()
+        _corpus_counts[corpus] = n
+    return n
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -397,7 +415,11 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF approximate top-k: corpus vectors are inverted-listed under
+    """IVF approximate top-k. LOOP CALLERS: pass n_lists AND nprobe
+    explicitly — the corpus-sized defaults cost one count() job per
+    new DataFrame object (memoized per object) and shift with N.
+
+    Corpus vectors are inverted-listed under
     their nearest centroid; each query scans only its nprobe nearest
     lists. The scale path to brute force's full cross product — the
     candidate set shrinks ~n_lists/nprobe-fold, and on a real deployment
@@ -415,7 +437,7 @@ def ivf_topk(
     the count.
     """
     if n_lists is None or nprobe is None:
-        n_corpus = corpus.count()
+        n_corpus = _counted(corpus)
         if n_lists is None:
             n_lists = min(4096, max(16, int(round(n_corpus ** 0.5))))
         if nprobe is None:
@@ -614,7 +636,10 @@ def lsh_ann_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Approximate top-k: rank only within the query's LSH buckets,
-    candidates unioned over n_tables hash tables.
+    candidates unioned over n_tables hash tables. LOOP CALLERS: pass
+    n_planes explicitly — the corpus-sized default costs one count()
+    job per new DataFrame object (memoized per object) and shifts
+    with N.
 
     Scale path: corpus bucketed once per table (could be written
     bucket-partitioned to Iceberg); each query joins its buckets only —
@@ -632,7 +657,7 @@ def lsh_ann_topk(
     if n_planes is None:
         import math
 
-        n_corpus = corpus.count()
+        n_corpus = _counted(corpus)
         n_planes = min(16, max(4, round(math.log2(max(n_corpus, 1) / 100 + 1))))
     from pyspark.sql import Window as W
 

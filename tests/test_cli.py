@@ -623,3 +623,26 @@ def test_sample_cli_weight_flag_validation(spark, tmp_path):
     with pytest.raises(SystemExit, match="not in"):
         main(["sample", src, "-o", "/dev/null", "-k", "5",
               "--weight-col", "nope"])
+
+
+def test_lineage_inspect_dedups_racing_done_rows(spark, tmp_path, capsys):
+    """Two runs racing the same checkpoint can both append a DONE row
+    for a bucket; totals must count each bucket ONCE (the last run_id)
+    instead of double-counting docs/violations while buckets_done
+    dedups."""
+    ckpt = tmp_path / "race_ckpt"
+    spark.createDataFrame(
+        [("run_a", 0, 10, 2, {"E70": 2}, "DONE"),
+         ("run_b", 0, 10, 3, {"E70": 3}, "DONE"),   # same bucket, raced
+         ("run_b", 1, 5, 1, {"E10": 1}, "DONE")],
+        "run_id string, bucket int, docs_seen long, violations long, "
+        "check_counts map<string,bigint>, verdict string",
+    ).write.parquet(str(ckpt / "lineage"))
+    rc = main(["lineage", str(ckpt)])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "duplicate DONE row(s)" in out
+    # bucket 0 counted once, via run_b (lexicographically last)
+    assert "buckets_done=2" in out and "docs_validated=15" in out
+    assert "violations=4" in out
+    assert "E70      3" in out and "E10      1" in out

@@ -498,3 +498,17 @@ def test_literal_cosine_nan_components_yield_null(spark):
     assert abs(out[1] - 1.0) < 1e-9
     # threshold filter must NOT pass the NaN row
     assert df.filter(sim > 0.5).count() == 1
+
+
+def test_corpus_count_memoized_per_dataframe(spark):
+    """Default-knob callers re-passing the SAME corpus DataFrame must
+    pay the sizing count() once (ADVICE r6: per-call latency in loops)."""
+    from fastpasta_spark.operators import similarity as S
+
+    df = spark.range(10)
+    assert S._counted(df) == 10
+    df.count = lambda: (_ for _ in ()).throw(  # any recount would raise
+        AssertionError("count() re-ran for a memoized DataFrame"))
+    assert S._counted(df) == 10
+    # a DIFFERENT frame (even equal content) is its own cache entry
+    assert S._counted(spark.range(10)) == 10
