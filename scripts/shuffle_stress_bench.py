@@ -47,6 +47,7 @@ QUERIES = [
     "lsh_ann",
     "dup_spans",
     "remove_dup_spans",
+    "dsir_resample",
 ]
 
 

@@ -350,3 +350,17 @@ def test_dup_spans_window_is_per_doc_and_no_cartesian(spark):
     assert re.search(r"Window \[[^\]]*\], \[doc_id", plan), plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_importance_resample_is_map_plus_topk(spark):
+    """importance_resample must plan as a pure map (key expr) feeding
+    TakeOrderedAndProject — per-partition k-row heaps merged on the
+    driver; no Exchange of the corpus, no global Sort."""
+    from fastpasta_spark.operators.sampling import importance_resample
+
+    df = spark.createDataFrame(
+        [(i, float(i % 5)) for i in range(100)], "doc_id long, w double")
+    plan = (importance_resample(df, "w", k=10)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
