@@ -144,9 +144,10 @@ def main(argv: list[str] | None = None) -> int:
                      help="extra gate: keep docs with score column COL "
                           ">= MIN (NULL fails); repeatable, e.g. "
                           "--min-score avg_logprob=-5.0")
-    cur.add_argument("--rank-by", default="quality", metavar="COL",
+    cur.add_argument("--rank-by", default=None, metavar="COL",
                      help="column the token budget ranks by "
-                          "(default quality; any fitted signal column)")
+                          "(default quality; any fitted signal column; "
+                          "requires --token-budget)")
 
     dr = sub.add_parser(
         "drift", help="distribution drift between two docs corpora: "
@@ -178,9 +179,10 @@ def main(argv: list[str] | None = None) -> int:
                           "probability proportional to exp(COL / T) — COL "
                           "is a LOG weight (e.g. dsir_logratio from "
                           "`score --signals dsir`)")
-    smp.add_argument("--temperature", type=float, default=1.0,
-                     help="importance-resampling temperature T (> 0; "
-                          "higher flattens the draw)")
+    smp.add_argument("--temperature", type=float, default=None,
+                     help="importance-resampling temperature T (> 0, "
+                          "default 1.0; higher flattens the draw; "
+                          "requires --weight-col)")
 
     dd = sub.add_parser(
         "dedup", help="duplicate detection over a flat (doc_id, text) "
@@ -218,7 +220,7 @@ def main(argv: list[str] | None = None) -> int:
     scr.add_argument("--dsir-buckets", type=int, default=None,
                      help="dsir hash buckets (default 512)")
     scr.add_argument("--vocab-k", type=int, default=None,
-                     help="lm model vocabulary size (default 1000)")
+                     help="lm model vocabulary size (default 2000)")
     scr.add_argument("--ref", default=None, metavar="PARQUET",
                      help="fit the signal models on this reference "
                           "corpus instead of the input itself (fit "
@@ -272,9 +274,13 @@ def main(argv: list[str] | None = None) -> int:
                                  "resampling is an exact-k draw)")
             if not 0 < args.rate <= 1:
                 raise SystemExit(f"--rate must be in (0, 1], got {args.rate}")
-        if not args.temperature > 0:
-            raise SystemExit(
-                f"--temperature must be > 0, got {args.temperature}")
+        if args.temperature is not None:
+            if not args.weight_col:
+                raise SystemExit("--temperature requires --weight-col "
+                                 "(it would otherwise be silently ignored)")
+            if not args.temperature > 0:
+                raise SystemExit(
+                    f"--temperature must be > 0, got {args.temperature}")
 
     if args.cmd == "dedup":
         if args.threshold is not None:
@@ -358,11 +364,17 @@ def main(argv: list[str] | None = None) -> int:
                         f"--min-score column {col!r} not available; "
                         f"gate-able here: {sorted(allowed)} (request the "
                         "matching --signals)")
-            if args.rank_by not in allowed:
-                raise SystemExit(
-                    f"--rank-by column {args.rank_by!r} not available; "
-                    f"rank-able here: {sorted(allowed)} (request the "
-                    "matching --signals)")
+            if args.rank_by is not None:
+                if args.token_budget is None:
+                    raise SystemExit(
+                        "--rank-by requires --token-budget (ranking "
+                        "only orders the budget cut; without a budget "
+                        "it would be silently ignored)")
+                if args.rank_by not in allowed:
+                    raise SystemExit(
+                        f"--rank-by column {args.rank_by!r} not "
+                        f"available; rank-able here: {sorted(allowed)} "
+                        "(request the matching --signals)")
 
     from fastpasta_spark.session import get_spark
 
@@ -474,9 +486,11 @@ def main(argv: list[str] | None = None) -> int:
             if args.weight_col not in tbl.columns:
                 raise SystemExit(
                     f"--weight-col {args.weight_col!r} not in {tbl.columns}")
-            out = importance_resample(tbl, args.weight_col, args.k,
-                                      id_col=args.id_col, seed=args.seed,
-                                      temperature=args.temperature)
+            out = importance_resample(
+                tbl, args.weight_col, args.k, id_col=args.id_col,
+                seed=args.seed,
+                temperature=args.temperature
+                if args.temperature is not None else 1.0)
         elif args.k is not None:
             if args.stratum not in tbl.columns:
                 raise SystemExit(
@@ -586,7 +600,7 @@ def main(argv: list[str] | None = None) -> int:
                      exact_budget=args.exact_budget,
                      scoring=scoring,
                      min_scores=getattr(args, "min_scores", None) or None,
-                     rank_col=args.rank_by)
+                     rank_col=args.rank_by or "quality")
         res.kept.write.mode("overwrite").parquet(args.output)
         s = res.summary.first()
         print(f"input={s['n_input']} gated={s['n_gated']} "

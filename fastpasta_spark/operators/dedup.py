@@ -557,7 +557,13 @@ def _span_occurrences(df: DataFrame, id_col: str, text_col: str, n: int,
         .select(id_col, F.col("s.i").alias("i"), F.col("s.h").alias("h"))
     )
     if work_dir:
-        path = f"{work_dir}/span_occ"
+        # unique subdir per call: two calls sharing a work_dir (e.g.
+        # dup_spans + remove_dup_spans, or two corpora) must not clobber
+        # each other's materialization while a lazy consumer still
+        # reads it — review finding
+        import uuid
+
+        path = f"{work_dir}/span_occ_{uuid.uuid4().hex}"
         occ.write.mode("overwrite").parquet(path)
         return df.sparkSession.read.parquet(path)
     return tracked_persist(occ)

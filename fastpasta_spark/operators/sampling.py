@@ -184,8 +184,10 @@ def importance_resample(df: DataFrame, weight_col: str, k: int,
     Scale shape: a pure map computes the key, then the top-k plans as
     TakeOrderedAndProject — per-partition k-row heaps merged on the
     driver, never a global sort, and the corpus never shuffles. Rows
-    with a NULL id or NULL weight are never sampled (no deterministic
-    hash identity / no weight), consistent with the hash-gate family.
+    with a NULL or NaN id/weight are never sampled (no deterministic
+    hash identity / no weight; NaN sorts GREATER than every real key
+    under Spark's ordering and would otherwise always win the draw),
+    consistent with the hash-gate family.
     Keep |weight / temperature| < ~700 or exp() saturates to inf/0 and
     the proportionality (not determinism) degrades.
     """
@@ -198,8 +200,9 @@ def importance_resample(df: DataFrame, weight_col: str, k: int,
     key = F.round(
         F.expr(f"ln({u})")
         * F.exp(-F.col(weight_col) / F.lit(float(temperature))), 9)
+    w = F.col(weight_col).cast("double")
     return (
-        df.filter(F.col(id_col).isNotNull() & F.col(weight_col).isNotNull())
+        df.filter(F.col(id_col).isNotNull() & w.isNotNull() & ~F.isnan(w))
         .withColumn("_ikey", key)
         .orderBy(F.desc("_ikey"), F.col(id_col).asc())
         .limit(k)

@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from fastpasta_spark.functions.cache import tracked_persist
+from fastpasta_spark.functions.hashing import spark_md5_hash
 from fastpasta_spark.operators.dedup import jaccard_pairs
 from fastpasta_spark.operators.graph import duplicate_clusters
 from fastpasta_spark.operators.textstats import with_textstats
@@ -89,10 +90,12 @@ def curate(
     Budget ranking by an arbitrary signal: exact mode orders by
     (rank_col DESC NULLS LAST, id). The scale mode generalizes the
     1000-bin histogram cutoff to the OBSERVED [min, max] of rank_col
-    (one extra pair of scalars in the same agg); NULL-ranked docs are
-    dropped first, and a degenerate rank (all docs tie) keeps
-    everything — the cut cannot separate ties, budget overshoot at bin
-    granularity is the documented contract.
+    (one extra pair of scalars in the same agg); NULL-ranked docs rank
+    below every real bin (md5-sub-binned so the cut can fill leftover
+    budget from the NULL mass instead of dropping it wholesale — the
+    scale-mode mirror of NULLS LAST), and docs tying on rank share a
+    bin the cut cannot separate — budget overshoot at bin granularity
+    is the documented contract.
     """
     stats = with_textstats(docs.select(id_col, text_col), text_col)
     if scoring is not None:
@@ -135,22 +138,38 @@ def curate(
             ).first()
             total = agg["_t"] or 0
             lo, hi = agg["_lo"], agg["_hi"]
-            if total > token_budget and lo is not None and hi > lo:
+            if total > token_budget:
                 # TOKEN-weighted rank cutoff, not a doc-count quantile
                 # (when length correlates with rank a doc quantile can
                 # overshoot the token budget arbitrarily): bucketize
                 # rank_col into 1000 bins over its observed [lo, hi],
-                # aggregate token mass per bin (<=1001 rows collected),
-                # walk the cumulative sum from the top. One shuffle of
-                # tiny (bin, tokens) rows; no global sort of documents.
-                # NULL rank -> bin -1 (dropped first); hi == lo (all
-                # docs tie) keeps everything — handled above.
-                width = (hi - lo) / 1000.0
-                qb = F.when(F.col(rank_col).isNull(), F.lit(-1)).otherwise(
-                    F.least(
+                # aggregate token mass per bin, walk the cumulative sum
+                # from the top. One shuffle of tiny (bin, tokens) rows;
+                # no global sort of documents.
+                #
+                # NULL-ranked docs mirror exact mode's NULLS LAST: they
+                # occupy pseudo-bins BELOW every real bin, sub-binned by
+                # the deterministic md5 gate of their id, so when the
+                # ranked mass alone is under budget the walk continues
+                # INTO the NULL mass and fills the budget (review
+                # finding: bin -1 as a single all-or-nothing group
+                # silently discarded the whole NULL mass). All ranked
+                # docs tying (hi == lo, or all-NULL ranks) collapse to
+                # one bin 0 — the cut cannot separate ties; overshoot
+                # at bin granularity is the documented contract.
+                if lo is None or hi is None or hi == lo:
+                    ranked_bin = F.lit(0)
+                else:
+                    width = (hi - lo) / 1000.0
+                    ranked_bin = F.least(
                         F.lit(999),
-                        F.floor((F.col(rank_col) - F.lit(lo)) / F.lit(width)))
-                    .cast("int"))
+                        F.floor((F.col(rank_col) - F.lit(lo))
+                                / F.lit(width)))
+                null_bin = F.expr(
+                    f"-1 - pmod({spark_md5_hash(f'cast({id_col} as string)')}, "
+                    "1000)")
+                qb = F.when(F.col(rank_col).isNull(), null_bin).otherwise(
+                    ranked_bin).cast("int")
                 bins = (
                     unique.groupBy(qb.alias("_qb"))
                     .agg(F.sum("n_tokens").alias("_t"))
@@ -158,8 +177,6 @@ def curate(
                 )
                 cum, cut_bin = 0, None
                 for r in sorted(bins, key=lambda r: -r["_qb"]):
-                    if r["_qb"] < 0:
-                        break  # only NULL-rank mass left below this point
                     cum += r["_t"]
                     cut_bin = r["_qb"]
                     if cum >= token_budget:

@@ -48,9 +48,13 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # PINNED to a fixed core set with taskset, like scaling_bench — A and B
 # then contend with neighbors identically instead of wandering the
 # scheduler — and (b) LOAD-GATED: a rep waits (bounded) for 1-min
-# loadavg to drop under AB_LOAD_GATE before starting, and a rep whose
-# post-load shows a mid-rep spike is re-run once (extra reps can only
-# tighten a min-of-reps statistic, never bias it).
+# loadavg to drop under AB_LOAD_GATE before starting. There is
+# deliberately NO post-rep "noisy, re-run" heuristic: the bench's own
+# 32-core run ends at loadavg 6-11 even on a quiet host (see
+# BENCH/AB_36c6cdb post-loads), so any post-load threshold either
+# never fires or chronically re-runs clean reps — and asymmetric rep
+# counts skew a min-of-reps comparison toward the side with more
+# draws. Add rounds instead if spread looks wide.
 LOAD_GATE = float(os.environ.get("AB_LOAD_GATE", "4.0"))
 LOAD_WAIT_S = int(os.environ.get("AB_LOAD_WAIT_S", "600"))
 
@@ -99,17 +103,6 @@ def run_bench(tree: str, env_extra: dict[str, str]) -> dict:
     return rec
 
 
-def run_bench_gated(tree: str, env_extra: dict[str, str]) -> list[dict]:
-    """One rep, re-run once if a mid-rep load spike polluted it — both
-    recs are returned (min-of-reps only tightens with extra reps)."""
-    rec = run_bench(tree, env_extra)
-    if rec["_load_post"] <= 2 * LOAD_GATE:
-        return [rec]
-    retry = run_bench(tree, env_extra)
-    retry["_retry_of_noisy"] = True
-    return [rec, retry]
-
-
 def ensure_worktree(ref: str) -> str:
     path = f"/tmp/ab_worktree_{ref}"
     sha = subprocess.run(["git", "rev-parse", f"{ref}^{{commit}}"],
@@ -154,16 +147,14 @@ def main() -> int:
         order = ["A", "B"] if rnd % 2 == 0 else ["B", "A"]
         for side in order:
             tree = tree_a if side == "A" else tree_b
-            for rec in run_bench_gated(tree, env_extra):
-                runs[side].append(rec)
-                seq.append((rnd, side, rec))
-                retry = " (retry: noisy rep)" if rec.get(
-                    "_retry_of_noisy") else ""
-                print(f"round {rnd} side {side}: suite {rec['value']}s "
-                      f"docs/sec {rec.get('docs_per_sec')} "
-                      f"load {rec['_load_pre']}->{rec['_load_post']} "
-                      f"waited {rec['_gate_wait']}s{retry}",
-                      flush=True)
+            rec = run_bench(tree, env_extra)
+            runs[side].append(rec)
+            seq.append((rnd, side, rec))
+            print(f"round {rnd} side {side}: suite {rec['value']}s "
+                  f"docs/sec {rec.get('docs_per_sec')} "
+                  f"load {rec['_load_pre']}->{rec['_load_post']} "
+                  f"waited {rec['_gate_wait']}s",
+                  flush=True)
 
     # ---- aggregate -------------------------------------------------------
     def per_query_min(side: str) -> dict[str, float]:
@@ -188,17 +179,15 @@ def main() -> int:
         f"reps. Rep hygiene: process tree pinned to cores "
         f"0-{bench_cpus() - 1} via taskset; each rep waits (<= "
         f"{LOAD_WAIT_S}s) for 1-min loadavg < {LOAD_GATE} before "
-        "starting, and a rep whose post-load shows a mid-rep spike "
-        f"(> {2 * LOAD_GATE:g}) is re-run once (both kept; extra reps "
-        "only tighten a min). Loadavg recorded at each rep boundary.",
+        "starting. Loadavg recorded at each rep boundary (post-load "
+        "includes the bench's own tail — expect 6-11 on a quiet host).",
         "",
         "| round | side | suite s | docs/sec | load pre->post | waited s |",
         "|---|---|---|---|---|---|",
     ]
     for rnd, side, rec in seq:
-        retry = " (retry)" if rec.get("_retry_of_noisy") else ""
         lines.append(
-            f"| {rnd} | {side}{retry} | {rec['value']} | "
+            f"| {rnd} | {side} | {rec['value']} | "
             f"{rec.get('docs_per_sec')} | "
             f"{rec['_load_pre']} -> {rec['_load_post']} | "
             f"{rec['_gate_wait']} |")

@@ -565,7 +565,7 @@ def test_curate_cli_fitted_signals(spark, tmp_path, capsys):
     rc = main(["curate", src, "-o", out, "--min-quality", "0.0",
                "--jaccard-threshold", "0.99",
                "--signals", "lm", "--min-score", "avg_logprob=-4.2",
-               "--rank-by", "avg_logprob"])
+               "--rank-by", "avg_logprob", "--token-budget", "100000"])
     assert rc == 0
     kept = spark.read.parquet(out)
     assert "avg_logprob" in kept.columns
@@ -588,7 +588,10 @@ def test_curate_cli_signal_flag_validation(spark, tmp_path):
         main(["curate", src, "-o", "/dev/null",
               "--min-score", "avg_logprob=-5"])  # lm signal not requested
     with pytest.raises(SystemExit, match="not available"):
-        main(["curate", src, "-o", "/dev/null", "--rank-by", "bm25"])
+        main(["curate", src, "-o", "/dev/null", "--token-budget", "10",
+              "--rank-by", "bm25"])
+    with pytest.raises(SystemExit, match="requires --token-budget"):
+        main(["curate", src, "-o", "/dev/null", "--rank-by", "quality"])
 
 
 def test_sample_cli_importance_resample(spark, tmp_path, capsys):
@@ -646,3 +649,12 @@ def test_lineage_inspect_dedups_racing_done_rows(spark, tmp_path, capsys):
     assert "buckets_done=2" in out and "docs_validated=15" in out
     assert "violations=4" in out
     assert "E70      3" in out and "E10      1" in out
+
+
+def test_sample_cli_temperature_requires_weight_col(spark, tmp_path):
+    src = str(tmp_path / "w3")
+    spark.createDataFrame([(1, "a", 0.0)], "doc_id long, lang string, w double") \
+        .write.parquet(src)
+    with pytest.raises(SystemExit, match="requires --weight-col"):
+        main(["sample", src, "-o", "/dev/null", "-k", "5",
+              "--stratum", "lang", "--temperature", "2.0"])

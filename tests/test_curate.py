@@ -157,3 +157,32 @@ def test_histogram_budget_generalizes_to_signal_and_drops_nulls(spark):
                if i not in kept_ids and scores[i] is not None]
     if dropped and kept:
         assert max(dropped) <= min(r["avg_logprob"] for r in kept) + width
+
+
+def test_histogram_budget_fills_from_null_rank_mass(spark):
+    """Review scenario: ranked docs alone are under budget while the
+    NULL-ranked mass dominates — the scale-mode cut must fill leftover
+    budget from the NULL mass (md5 sub-bins) instead of discarding it
+    wholesale."""
+    ranked = [(1, GOOD), (2, GOOD2)]                     # bm25-ranked docs
+    nulls = [(i, OTHER + f" filler{i}") for i in range(10, 40)]  # no term
+    docs = spark.createDataFrame(ranked + nulls, "doc_id long, text string")
+    from fastpasta_spark.operators.textstats import fit_scoring_model
+
+    model = fit_scoring_model(docs, ["bm25"], terms=["fox"])
+    base = curate(docs, min_quality=0.0, jaccard_threshold=0.99,
+                  scoring=model).kept.collect()
+    ranked_ids = {r["doc_id"] for r in base if r["bm25"] is not None}
+    assert ranked_ids == {1, 2}
+    ranked_mass = sum(r["n_tokens"] for r in base if r["bm25"] is not None)
+    total = sum(r["n_tokens"] for r in base)
+    budget = ranked_mass + (total - ranked_mass) // 2  # half the NULL mass
+    res = curate(docs, min_quality=0.0, jaccard_threshold=0.99,
+                 scoring=model, token_budget=budget, exact_budget=False,
+                 rank_col="bm25")
+    kept = res.kept.collect()
+    kept_ids = {r["doc_id"] for r in kept}
+    assert ranked_ids <= kept_ids            # ranked docs always survive
+    null_kept = kept_ids - ranked_ids
+    assert null_kept, "budget headroom must be filled from NULL-rank docs"
+    assert len(null_kept) < len(nulls)       # ...but not ALL of them

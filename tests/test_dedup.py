@@ -538,3 +538,23 @@ def test_decontaminate_shuffle_path_matches_broadcast(spark):
     assert sorted(map(tuple, bc.collect())) == sorted(map(tuple, sh.collect()))
     assert "ResolvedHint" in bc._jdf.queryExecution().analyzed().toString()
     assert "ResolvedHint" not in sh._jdf.queryExecution().analyzed().toString()
+
+
+def test_span_work_dir_shared_by_two_calls_no_clobber(spark, tmp_path):
+    """Two span-family calls sharing one work_dir must not overwrite
+    each other's materialized occurrences while a lazy consumer still
+    reads them (unique per-call subdirs)."""
+    from fastpasta_spark.operators.dedup import dup_spans, remove_dup_spans
+
+    w = str(tmp_path / "shared")
+    para = "alpha beta gamma delta " * 8
+    d1 = spark.createDataFrame(
+        [(1, para + "one"), (2, para + "two")], "doc_id long, text string")
+    d2 = spark.createDataFrame(
+        [(9, "totally different words here " * 10)],
+        "doc_id long, text string")
+    r1 = dup_spans(d1, n=8, work_dir=w)           # lazy
+    r2 = remove_dup_spans(d2, n=8, work_dir=w)    # second call, same dir
+    got1 = r1.collect()                            # consume AFTER r2 built
+    assert got1 and all(r["doc_id"] in (1, 2) for r in got1)
+    assert all(r["doc_id"] == 9 for r in r2.collect())

@@ -325,8 +325,11 @@ def test_importance_converges_to_weighted_mix(spark):
     assert share_a > 0.75
 
 
-def test_importance_null_weight_and_id_excluded(spark):
-    rows = [(0, None), (None, 5.0)] + [(i, 0.0) for i in range(1, 40)]
+def test_importance_null_nan_weight_and_null_id_excluded(spark):
+    # NaN would sort GREATER than every real key under desc ordering
+    # and win every draw — it must be excluded like NULL
+    rows = ([(0, None), (None, 5.0), (90, float("nan"))]
+            + [(i, 0.0) for i in range(1, 40)])
     df = spark.createDataFrame(rows, "doc_id long, w double")
     got = {r["doc_id"] for r in
            importance_resample(df, "w", k=100, seed=0).collect()}
