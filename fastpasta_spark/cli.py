@@ -13,16 +13,23 @@ Training-pipeline extensions (north_rule, beyond the reference):
 
     drift <a> <b>        kind-mix chi-square + PSI, text-length KS
                          (exit 4 on drift past the thresholds)
-    sample <in> -o out   deterministic hash-gate --rate or exact
-                         -k per --stratum sampling of a flat table
+    sample <in> -o out   deterministic hash-gate --rate, exact -k per
+                         --stratum, or exact-k importance resampling
+                         (--weight-col, weight-proportional draw)
     score <in> -o out    per-doc curation signals (quality, unigram-LM
                          fluency, BM25 keyword relevance, DSIR
                          importance weight) over a flat table
     dedup <in> -o out    exact content groups, MinHash-LSH near-dup
                          pairs (--mode near), or substring-level
                          duplicate spans (--mode spans)
+    shard <in> -o out    deterministic training shards (path/shard=K/,
+                         membership a pure function of id+seed+n)
     lineage <ckpt>       inspect a resumable run's checkpoint: buckets
                          done, docs validated, per-check-code totals
+
+    curate additionally fits scoring signals (--signals/--ref), gates
+    on them (--min-score COL=MIN, --gopher) and ranks the token budget
+    by any fitted column (--rank-by, with --token-budget).
 
 Run via spark-submit --py-files fastpasta_spark.zip -m, or plain python
 (local mode):  python -m fastpasta_spark check all /path/docs.parquet
@@ -139,6 +146,10 @@ def main(argv: list[str] | None = None) -> int:
     cur.add_argument("--ref", default=None, metavar="PARQUET",
                      help="fit the signal models on this reference corpus "
                           "instead of the input itself")
+    cur.add_argument("--gopher", action="store_true",
+                     help="additionally require the Gopher rule battery "
+                          "(Rae et al. 2021 document filters) to pass; "
+                          "kept rows carry gopher_flags for audit")
     cur.add_argument("--min-score", action="append", default=None,
                      metavar="COL=MIN",
                      help="extra gate: keep docs with score column COL "
@@ -226,6 +237,17 @@ def main(argv: list[str] | None = None) -> int:
                           "corpus instead of the input itself (fit "
                           "once on a sample slice, score everything)")
 
+    shd = sub.add_parser(
+        "shard", help="write deterministic training shards: "
+                      "path/shard=K/ parquet, membership a pure function "
+                      "of (id, seed, n) — cluster-size independent, "
+                      "re-run stable, id-sorted within each shard")
+    shd.add_argument("input")
+    shd.add_argument("-o", "--output", required=True)
+    shd.add_argument("-n", "--n-shards", type=int, required=True)
+    shd.add_argument("--id-col", default="doc_id")
+    shd.add_argument("--seed", type=int, default=0)
+
     lng = sub.add_parser(
         "lineage", help="inspect a resumable run's checkpoint: buckets "
                         "done, docs validated, per-check-type violation "
@@ -281,6 +303,9 @@ def main(argv: list[str] | None = None) -> int:
             if not args.temperature > 0:
                 raise SystemExit(
                     f"--temperature must be > 0, got {args.temperature}")
+
+    if args.cmd == "shard" and args.n_shards <= 0:
+        raise SystemExit(f"-n must be positive, got {args.n_shards}")
 
     if args.cmd == "dedup":
         if args.threshold is not None:
@@ -386,6 +411,24 @@ def main(argv: list[str] | None = None) -> int:
         docs = _load_docs(spark, args.input)
         df = views.view_docs(docs) if args.what == "docs" else views.view_frames(docs)
         df.show(args.n, truncate=False)
+        return 0
+
+    if args.cmd == "shard":
+        from fastpasta_spark.operators.packing import write_training_shards
+
+        tbl = spark.read.parquet(args.input)
+        if args.id_col not in tbl.columns:
+            raise SystemExit(f"--id-col {args.id_col!r} not in {tbl.columns}")
+        write_training_shards(tbl, args.output, args.n_shards,
+                              id_col=args.id_col, seed=args.seed)
+        per = (spark.read.parquet(args.output)
+               .groupBy("shard").count().orderBy("shard").collect())
+        if per:
+            print(f"wrote {sum(r['count'] for r in per)} rows into "
+                  f"{len(per)} shards (min {min(r['count'] for r in per)}, "
+                  f"max {max(r['count'] for r in per)} rows)")
+        else:
+            print("wrote 0 rows into 0 shards")
         return 0
 
     if args.cmd == "lineage":
@@ -600,7 +643,8 @@ def main(argv: list[str] | None = None) -> int:
                      exact_budget=args.exact_budget,
                      scoring=scoring,
                      min_scores=getattr(args, "min_scores", None) or None,
-                     rank_col=args.rank_by or "quality")
+                     rank_col=args.rank_by or "quality",
+                     gopher=args.gopher)
         res.kept.write.mode("overwrite").parquet(args.output)
         s = res.summary.first()
         print(f"input={s['n_input']} gated={s['n_gated']} "

@@ -127,3 +127,58 @@ def pack_documents_table(docs: DataFrame, budget: int = 256,
         F.expr(f"size({spark_tokens(text_col)})").cast("long").alias("n_tokens"),
     )
     return pack_sequences(with_n, budget)
+
+
+def assign_shards(df: DataFrame, n_shards: int, id_col: str = "doc_id",
+                  seed: int = 0) -> DataFrame:
+    """Append a deterministic ``shard`` column: the portable seeded md5
+    gate of the id, mod ``n_shards`` — the output-side counterpart of
+    lineage's hash-bucket resume units. Shard membership is a pure
+    function of (id, seed, n_shards): independent of cluster size,
+    partitioning, or row order, so a re-run lands every document in
+    the SAME shard (dataloader-stable) and any engine can recompute
+    the assignment. Rows with a NULL id get shard NULL (no identity).
+    """
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    from fastpasta_spark.functions.hashing import spark_md5_hash
+
+    h = spark_md5_hash(f"cast({id_col} as string)", seed=seed)
+    return df.withColumn(
+        "shard", F.expr(f"pmod({h}, {n_shards})").cast("int"))
+
+
+def write_training_shards(df: DataFrame, path: str, n_shards: int,
+                          id_col: str = "doc_id", seed: int = 0) -> None:
+    """Land the table as ``path/shard=K/`` parquet with DETERMINISTIC
+    content: shard by :func:`assign_shards`, one output file per shard
+    (repartition on the shard column), rows sorted by id within each
+    file. Re-running on any cluster reproduces byte-stable shard
+    membership and row order — what a resumable dataloader needs.
+
+    Scale: one hash shuffle into ``n_shards`` partitions + a
+    per-partition sort; size n_shards so a shard fits an output split
+    (10^12 docs / 10^5 shards = 10^7 docs/shard). NULL-id rows are
+    dropped (no deterministic shard identity).
+    """
+    out = assign_shards(df, n_shards, id_col, seed).filter(
+        F.col(id_col).isNotNull())
+    (out.repartition(n_shards, F.col("shard"))
+     .sortWithinPartitions("shard", id_col)
+     .write.mode("overwrite").partitionBy("shard").parquet(path))
+
+
+def shard_manifest(df: DataFrame, n_shards: int, id_col: str = "doc_id",
+                   text_col: str = "text", seed: int = 0) -> DataFrame:
+    """Per-shard accounting (shard, docs, tokens) for the assignment
+    :func:`assign_shards` would produce — the manifest a training job
+    reads to plan epochs. One map-side-combined groupBy of <= n_shards
+    keys; NULL-id rows are excluded like the writer drops them."""
+    return (
+        assign_shards(df, n_shards, id_col, seed)
+        .filter(F.col(id_col).isNotNull())
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("docs"),
+             F.sum(F.expr(f"coalesce(size({spark_tokens(text_col)}), 0)"))
+             .cast("long").alias("tokens"))
+    )

@@ -595,6 +595,103 @@ def _fit_dsir_row_expr(ref: DataFrame, target_filter, text_col: str,
             f"(acc2, t) -> acc2 + {tok_lr})))")
 
 
+# Gopher rule battery (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", App. A) — the
+# industry-standard document-level quality filters. Word semantics are
+# WHITESPACE tokens (Gopher counts words, not the [a-z0-9] curation
+# tokens), lines split on \n. Thresholds are the paper's.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_RULES = ("word_count", "mean_word_len", "symbol_ratio",
+                "bullet_lines", "ellipsis_lines", "alpha_words",
+                "stop_words")
+
+
+def gopher_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append the Gopher quality-filter battery: ``gopher_flags`` (the
+    array of FAILED rule names, in GOPHER_RULES order) and
+    ``gopher_pass`` (no rule failed). A 100-TB curation run drops or
+    quarantines flagged docs before any expensive dedup work.
+
+    Rules (doc FAILS when):
+      word_count     n_words outside [50, 100_000]
+      mean_word_len  mean word length outside [3, 10]
+      symbol_ratio   ('#' + '...') occurrences / n_words > 0.1
+      bullet_lines   > 90% of lines start with a bullet (-, *, •)
+      ellipsis_lines > 30% of lines end with '...'
+      alpha_words    < 80% of words contain an alphabetic character
+      stop_words     fewer than 2 distinct Gopher stop words present
+
+    Scale shape: one pure-Column expression per row — words and lines
+    are each bound ONCE via the 1-element-aggregate let-binding (see
+    with_textstats: codegen does not subexpression-eliminate
+    lambda-bearing subtrees), no UDF, no shuffle, applies to batch or
+    streaming frames alike. NULL text fails word_count/alpha_words/
+    stop_words (it has no words), like the empty document it is.
+    """
+    tc = f"coalesce({text_col}, '')"
+    words = f"filter(split({tc}, '\\\\s+'), w -> w <> '')"
+    lines = f"filter(split({tc}, '\\n'), l -> trim(l) <> '')"
+    nw = "greatest(size(words), 1)"
+    nl = "greatest(size(lines), 1)"
+    sw_hits = " + ".join(
+        f"IF(array_contains(words, '{w}'), 1, 0)" for w in GOPHER_STOPWORDS)
+    checks = {
+        "word_count": "size(words) < 50 OR size(words) > 100000",
+        "mean_word_len": (
+            f"aggregate(words, 0L, (a, w) -> a + length(w)) / CAST({nw} AS "
+            "DOUBLE) NOT BETWEEN 3.0 AND 10.0"),
+        "symbol_ratio": (
+            f"(regexp_count({tc}, '#') + regexp_count({tc}, '\\\\.\\\\.\\\\.'))"
+            f" / CAST({nw} AS DOUBLE) > 0.1"),
+        "bullet_lines": (
+            "size(filter(lines, l -> trim(l) RLIKE '^[-*\\u2022]')) "
+            f"/ CAST({nl} AS DOUBLE) > 0.9"),
+        "ellipsis_lines": (
+            "size(filter(lines, l -> trim(l) RLIKE '\\\\.\\\\.\\\\.$')) "
+            f"/ CAST({nl} AS DOUBLE) > 0.3"),
+        "alpha_words": (
+            "size(filter(words, w -> w RLIKE '[A-Za-z]')) "
+            f"/ CAST({nw} AS DOUBLE) < 0.8"),
+        "stop_words": f"({sw_hits}) < 2",
+    }
+    flags = ("filter(array(" + ", ".join(
+        f"IF({checks[r]}, '{r}', NULL)" for r in GOPHER_RULES)
+        + "), f -> f IS NOT NULL)")
+    # bind words, then lines, once per row (nested 1-element aggregates)
+    expr = (f"aggregate(array({words}), CAST(array() AS array<string>), "
+            f"(acc, words) -> aggregate(array({lines}), acc, "
+            f"(a2, lines) -> {flags}))")
+    out = df.withColumn("gopher_flags", F.expr(expr))
+    return out.withColumn("gopher_pass", F.size("gopher_flags") == 0)
+
+
+def py_gopher_flags(text: str | None) -> list[str]:
+    """Pure-python twin of gopher_rules (test/fuzz oracle)."""
+    import re
+
+    t = text or ""
+    words = [w for w in re.split(r"\s+", t) if w]
+    lines = [ln for ln in t.split("\n") if ln.strip()]
+    nw, nl = max(len(words), 1), max(len(lines), 1)
+    mean_wl = sum(len(w) for w in words) / nw
+    sym = len(re.findall("#", t)) + len(re.findall(r"\.\.\.", t))
+    bullets = sum(1 for ln in lines
+                  if re.match(r"^[-*•]", ln.strip()))
+    ellip = sum(1 for ln in lines if re.search(r"\.\.\.$", ln.strip()))
+    alpha = sum(1 for w in words if re.search("[A-Za-z]", w))
+    stops = sum(1 for w in GOPHER_STOPWORDS if w in words)
+    fails = {
+        "word_count": len(words) < 50 or len(words) > 100_000,
+        "mean_word_len": not (3.0 <= mean_wl <= 10.0),
+        "symbol_ratio": sym / nw > 0.1,
+        "bullet_lines": bullets / nl > 0.9,
+        "ellipsis_lines": ellip / nl > 0.3,
+        "alpha_words": alpha / nw < 0.8,
+        "stop_words": stops < 2,
+    }
+    return [r for r in GOPHER_RULES if fails[r]]
+
+
 class ScoringModel:
     """Fitted curation-signal models as pure column transforms.
 

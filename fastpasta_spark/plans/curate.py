@@ -73,8 +73,15 @@ def curate(
     scoring=None,
     min_scores: dict[str, float] | None = None,
     rank_col: str = "quality",
+    gopher: bool = False,
 ) -> CurateResult:
     """Quality gate -> dedup keeper -> token budget. See module doc.
+
+    ``gopher=True`` additionally requires the Gopher rule battery
+    (textstats.gopher_rules, Rae et al. 2021) to pass — the standard
+    document-level filters (length/word-shape/bullet/ellipsis/stopword
+    presence) applied in the same scan as the other gates; the kept
+    output keeps ``gopher_flags`` for auditability.
 
     Fitted signals: pass a ``ScoringModel`` (textstats.fit_scoring_model)
     as ``scoring`` and its score columns (avg_logprob / bm25 /
@@ -100,9 +107,15 @@ def curate(
     stats = with_textstats(docs.select(id_col, text_col), text_col)
     if scoring is not None:
         stats = scoring.apply(stats)
+    if gopher:
+        from fastpasta_spark.operators.textstats import gopher_rules
+
+        stats = gopher_rules(stats, text_col)
     gated = stats.filter(F.col("quality") >= min_quality)
     if langs:
         gated = gated.filter(F.col("lang_pred").isin(*langs))
+    if gopher:
+        gated = gated.filter(F.col("gopher_pass")).drop("gopher_pass")
     for c, v in (min_scores or {}).items():
         gated = gated.filter(F.col(c).isNotNull() & (F.col(c) >= v))
     gated = tracked_persist(gated)

@@ -658,3 +658,19 @@ def test_sample_cli_temperature_requires_weight_col(spark, tmp_path):
     with pytest.raises(SystemExit, match="requires --weight-col"):
         main(["sample", src, "-o", "/dev/null", "-k", "5",
               "--stratum", "lang", "--temperature", "2.0"])
+
+
+def test_shard_cli(spark, tmp_path, capsys):
+    src = str(tmp_path / "flat_shard")
+    out = str(tmp_path / "sharded")
+    spark.createDataFrame([(i, f"doc {i}") for i in range(100)],
+                          "doc_id long, text string").write.parquet(src)
+    rc = main(["shard", src, "-o", out, "-n", "4", "--seed", "2"])
+    assert rc == 0
+    assert "100 rows into 4 shards" in capsys.readouterr().out
+    from fastpasta_spark.functions.hashing import py_md5_hash
+
+    got = {r.doc_id: r.shard for r in spark.read.parquet(out).collect()}
+    assert got == {i: py_md5_hash(str(i), seed=2) % 4 for i in range(100)}
+    with pytest.raises(SystemExit, match="-n must be positive"):
+        main(["shard", src, "-o", out, "-n", "0"])

@@ -186,3 +186,21 @@ def test_histogram_budget_fills_from_null_rank_mass(spark):
     null_kept = kept_ids - ranked_ids
     assert null_kept, "budget headroom must be filled from NULL-rank docs"
     assert len(null_kept) < len(nulls)       # ...but not ALL of them
+
+
+def test_gopher_gate_in_funnel(spark):
+    """curate(gopher=True) drops rule-failing docs in the same scan and
+    keeps gopher_flags on survivors for audit."""
+    long_good = " ".join(
+        ["the data pipeline will be checked and that is fine to have"] * 6)
+    docs = spark.createDataFrame(
+        [(1, long_good),
+         (2, "\n".join("- bullet point here" for _ in range(30))),
+         (3, "short")],
+        "doc_id long, text string")
+    res = curate(docs, min_quality=0.0, jaccard_threshold=0.99, gopher=True)
+    kept = {r["doc_id"]: r for r in res.kept.collect()}
+    assert set(kept) == {1}
+    assert kept[1]["gopher_flags"] == []
+    base = curate(docs, min_quality=0.0, jaccard_threshold=0.99)
+    assert {r["doc_id"] for r in base.kept.collect()} == {1, 2, 3}

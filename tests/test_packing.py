@@ -93,3 +93,59 @@ def test_pack_documents_table_runs(spark):
     ids = {r.doc_id for r in rows}
     assert ids == {"a", "d"}  # null/empty text -> 0 tokens -> dropped
     assert sum(r.tok_end - r.tok_start for r in rows) == 53
+
+
+# ---------------------------------------------------------------- #
+# deterministic training shards (round-7 output-side op)            #
+# ---------------------------------------------------------------- #
+
+def test_assign_shards_matches_python_twin_and_is_stable(spark):
+    from fastpasta_spark.functions.hashing import py_md5_hash
+    from fastpasta_spark.operators.packing import assign_shards
+
+    df = spark.range(500).select(F.col("id").alias("doc_id"))
+    got = {r.doc_id: r.shard
+           for r in assign_shards(df, 16, seed=3).collect()}
+    assert got == {i: py_md5_hash(str(i), seed=3) % 16 for i in range(500)}
+    # partition-independent: same assignment after a repartition
+    got2 = {r.doc_id: r.shard
+            for r in assign_shards(df.repartition(13), 16, seed=3).collect()}
+    assert got2 == got
+
+
+def test_write_training_shards_deterministic_layout(spark, tmp_path):
+    from fastpasta_spark.operators.packing import (
+        shard_manifest,
+        write_training_shards,
+    )
+
+    rows = [(i, f"doc {i} text body here") for i in range(300)] + [(None, "x")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    p1, p2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    write_training_shards(df, p1, 8, seed=1)
+    write_training_shards(df.repartition(7), p2, 8, seed=1)
+    a = spark.read.parquet(p1)
+    b = spark.read.parquet(p2)
+    rows_a = sorted((r.shard, r.doc_id) for r in a.collect())
+    rows_b = sorted((r.shard, r.doc_id) for r in b.collect())
+    assert rows_a == rows_b and len(rows_a) == 300  # NULL id dropped
+    # every shard directory exists with exactly one data file
+    import glob
+    for k in {r.shard for r in a.collect()}:
+        files = glob.glob(f"{p1}/shard={k}/*.parquet")
+        assert len(files) == 1
+    # manifest agrees with the written layout
+    man = {r.shard: (r.docs, r.tokens)
+           for r in shard_manifest(df, 8, seed=1).collect()}
+    from collections import Counter
+    per = Counter(r.shard for r in a.collect())
+    assert {k: v[0] for k, v in man.items()} == dict(per)
+
+
+def test_assign_shards_validation():
+    import pytest as _pytest
+
+    from fastpasta_spark.operators.packing import assign_shards
+
+    with _pytest.raises(ValueError, match="n_shards"):
+        assign_shards(None, 0)

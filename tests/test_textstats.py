@@ -491,3 +491,64 @@ def test_scoring_model_lm_default_matches_operator(documents):
             .join(via_op.select("doc_id", "avg_logprob").alias("b"), "doc_id")
             .filter("NOT (a.avg_logprob <=> b.avg_logprob)").count())
     assert mism == 0
+
+
+def test_gopher_rules_match_python_twin(spark):
+    from fastpasta_spark.operators.textstats import (
+        gopher_rules,
+        py_gopher_flags,
+    )
+
+    good = ("the data pipeline will be checked to make sure that we have "
+            "a long enough document with plenty of ordinary words in it "
+            "and that none of the gopher rules fire on it at all because "
+            "it is just plain english prose written for this test case "
+            "with more than fifty words of reasonable average length okay")
+    docs = [
+        (1, good),
+        (2, "short doc"),                              # word_count
+        (3, None),                                      # empty
+        (4, "### " * 60),                               # symbols, no alpha
+        (5, "\n".join("- bullet line item" for _ in range(20))),
+        (6, "\n".join("trailing dots..." for _ in range(20))),
+        (7, " ".join("1234" for _ in range(80))),       # numeric words
+        (8, good.upper()),                              # stopwords case-sens
+        (9, ("supercalifragilistic " * 60)),            # mean_word_len high
+    ]
+    got = {r.doc_id: (list(r.gopher_flags), r.gopher_pass)
+           for r in gopher_rules(
+               spark.createDataFrame(docs, "doc_id long, text string"))
+           .collect()}
+    for i, t in docs:
+        want = py_gopher_flags(t)
+        assert got[i] == (want, not want), (i, got[i], want)
+    assert got[1] == ([], True)          # the good doc passes everything
+    assert "word_count" in got[2][0]
+    assert "alpha_words" in got[4][0] and "symbol_ratio" in got[4][0]
+    assert "bullet_lines" in got[5][0]
+    assert "ellipsis_lines" in got[6][0]
+    assert "alpha_words" in got[7][0]
+    assert "stop_words" in got[8][0]     # Gopher stopwords are lowercase
+    assert "mean_word_len" in got[9][0]
+
+
+def test_gopher_rules_hostile_property(spark):
+    import random
+
+    from fastpasta_spark.operators.textstats import (
+        gopher_rules,
+        py_gopher_flags,
+    )
+
+    rng = random.Random(7)
+    pool = ["the", "of", "and", "•", "- x", "...", "#", "1234",
+            "word", "\n", "écu", "日本語", "O'Neill", "x" * 40]
+    docs = [(i, None if i % 17 == 0 else
+             " ".join(rng.choices(pool, k=rng.randrange(0, 120))))
+            for i in range(300)]
+    got = {r.doc_id: list(r.gopher_flags)
+           for r in gopher_rules(
+               spark.createDataFrame(docs, "doc_id long, text string"))
+           .collect()}
+    for i, t in docs:
+        assert got[i] == py_gopher_flags(t), (i, t, got[i])
