@@ -22,6 +22,8 @@ Training-pipeline extensions (north_rule, beyond the reference):
     dedup <in> -o out    exact content groups, MinHash-LSH near-dup
                          pairs (--mode near), or substring-level
                          duplicate spans (--mode spans)
+    rebalance <in> -o out  temperature-flatten a training mix: token
+                         shares -> share^T keep rates -> hash gate
     shard <in> -o out    deterministic training shards (path/shard=K/,
                          membership a pure function of id+seed+n)
     lineage <ckpt>       inspect a resumable run's checkpoint: buckets
@@ -237,6 +239,20 @@ def main(argv: list[str] | None = None) -> int:
                           "corpus instead of the input itself (fit "
                           "once on a sample slice, score everything)")
 
+    rb = sub.add_parser(
+        "rebalance", help="temperature-flatten a training mix: measure "
+                          "per-stratum token shares, derive downsample-"
+                          "only keep rates (share^T normalized), apply "
+                          "the deterministic hash gate")
+    rb.add_argument("input")
+    rb.add_argument("-o", "--output", required=True)
+    rb.add_argument("--stratum", required=True,
+                    help="stratum column (e.g. lang, source)")
+    rb.add_argument("--temperature", type=float, default=0.7,
+                    help="T in (0, 1]: 1 = identity, smaller = flatter")
+    rb.add_argument("--id-col", default="doc_id")
+    rb.add_argument("--seed", type=int, default=0)
+
     shd = sub.add_parser(
         "shard", help="write deterministic training shards: "
                       "path/shard=K/ parquet, membership a pure function "
@@ -306,6 +322,10 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd == "shard" and args.n_shards <= 0:
         raise SystemExit(f"-n must be positive, got {args.n_shards}")
+
+    if args.cmd == "rebalance" and not 0 < args.temperature <= 1:
+        raise SystemExit(
+            f"--temperature must be in (0, 1], got {args.temperature}")
 
     if args.cmd == "dedup":
         if args.threshold is not None:
@@ -411,6 +431,27 @@ def main(argv: list[str] | None = None) -> int:
         docs = _load_docs(spark, args.input)
         df = views.view_docs(docs) if args.what == "docs" else views.view_frames(docs)
         df.show(args.n, truncate=False)
+        return 0
+
+    if args.cmd == "rebalance":
+        from fastpasta_spark.operators.sampling import temperature_rebalance
+
+        tbl = spark.read.parquet(args.input)
+        for c in (args.id_col, args.stratum, "text"):
+            if c not in tbl.columns:
+                raise SystemExit(f"column {c!r} not in {tbl.columns}")
+        sampled, report = temperature_rebalance(
+            tbl, args.stratum, temperature=args.temperature,
+            id_col=args.id_col, seed=args.seed)
+        sampled.write.mode("overwrite").parquet(args.output)
+        print(f"{'stratum':<12} {'docs':>8} {'tokens':>10} "
+              f"{'share':>8} {'keep_rate':>9}")
+        for r in sorted(report.collect(),
+                        key=lambda r: -(r["tokens"] or 0)):
+            print(f"{str(r[args.stratum]):<12} {r['docs']:>8} "
+                  f"{r['tokens']:>10} {r['token_share']!s:>8} "
+                  f"{r['keep_rate']:>9}")
+        print(f"kept {spark.read.parquet(args.output).count()} rows")
         return 0
 
     if args.cmd == "shard":

@@ -259,3 +259,44 @@ def temperature_rates(shares: dict[str, float], temperature: float = 0.7,
     ratio = {k: (s ** temperature / total_t) / s for k, s in pos.items()}
     top = max(ratio.values())
     return {k: (ratio[k] / top if k in ratio else 0.0) for k in shares}
+
+
+def temperature_rebalance(df: DataFrame, strata_col: str,
+                          temperature: float = 0.7,
+                          id_col: str = "doc_id", text_col: str = "text",
+                          seed: int = 0):
+    """End-to-end training-mix rebalancing: measure the corpus's
+    per-stratum token shares, derive downsample-only keep rates that
+    move the mix toward its temperature-flattened target
+    (:func:`temperature_rates`), and apply them with the deterministic
+    hash gate (:func:`sample_stratified`). Returns
+    ``(sampled_df, report_df)`` where the report has one row per
+    stratum: docs, tokens, token_share, keep_rate.
+
+    Scale shape: one token-count scan + a <=|strata|-key groupBy for
+    the measurement (the collected report is bounded by the number of
+    strata — languages/sources, never documents), then a pure map-side
+    gate; the corpus is never shuffled. Deterministic end-to-end:
+    same (input, temperature, seed) -> same sample on any cluster.
+    """
+    from fastpasta_spark.operators.textstats import token_count
+
+    counted = token_count(df.select(id_col, strata_col, text_col), text_col)
+    report = mix_report(counted, strata_cols=(strata_col,),
+                        token_col="n_tokens")
+    rows = report.collect()  # bounded: one row per stratum
+    shares = {r[strata_col]: (r["token_share"] or 0.0) for r in rows
+              if r[strata_col] is not None}
+    rates = temperature_rates(shares, temperature)
+    sampled = sample_stratified(df, strata_col, rates, id_col=id_col,
+                                seed=seed, default_rate=0.0)
+    # keep_rate as a CASE over the tiny rate table (no join, no schema
+    # assumption about the stratum type; same pattern as the gate)
+    kr = F.lit(0.0)
+    for s, v in rates.items():
+        kr = F.when(F.col(strata_col) == F.lit(s),
+                    F.lit(float(v))).otherwise(kr)
+    out_report = report.select(
+        strata_col, "docs", "tokens", "token_share",
+        F.round(kr, 6).alias("keep_rate"))
+    return sampled, out_report

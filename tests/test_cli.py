@@ -674,3 +674,28 @@ def test_shard_cli(spark, tmp_path, capsys):
     assert got == {i: py_md5_hash(str(i), seed=2) % 4 for i in range(100)}
     with pytest.raises(SystemExit, match="-n must be positive"):
         main(["shard", src, "-o", out, "-n", "0"])
+
+
+def test_rebalance_cli(spark, tmp_path, capsys):
+    big = "the quick brown fox jumps over the lazy dog again and again"
+    rows = ([(i, "en", big) for i in range(180)]
+            + [(500 + i, "de", "der fuchs springt") for i in range(20)])
+    src = str(tmp_path / "mix")
+    out = str(tmp_path / "rebalanced")
+    spark.createDataFrame(rows, "doc_id long, lang string, text string") \
+        .write.parquet(src)
+    rc = main(["rebalance", src, "-o", out, "--stratum", "lang",
+               "--temperature", "0.5", "--seed", "3"])
+    assert rc == 0
+    txt = capsys.readouterr().out
+    assert "keep_rate" in txt and "kept " in txt
+    got = spark.read.parquet(out).collect()
+    n_en = sum(r.lang == "en" for r in got)
+    n_de = len(got) - n_en
+    assert n_de == 20                        # tail keeps everything
+    assert n_en < 180                        # head downsampled
+    with pytest.raises(SystemExit, match="temperature"):
+        main(["rebalance", src, "-o", out, "--stratum", "lang",
+              "--temperature", "1.5"])
+    with pytest.raises(SystemExit, match="not in"):
+        main(["rebalance", src, "-o", out, "--stratum", "nope"])

@@ -355,3 +355,40 @@ def test_dsir_resample_overrepresents_target(spark):
     assert "dsir_logratio" in got[0].asDict()
     share_en = sum(r["lang"] == "en" for r in got) / len(got)
     assert share_en > 0.75  # raw corpus share is 0.5
+
+
+def test_temperature_rebalance_flattens_mix_and_matches_twin(spark):
+    from fastpasta_spark.functions.hashing import py_tokens
+    from fastpasta_spark.operators.sampling import (
+        temperature_rates,
+        temperature_rebalance,
+    )
+
+    big = "the quick brown fox jumps over the lazy dog every single day"
+    small = "der schnelle fuchs springt"
+    rows = ([(i, "en", big) for i in range(900)]
+            + [(1000 + i, "de", small) for i in range(100)])
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    sampled, report = temperature_rebalance(df, "lang", temperature=0.5,
+                                            seed=4)
+    rep = {r["lang"]: r for r in report.collect()}
+    # python twin of the whole composition
+    tok = {i: len(py_tokens(t)) for i, _lg, t in rows}
+    tokens = {"en": sum(tok[i] for i, lg, _ in rows if lg == "en"),
+              "de": sum(tok[i] for i, lg, _ in rows if lg == "de")}
+    total = sum(tokens.values())
+    shares = {k: round(v / total, 6) for k, v in tokens.items()}
+    rates = temperature_rates(shares, 0.5)
+    assert rep["en"]["keep_rate"] == round(rates["en"], 6)
+    assert rep["de"]["keep_rate"] == 1.0   # the upweighted tail keeps all
+    want = {i for i, lg, _ in rows
+            if py_md5_hash(str(i), seed=4) % DENOM
+            < int(round(rates[lg] * DENOM))}
+    got = {r["doc_id"] for r in sampled.collect()}
+    assert got == want
+    # realized mix moved toward flat: en token share drops vs before
+    n_en = sum(1 for i in got if i < 1000)
+    n_de = len(got) - n_en
+    before = 900 / 1000
+    after = n_en / (n_en + n_de)
+    assert after < before
