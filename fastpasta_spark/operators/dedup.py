@@ -711,6 +711,17 @@ def remove_dup_spans(df: DataFrame, id_col: str = "doc_id",
         .filter(F.struct(F.col(id_col), F.col("i")) != F.col("k"))
         .select(id_col, "i")
     )
+    return _excise_spans(docs, cut, id_col, text_col, n)
+
+
+def _excise_spans(docs: DataFrame, cut: DataFrame, id_col: str,
+                  text_col: str, n: int) -> DataFrame:
+    """Shared excision tail of the span-removal family: merge CUT
+    window starts (id_col, i) into per-doc spans (same start-gap <= n
+    islands as dup_spans), cut every covered token, rebuild the text
+    from surviving tokens. The island window partitions by document
+    (bounded by doc length); span lists rejoin documents on the id.
+    Returns (id_col, clean_text, n_kept, n_total, n_cut_spans)."""
     w = Window.partitionBy(id_col).orderBy("i")
     islands = (
         cut.withColumn("new_island",
@@ -762,3 +773,55 @@ def remove_dup_spans(df: DataFrame, id_col: str = "doc_id",
             .alias("n_cut_spans"),
         )
     )
+
+
+def remove_contaminated_spans(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    bench_id_col: str = "bench_id",
+    text_col: str = "text",
+    n: int = 13,
+    work_dir: str | None = None,
+    broadcast_index: bool = True,
+) -> DataFrame:
+    """SURGICAL decontamination: excise every ``n``-token window of the
+    corpus that also occurs in the benchmark/eval set, and rebuild the
+    text — the span-level counterpart of :func:`decontaminate` (which
+    only REPORTS contaminated docs; dropping whole documents over one
+    leaked sentence wastes the rest of the document). Default n=13
+    is the classic 13-gram decontamination granularity.
+
+    Semantics: a corpus window is cut when its hash occurs ANYWHERE in
+    the benchmark (positional windows, same tokenizer + portable md5
+    as the dup-span family); cut windows merge into per-doc spans by
+    the start-gap <= n island rule and every covered token is removed.
+    Unlike remove_dup_spans there is no keeper — eval text never
+    survives in the training corpus. The rebuilt text is the kept
+    tokens joined by single spaces.
+
+    Identity contract: ``id_col`` unique per corpus row, NULL ids
+    dropped (same as remove_dup_spans).
+
+    Scale shape: the benchmark window-key set is DISTINCT hashes —
+    bounded by eval-set tokens, tiny next to the corpus — joined to the
+    corpus occurrences as a (broadcast by default) semi join; no pair
+    join, no corpus shuffle beyond the occurrence explode's (id, i, h)
+    rows. ``broadcast_index=False`` is the shuffle escape hatch for
+    eval sets past broadcast scale (same lever as decontaminate).
+    ``work_dir`` spills the corpus occurrence cache to parquet.
+    """
+    if n < 2:
+        raise ValueError(f"span shingle length n must be >= 2, got {n}")
+    docs = corpus.filter(F.col(id_col).isNotNull())
+    occ = _span_occurrences(docs, id_col, text_col, n, work_dir)
+    bench_keys = (
+        _span_occurrences(
+            benchmark.filter(F.col(bench_id_col).isNotNull()),
+            bench_id_col, text_col, n)
+        .select("h").distinct()
+    )
+    if broadcast_index:
+        bench_keys = F.broadcast(bench_keys)
+    cut = occ.join(bench_keys, "h", "leftsemi").select(id_col, "i")
+    return _excise_spans(docs, cut, id_col, text_col, n)

@@ -558,3 +558,86 @@ def test_span_work_dir_shared_by_two_calls_no_clobber(spark, tmp_path):
     got1 = r1.collect()                            # consume AFTER r2 built
     assert got1 and all(r["doc_id"] in (1, 2) for r in got1)
     assert all(r["doc_id"] == 9 for r in r2.collect())
+
+
+def _py_remove_contaminated(rows, bench, n):
+    """Pure-python twin of dedup.remove_contaminated_spans;
+    rows = [(id, text)] unique non-None ids, bench = [text]."""
+    bench_keys = set()
+    for t in bench:
+        tv = py_tokens(t)
+        for j in range(len(tv) - n + 1):
+            bench_keys.add(" ".join(tv[j:j + n]))
+    out = []
+    for i, t in rows:
+        if i is None:
+            continue
+        tv = py_tokens(t)
+        cut_starts = [j for j in range(len(tv) - n + 1)
+                      if " ".join(tv[j:j + n]) in bench_keys]
+        islands = []
+        for j in cut_starts:
+            if islands and j - islands[-1][1] <= n:
+                islands[-1][1] = j
+            else:
+                islands.append([j, j])
+        cutset = set()
+        for a, b in islands:
+            cutset.update(range(a, b + n))
+        kept = [tv[p] for p in range(len(tv)) if p not in cutset]
+        out.append((i, " ".join(kept), len(kept), len(tv), len(islands)))
+    return sorted(out)
+
+
+def test_remove_contaminated_spans_excises_eval_text(spark):
+    from fastpasta_spark.operators.dedup import remove_contaminated_spans
+
+    eval_q = "what is the capital of france and when was it founded"
+    clean = ("training data about completely unrelated topics with many "
+             "ordinary words that never appear in the benchmark at all")
+    leaked = f"some prefix text here {eval_q} and then a suffix follows"
+    corpus = spark.createDataFrame(
+        [(1, leaked), (2, clean), (3, None), (None, leaked)],
+        "doc_id long, text string")
+    bench = spark.createDataFrame([(100, eval_q)],
+                                  "bench_id long, text string")
+    got = {r.doc_id: r for r in remove_contaminated_spans(
+        corpus, bench, n=5).collect()}
+    assert set(got) == {1, 2, 3}           # NULL id dropped
+    assert "capital" not in got[1].clean_text
+    assert got[1].clean_text.startswith("some prefix")
+    assert got[1].n_cut_spans == 1 and got[1].n_kept < got[1].n_total
+    assert got[2].clean_text == " ".join(py_tokens(clean))  # untouched
+    assert got[3] == (3, "", 0, 0, 0)       # NULL text -> empty rebuild
+    want = _py_remove_contaminated(
+        [(1, leaked), (2, clean), (3, None)], [eval_q], 5)
+    assert sorted((r.doc_id, r.clean_text, r.n_kept, r.n_total,
+                   r.n_cut_spans) for r in got.values()) == want
+
+
+def test_remove_contaminated_spans_property_and_shuffle_parity(spark):
+    import random
+
+    from fastpasta_spark.operators.dedup import remove_contaminated_spans
+
+    rng = random.Random(11)
+    vocab = "a b c d e f g h i j k".split()
+    bench = [" ".join(rng.choices(vocab, k=rng.randrange(4, 15)))
+             for _ in range(6)]
+    rows = []
+    for i in range(60):
+        body = " ".join(rng.choices(vocab, k=rng.randrange(0, 30)))
+        if rng.random() < 0.5:  # embed an eval snippet mid-document
+            b = rng.choice(bench)
+            body = f"{body} {b} {body}"
+        rows.append((i, body if rng.random() > 0.05 else None))
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    bdf = spark.createDataFrame([(i, t) for i, t in enumerate(bench)],
+                                "bench_id long, text string")
+    want = _py_remove_contaminated(rows, bench, 4)
+    for bc in (True, False):
+        got = sorted(
+            (r.doc_id, r.clean_text, r.n_kept, r.n_total, r.n_cut_spans)
+            for r in remove_contaminated_spans(
+                corpus, bdf, n=4, broadcast_index=bc).collect())
+        assert got == want, f"broadcast_index={bc}"
