@@ -22,6 +22,9 @@ Training-pipeline extensions (north_rule, beyond the reference):
     dedup <in> -o out    exact content groups, MinHash-LSH near-dup
                          pairs (--mode near), or substring-level
                          duplicate spans (--mode spans)
+    decontam <in> --bench b -o out  eval-set contamination: report
+                         (doc, bench, overlap) pairs, or --mode excise
+                         to cut the leaked n-grams and keep the docs
     rebalance <in> -o out  temperature-flatten a training mix: token
                          shares -> share^T keep rates -> hash gate
     shard <in> -o out    deterministic training shards (path/shard=K/,
@@ -212,6 +215,29 @@ def main(argv: list[str] | None = None) -> int:
                     help="spans mode: duplicated-window length in "
                          "tokens (default 20)")
 
+    dc = sub.add_parser(
+        "decontam", help="benchmark decontamination of a flat (doc_id, "
+                         "text) corpus vs a (bench_id, text) eval set: "
+                         "report contaminated docs, or surgically "
+                         "excise the leaked spans and keep the rest")
+    dc.add_argument("input")
+    dc.add_argument("--bench", required=True, metavar="PARQUET",
+                    help="benchmark/eval-set parquet (bench_id, text)")
+    dc.add_argument("-o", "--output", required=True)
+    dc.add_argument("--mode", choices=["report", "excise"],
+                    default="report",
+                    help="report = (doc_id, bench_id, overlap) pairs; "
+                         "excise = rebuilt corpus with eval n-grams cut")
+    dc.add_argument("--ngram", type=int, default=None,
+                    help="window length in tokens (default 5 for "
+                         "report, 13 for excise)")
+    dc.add_argument("--min-overlap", type=int, default=1,
+                    help="report mode: distinct shared shingles needed "
+                         "to flag a doc (default 1)")
+    dc.add_argument("--no-broadcast", action="store_true",
+                    help="shuffle-join the eval index instead of "
+                         "broadcasting (eval sets past broadcast scale)")
+
     scr = sub.add_parser(
         "score", help="per-doc curation scoring signals over a flat "
                       "(doc_id, text[, lang]) table; writes doc_id + "
@@ -327,6 +353,16 @@ def main(argv: list[str] | None = None) -> int:
         raise SystemExit(
             f"--temperature must be in (0, 1], got {args.temperature}")
 
+    if args.cmd == "decontam":
+        if args.ngram is not None and args.ngram < 2:
+            raise SystemExit(f"--ngram must be >= 2, got {args.ngram}")
+        if args.mode != "report" and args.min_overlap != 1:
+            raise SystemExit("--min-overlap only applies to --mode report "
+                             "(excise cuts every matching window)")
+        if args.min_overlap < 1:
+            raise SystemExit(
+                f"--min-overlap must be >= 1, got {args.min_overlap}")
+
     if args.cmd == "dedup":
         if args.threshold is not None:
             if args.mode != "near":
@@ -431,6 +467,45 @@ def main(argv: list[str] | None = None) -> int:
         docs = _load_docs(spark, args.input)
         df = views.view_docs(docs) if args.what == "docs" else views.view_frames(docs)
         df.show(args.n, truncate=False)
+        return 0
+
+    if args.cmd == "decontam":
+        from fastpasta_spark.operators.dedup import (
+            decontaminate,
+            remove_contaminated_spans,
+        )
+        from fastpasta_spark.functions.cache import release_tracked
+
+        corpus = spark.read.parquet(args.input)
+        bench = spark.read.parquet(args.bench)
+        for frame, need, what in ((corpus, ("doc_id", "text"), "input"),
+                                  (bench, ("bench_id", "text"), "--bench")):
+            missing = [c for c in need if c not in frame.columns]
+            if missing:
+                raise SystemExit(f"{what} is missing columns {missing}")
+        if args.mode == "report":
+            out = decontaminate(corpus, bench, n=args.ngram or 5,
+                                min_overlap=args.min_overlap,
+                                broadcast_index=not args.no_broadcast)
+        else:
+            out = remove_contaminated_spans(
+                corpus, bench, n=args.ngram or 13,
+                broadcast_index=not args.no_broadcast)
+        out.write.mode("overwrite").parquet(args.output)
+        release_tracked()
+        got = spark.read.parquet(args.output)
+        if args.mode == "report":
+            print(f"{got.count()} contaminated (doc, bench) pairs")
+        else:
+            from pyspark.sql import functions as F
+
+            s = got.agg(
+                F.count(F.lit(1)).alias("docs"),
+                F.sum((F.col("n_cut_spans") > 0).cast("long")).alias("hit"),
+                F.sum(F.col("n_total") - F.col("n_kept")).alias("cut"),
+            ).first()
+            print(f"rebuilt {s['docs']} docs; {s['hit']} had leaked spans; "
+                  f"{s['cut']} tokens excised")
         return 0
 
     if args.cmd == "rebalance":

@@ -699,3 +699,35 @@ def test_rebalance_cli(spark, tmp_path, capsys):
               "--temperature", "1.5"])
     with pytest.raises(SystemExit, match="not in"):
         main(["rebalance", src, "-o", out, "--stratum", "nope"])
+
+
+def test_decontam_cli_report_and_excise(spark, tmp_path, capsys):
+    eval_q = "what is the capital of france and when was it founded"
+    rows = [(1, f"prefix text {eval_q} suffix text"),
+            (2, "totally clean document with unrelated ordinary words")]
+    src = str(tmp_path / "corpus")
+    bsrc = str(tmp_path / "bench")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+    spark.createDataFrame([(9, eval_q)], "bench_id long, text string") \
+        .write.parquet(bsrc)
+    rep = str(tmp_path / "report")
+    rc = main(["decontam", src, "--bench", bsrc, "-o", rep,
+               "--ngram", "5", "--min-overlap", "2"])
+    assert rc == 0
+    assert "contaminated (doc, bench) pairs" in capsys.readouterr().out
+    assert {r.doc_id for r in spark.read.parquet(rep).collect()} == {1}
+    exc = str(tmp_path / "excised")
+    rc = main(["decontam", src, "--bench", bsrc, "-o", exc,
+               "--mode", "excise", "--ngram", "5"])
+    assert rc == 0
+    assert "1 had leaked spans" in capsys.readouterr().out
+    got = {r.doc_id: r for r in spark.read.parquet(exc).collect()}
+    assert "capital" not in got[1].clean_text
+    assert got[2].n_cut_spans == 0
+    with pytest.raises(SystemExit, match="only applies to --mode report"):
+        main(["decontam", src, "--bench", bsrc, "-o", exc,
+              "--mode", "excise", "--min-overlap", "3"])
+    with pytest.raises(SystemExit, match="--ngram"):
+        main(["decontam", src, "--bench", bsrc, "-o", exc, "--ngram", "1"])
+    with pytest.raises(SystemExit, match="missing columns"):
+        main(["decontam", src, "--bench", src, "-o", exc])
