@@ -183,7 +183,13 @@ def importance_resample(df: DataFrame, weight_col: str, k: int,
 
     Scale shape: a pure map computes the key, then the top-k plans as
     TakeOrderedAndProject — per-partition k-row heaps merged on the
-    driver, never a global sort, and the corpus never shuffles. Rows
+    driver, never a global sort, and the corpus never shuffles. The
+    merge MATERIALIZES k rows on the driver: keep k under ~10^6 full
+    rows (or select thin columns first). For a larger draw, partition
+    the corpus into hash shards (packing.assign_shards) and draw
+    k/n_shards per shard with per-shard seeds — shard assignment is
+    weight-independent, so the union stays weight-proportional while
+    every merge remains driver-small. Rows
     with a NULL or NaN id/weight are never sampled (no deterministic
     hash identity / no weight; NaN sorts GREATER than every real key
     under Spark's ordering and would otherwise always win the draw),
