@@ -135,7 +135,7 @@ def main(argv: list[str] | None = None) -> int:
                           "partition window; default is the distributed "
                           "quantile-cutoff scale path)")
     cur.add_argument("--signals", nargs="+", default=None,
-                     choices=["quality", "lm", "bm25", "dsir"],
+                     choices=["quality", "gopher", "lm", "bm25", "dsir"],
                      help="fit these scoring signals once (on --ref if "
                           "given, else the input) and make their columns "
                           "gate-able (--min-score) and rank-able "
@@ -246,8 +246,9 @@ def main(argv: list[str] | None = None) -> int:
     scr.add_argument("input")
     scr.add_argument("-o", "--output", required=True)
     scr.add_argument("--signals", nargs="+", required=True,
-                     choices=["quality", "lm", "bm25", "dsir"],
-                     help="quality = heuristic [0,1] gate; lm = mean "
+                     choices=["quality", "gopher", "lm", "bm25", "dsir"],
+                     help="quality = heuristic [0,1] gate; gopher = rule "
+                          "battery pass as 0/1; lm = mean "
                           "unigram logprob; bm25 = keyword relevance "
                           "(needs --terms); dsir = importance weight vs "
                           "a --target slice")
@@ -411,7 +412,7 @@ def main(argv: list[str] | None = None) -> int:
         if args.ref and not {"lm", "bm25", "dsir"} & set(sigs):
             raise SystemExit(
                 "--ref has no effect: none of the requested signals "
-                "fits a model (quality is stateless)")
+                "fits a model (quality/gopher are stateless)")
         try:
             if args.terms:
                 validate_bm25_query(args.terms)
@@ -425,8 +426,9 @@ def main(argv: list[str] | None = None) -> int:
         if args.cmd == "curate":
             # gate / rank columns must exist in the funnel's frame:
             # quality is always computed; the rest need their signal
-            sig_cols = {"quality": "quality", "lm": "avg_logprob",
-                        "bm25": "bm25", "dsir": "dsir_logratio"}
+            sig_cols = {"quality": "quality", "gopher": "gopher_pass",
+                        "lm": "avg_logprob", "bm25": "bm25",
+                        "dsir": "dsir_logratio"}
             allowed = {"quality"} | {sig_cols[s] for s in sigs}
             args.min_scores = {}
             for spec in args.min_score or []:

@@ -565,7 +565,18 @@ def _span_occurrences(df: DataFrame, id_col: str, text_col: str, n: int,
 
         path = f"{work_dir}/span_occ_{uuid.uuid4().hex}"
         occ.write.mode("overwrite").parquet(path)
-        return df.sparkSession.read.parquet(path)
+        back = df.sparkSession.read.parquet(path)
+        # the occ table is THIN (id, i, h): at moderate corpus sizes its
+        # parquet packs into a couple of default 128MB input splits and
+        # every downstream map stage runs near-serial (measured 129.6s
+        # vs 23.8s persist at 500k docs; 45.6s with 8MB splits). Restore
+        # the session's parallelism with one cheap round-robin shuffle
+        # when the read under-splits; at true 100-TB scale the files
+        # exceed the split size and this is a no-op.
+        target = df.sparkSession.sparkContext.defaultParallelism
+        if back.rdd.getNumPartitions() < target:
+            back = back.repartition(target)
+        return back
     return tracked_persist(occ)
 
 

@@ -724,6 +724,8 @@ def fit_scoring_model(ref: DataFrame, signals: list[str],
                       dp: int = 6) -> ScoringModel:
     """Fit the requested curation signals on ``ref`` and return a
     :class:`ScoringModel`. Signals: ``quality`` (stateless heuristic),
+    ``gopher`` (stateless rule battery -> ``gopher_pass`` as INT 0/1,
+    gate with ``min_scores={"gopher_pass": 1}``),
     ``lm`` (unigram fluency under ref's model -> ``avg_logprob``),
     ``bm25`` (needs ``terms``; ref supplies N/avgdl/df -> ``bm25``,
     NULL = no term present), ``dsir`` (needs ``target_filter``; ref
@@ -734,7 +736,7 @@ def fit_scoring_model(ref: DataFrame, signals: list[str],
     same ``avg_logprob`` through either surface (operator call or
     fitted model / CLI ``score --signals lm``).
     """
-    known = ("quality", "lm", "bm25", "dsir")
+    known = ("quality", "gopher", "lm", "bm25", "dsir")
     bad = [s for s in signals if s not in known]
     if bad:
         raise ValueError(f"unknown signals {bad}; pick from {known}")
@@ -747,6 +749,17 @@ def fit_scoring_model(ref: DataFrame, signals: list[str],
             transforms.append(
                 ("quality",
                  lambda df, e=e: df.withColumn("quality", F.expr(e))))
+        elif s == "gopher":
+            # stateless like quality; emitted as INT 0/1 so the numeric
+            # min_scores gate family (curate, score_stream) can require
+            # {"gopher_pass": 1}. Flag detail lives in gopher_rules /
+            # curate(gopher=True).
+            transforms.append(
+                ("gopher_pass",
+                 lambda df: gopher_rules(df, text_col)
+                 .withColumn("gopher_pass", F.col("gopher_pass")
+                             .cast("int"))
+                 .drop("gopher_flags")))
         elif s == "lm":
             e = _fit_unigram_expr(ref, text_col, vocab_k, dp)
             transforms.append(

@@ -14,8 +14,9 @@ ASCII soup — then asserts ENGINE == PURE-PYTHON TWIN, exactly, for:
                         token pool + never-present terms, random k1/b)
   2. dsir_weights      (random bucket counts, seed-derived target set)
   3. unigram_logprob   (random vocab_k incl. 1 and > vocabulary size)
-  4. fit_scoring_model (all four signals FIT ON A REFERENCE SLICE and
-                        applied to the full hostile corpus — the
+  4. gopher_rules      (the full 7-rule battery vs py_gopher_flags)
+  5. fit_scoring_model (lm/bm25/dsir/quality FIT ON A REFERENCE SLICE
+                        and applied to the full hostile corpus — the
                         fit/apply split twins, incl. NULL-score rows)
 
 Usage:
@@ -215,6 +216,15 @@ def run_seed(spark, seed: int, n_docs: int) -> int:
     bad += diff(f"unigram(vocab_k={vocab_k})", got,
                 py_unigram(rows, rows, vocab_k, dp=4))
 
+    from fastpasta_spark.operators.textstats import (
+        gopher_rules,
+        py_gopher_flags,
+    )
+
+    got = {r.doc_id: list(r.gopher_flags)
+           for r in gopher_rules(df).collect()}
+    bad += diff("gopher", got, {i: py_gopher_flags(t) for i, t in rows})
+
     # fit/apply split: fit every signal on a PREFIX slice, apply to all
     ref_rows = rows[: max(1, n_docs // 5)]
     ref_df = df.filter(F.col("doc_id") < len(ref_rows))
@@ -235,8 +245,8 @@ def run_seed(spark, seed: int, n_docs: int) -> int:
     bad += diff("fit/apply bm25", got_bm, want_bm)
     bad += diff("fit/apply dsir", got_ds, want_ds)
 
-    n_rows = 4 * n_docs + len(got_rows)
-    print(f"seed {seed}: {n_rows} engine rows compared across 6 legs -> "
+    n_rows = 5 * n_docs + len(got_rows)
+    print(f"seed {seed}: {n_rows} engine rows compared across 7 legs -> "
           f"{'OK' if bad == 0 else f'{bad} MISMATCHES'}")
     return bad
 

@@ -731,3 +731,25 @@ def test_decontam_cli_report_and_excise(spark, tmp_path, capsys):
         main(["decontam", src, "--bench", bsrc, "-o", exc, "--ngram", "1"])
     with pytest.raises(SystemExit, match="missing columns"):
         main(["decontam", src, "--bench", src, "-o", exc])
+
+
+def test_score_and_curate_gopher_signal(spark, tmp_path, capsys):
+    good = ("the data pipeline will be checked to make sure that we have "
+            "a long enough document with plenty of ordinary words in it "
+            "and that none of the gopher rules fire on it at all because "
+            "it is just plain english prose written for this test case "
+            "with more than fifty words of reasonable average length okay")
+    rows = [(1, good), (2, "short doc")]
+    src = str(tmp_path / "gsrc")
+    out = str(tmp_path / "gscored")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+    rc = main(["score", src, "-o", out, "--signals", "gopher"])
+    assert rc == 0
+    got = {r.doc_id: r.gopher_pass
+           for r in spark.read.parquet(out).collect()}
+    assert got == {1: 1, 2: 0}              # INT 0/1, min_scores-gateable
+    out2 = str(tmp_path / "gcurated")
+    rc = main(["curate", src, "-o", out2, "--min-quality", "0.0",
+               "--signals", "gopher", "--min-score", "gopher_pass=1"])
+    assert rc == 0
+    assert {r.doc_id for r in spark.read.parquet(out2).collect()} == {1}
