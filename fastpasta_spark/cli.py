@@ -430,6 +430,8 @@ def main(argv: list[str] | None = None) -> int:
                         "lm": "avg_logprob", "bm25": "bm25",
                         "dsir": "dsir_logratio"}
             allowed = {"quality"} | {sig_cols[s] for s in sigs}
+            if getattr(args, "gopher", False):
+                allowed.add("gopher_pass")  # computed by the --gopher gate
             args.min_scores = {}
             for spec in args.min_score or []:
                 col, sep, val = spec.partition("=")
@@ -503,8 +505,10 @@ def main(argv: list[str] | None = None) -> int:
 
             s = got.agg(
                 F.count(F.lit(1)).alias("docs"),
-                F.sum((F.col("n_cut_spans") > 0).cast("long")).alias("hit"),
-                F.sum(F.col("n_total") - F.col("n_kept")).alias("cut"),
+                F.coalesce(F.sum((F.col("n_cut_spans") > 0).cast("long")),
+                           F.lit(0)).alias("hit"),
+                F.coalesce(F.sum(F.col("n_total") - F.col("n_kept")),
+                           F.lit(0)).alias("cut"),
             ).first()
             print(f"rebuilt {s['docs']} docs; {s['hit']} had leaked spans; "
                   f"{s['cut']} tokens excised")
@@ -525,8 +529,10 @@ def main(argv: list[str] | None = None) -> int:
               f"{'share':>8} {'keep_rate':>9}")
         for r in sorted(report.collect(),
                         key=lambda r: -(r["tokens"] or 0)):
+            # all-NULL-text strata report NULL tokens/share — print 0,
+            # never pass None to a numeric format spec
             print(f"{str(r[args.stratum]):<12} {r['docs']:>8} "
-                  f"{r['tokens']:>10} {r['token_share']!s:>8} "
+                  f"{r['tokens'] or 0:>10} {r['token_share'] or 0.0!s:>8} "
                   f"{r['keep_rate']:>9}")
         print(f"kept {spark.read.parquet(args.output).count()} rows")
         return 0
@@ -539,14 +545,17 @@ def main(argv: list[str] | None = None) -> int:
             raise SystemExit(f"--id-col {args.id_col!r} not in {tbl.columns}")
         write_training_shards(tbl, args.output, args.n_shards,
                               id_col=args.id_col, seed=args.seed)
+        # a zero-row frame's partitionBy write emits only _SUCCESS, and
+        # reading that back throws UNABLE_TO_INFER_SCHEMA — check the
+        # input side before touching the output
+        if tbl.filter(tbl[args.id_col].isNotNull()).limit(1).count() == 0:
+            print("wrote 0 rows into 0 shards")
+            return 0
         per = (spark.read.parquet(args.output)
                .groupBy("shard").count().orderBy("shard").collect())
-        if per:
-            print(f"wrote {sum(r['count'] for r in per)} rows into "
-                  f"{len(per)} shards (min {min(r['count'] for r in per)}, "
-                  f"max {max(r['count'] for r in per)} rows)")
-        else:
-            print("wrote 0 rows into 0 shards")
+        print(f"wrote {sum(r['count'] for r in per)} rows into "
+              f"{len(per)} shards (min {min(r['count'] for r in per)}, "
+              f"max {max(r['count'] for r in per)} rows)")
         return 0
 
     if args.cmd == "lineage":

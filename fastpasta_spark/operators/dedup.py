@@ -527,12 +527,16 @@ def decontaminate(
 
 
 def _span_occurrences(df: DataFrame, id_col: str, text_col: str, n: int,
-                      work_dir: str | None = None) -> DataFrame:
+                      work_dir: str | None = None,
+                      materialize: bool = True) -> DataFrame:
     """Positional n-token shingle occurrences (id, i, h) for the
-    dup-span family, MATERIALIZED: the occurrence set feeds at least
-    two consumers (global counts + a flag join back), and without a
-    boundary each would re-run the tokenize+shingle+hash chain over the
-    full text column.
+    dup-span family, MATERIALIZED by default: in dup_spans /
+    remove_dup_spans the occurrence set feeds two consumers (global
+    counts + a flag join back), and without a boundary each would
+    re-run the tokenize+shingle+hash chain over the full text column.
+    ``materialize=False`` skips the persist for SINGLE-consumer callers
+    (remove_contaminated_spans' one semi join) — caching a
+    corpus-token-sized block for zero reuse is pure memory pressure.
 
     Default boundary is a tracked persist (functions/cache). With
     ``work_dir`` the occurrences round-trip through parquet instead
@@ -577,7 +581,7 @@ def _span_occurrences(df: DataFrame, id_col: str, text_col: str, n: int,
         if back.rdd.getNumPartitions() < target:
             back = back.repartition(target)
         return back
-    return tracked_persist(occ)
+    return tracked_persist(occ) if materialize else occ
 
 
 def dup_spans(df: DataFrame, id_col: str = "doc_id",
@@ -825,11 +829,13 @@ def remove_contaminated_spans(
     if n < 2:
         raise ValueError(f"span shingle length n must be >= 2, got {n}")
     docs = corpus.filter(F.col(id_col).isNotNull())
-    occ = _span_occurrences(docs, id_col, text_col, n, work_dir)
+    # ONE consumer each (the semi join / the distinct) — no persist
+    occ = _span_occurrences(docs, id_col, text_col, n, work_dir,
+                            materialize=False)
     bench_keys = (
         _span_occurrences(
             benchmark.filter(F.col(bench_id_col).isNotNull()),
-            bench_id_col, text_col, n)
+            bench_id_col, text_col, n, materialize=False)
         .select("h").distinct()
     )
     if broadcast_index:

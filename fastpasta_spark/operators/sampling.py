@@ -291,18 +291,38 @@ def temperature_rebalance(df: DataFrame, strata_col: str,
     report = mix_report(counted, strata_cols=(strata_col,),
                         token_col="n_tokens")
     rows = report.collect()  # bounded: one row per stratum
-    shares = {r[strata_col]: (r["token_share"] or 0.0) for r in rows
-              if r[strata_col] is not None}
+    # UNROUNDED shares from the raw token sums: mix_report's
+    # token_share is display-rounded to 6 dp, which zeroes any stratum
+    # under ~0.5 ppm of tokens and would DELETE exactly the tail
+    # temperature flattening exists to upweight (review finding)
+    total = sum((r["tokens"] or 0) for r in rows)
+    shares = {r[strata_col]: ((r["tokens"] or 0) / total if total else 0.0)
+              for r in rows if r[strata_col] is not None}
     rates = temperature_rates(shares, temperature)
     sampled = sample_stratified(df, strata_col, rates, id_col=id_col,
                                 seed=seed, default_rate=0.0)
-    # keep_rate as a CASE over the tiny rate table (no join, no schema
-    # assumption about the stratum type; same pattern as the gate)
-    kr = F.lit(0.0)
-    for s, v in rates.items():
-        kr = F.when(F.col(strata_col) == F.lit(s),
-                    F.lit(float(v))).otherwise(kr)
-    out_report = report.select(
-        strata_col, "docs", "tokens", "token_share",
-        F.round(kr, 6).alias("keep_rate"))
+    # report assembled DRIVER-SIDE from the rows already collected —
+    # deriving it lazily from `report` would re-run the full corpus
+    # token scan when the caller collects it (review finding)
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType([
+        report.schema[strata_col],
+        StructField("docs", LongType()),
+        StructField("tokens", LongType()),
+        StructField("token_share", DoubleType()),
+        StructField("keep_rate", DoubleType()),
+    ])
+    out_rows = [
+        (r[strata_col], r["docs"], r["tokens"], r["token_share"],
+         round(float(rates.get(r[strata_col], 0.0)), 6)
+         if r[strata_col] is not None else 0.0)
+        for r in rows
+    ]
+    out_report = df.sparkSession.createDataFrame(out_rows, schema)
     return sampled, out_report

@@ -621,6 +621,13 @@ def gopher_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
       alpha_words    < 80% of words contain an alphabetic character
       stop_words     fewer than 2 distinct Gopher stop words present
 
+    Whitespace contract (engine == python twin, review-pinned): words
+    split on ASCII whitespace (Java regex \\s = [ \\t\\n\\x0B\\f\\r] —
+    NBSP and other unicode spaces are NOT separators on either side),
+    lines split on \\n and STRIPPED of ASCII whitespace at both edges
+    before the empty/bullet/ellipsis checks (so CRLF text and
+    tab-padded bullets classify identically in both implementations).
+
     Scale shape: one pure-Column expression per row — words and lines
     are each bound ONCE via the 1-element-aggregate let-binding (see
     with_textstats: codegen does not subexpression-eliminate
@@ -630,7 +637,11 @@ def gopher_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
     """
     tc = f"coalesce({text_col}, '')"
     words = f"filter(split({tc}, '\\\\s+'), w -> w <> '')"
-    lines = f"filter(split({tc}, '\\n'), l -> trim(l) <> '')"
+    # ASCII-whitespace strip per line (trim() strips only spaces and
+    # would diverge from the twin on \r / \t edges — review finding)
+    strip = "regexp_replace(x, '(^\\\\s+)|(\\\\s+$)', '')"
+    lines = (f"filter(transform(split({tc}, '\\n'), x -> {strip}), "
+             "l -> l <> '')")
     nw = "greatest(size(words), 1)"
     nl = "greatest(size(lines), 1)"
     sw_hits = " + ".join(
@@ -644,10 +655,10 @@ def gopher_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
             f"(regexp_count({tc}, '#') + regexp_count({tc}, '\\\\.\\\\.\\\\.'))"
             f" / CAST({nw} AS DOUBLE) > 0.1"),
         "bullet_lines": (
-            "size(filter(lines, l -> trim(l) RLIKE '^[-*\\u2022]')) "
+            "size(filter(lines, l -> l RLIKE '^[-*\\u2022]')) "
             f"/ CAST({nl} AS DOUBLE) > 0.9"),
         "ellipsis_lines": (
-            "size(filter(lines, l -> trim(l) RLIKE '\\\\.\\\\.\\\\.$')) "
+            "size(filter(lines, l -> l RLIKE '\\\\.\\\\.\\\\.$')) "
             f"/ CAST({nl} AS DOUBLE) > 0.3"),
         "alpha_words": (
             "size(filter(words, w -> w RLIKE '[A-Za-z]')) "
@@ -666,18 +677,24 @@ def gopher_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def py_gopher_flags(text: str | None) -> list[str]:
-    """Pure-python twin of gopher_rules (test/fuzz oracle)."""
+    """Pure-python twin of gopher_rules (test/fuzz oracle). Mirrors the
+    engine's ASCII-whitespace contract EXPLICITLY: Java regex \\s is
+    [ \\t\\n\\x0B\\f\\r] while Python's \\s also matches NBSP/unicode
+    spaces — the twin must use the ASCII class or the two disagree on
+    real web text (review finding)."""
     import re
 
+    _ws = "[ \t\n\x0b\f\r]"
     t = text or ""
-    words = [w for w in re.split(r"\s+", t) if w]
-    lines = [ln for ln in t.split("\n") if ln.strip()]
+    words = [w for w in re.split(f"{_ws}+", t) if w]
+    lines = [s for s in
+             (re.sub(f"(^{_ws}+)|({_ws}+$)", "", ln)
+              for ln in t.split("\n")) if s]
     nw, nl = max(len(words), 1), max(len(lines), 1)
     mean_wl = sum(len(w) for w in words) / nw
     sym = len(re.findall("#", t)) + len(re.findall(r"\.\.\.", t))
-    bullets = sum(1 for ln in lines
-                  if re.match(r"^[-*•]", ln.strip()))
-    ellip = sum(1 for ln in lines if re.search(r"\.\.\.$", ln.strip()))
+    bullets = sum(1 for ln in lines if re.match(r"^[-*•]", ln))
+    ellip = sum(1 for ln in lines if re.search(r"\.\.\.$", ln))
     alpha = sum(1 for w in words if re.search("[A-Za-z]", w))
     stops = sum(1 for w in GOPHER_STOPWORDS if w in words)
     fails = {

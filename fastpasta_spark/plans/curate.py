@@ -107,15 +107,21 @@ def curate(
     stats = with_textstats(docs.select(id_col, text_col), text_col)
     if scoring is not None:
         stats = scoring.apply(stats)
-    if gopher:
+    if gopher and "gopher_pass" not in stats.columns:
+        # not already fitted via the 'gopher' signal — compute the
+        # battery here; INT 0/1 like the fitted signal so gopher_pass
+        # stays min_scores/rank_col-able in either configuration
         from fastpasta_spark.operators.textstats import gopher_rules
 
-        stats = gopher_rules(stats, text_col)
+        stats = gopher_rules(stats, text_col).withColumn(
+            "gopher_pass", F.col("gopher_pass").cast("int"))
     gated = stats.filter(F.col("quality") >= min_quality)
     if langs:
         gated = gated.filter(F.col("lang_pred").isin(*langs))
     if gopher:
-        gated = gated.filter(F.col("gopher_pass")).drop("gopher_pass")
+        # keep the column: min_scores/rank_col may reference it, and
+        # survivors carry it (with gopher_flags when computed here)
+        gated = gated.filter(F.col("gopher_pass") == 1)
     for c, v in (min_scores or {}).items():
         gated = gated.filter(F.col(c).isNotNull() & (F.col(c) >= v))
     gated = tracked_persist(gated)

@@ -52,6 +52,10 @@ HOSTILE_POOL = [
     "semi;colon, comma. dot! bang? q:colon",
     "a'||'b -- sql 'injection' attempt; DROP TABLE x;",
     "$(subshell) ${var} %fmt% \t tab \n newline",
+    # line-edge whitespace traps (engine/twin ASCII-strip contract):
+    "crlf line one...\r\ncrlf line two...\r\n- crlf bullet\r\n",
+    "\t- tab-led bullet\n   - space-led bullet\n\t\n",
+    "nbsp joined words and　ideographic　spaces",
 ]
 WORDS = ("the quick brown fox jumps over lazy dog data pipeline check "
          "hash window merge span token dup alpha beta gamma delta "

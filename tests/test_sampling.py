@@ -377,7 +377,7 @@ def test_temperature_rebalance_flattens_mix_and_matches_twin(spark):
     tokens = {"en": sum(tok[i] for i, lg, _ in rows if lg == "en"),
               "de": sum(tok[i] for i, lg, _ in rows if lg == "de")}
     total = sum(tokens.values())
-    shares = {k: round(v / total, 6) for k, v in tokens.items()}
+    shares = {k: v / total for k, v in tokens.items()}  # UNROUNDED
     rates = temperature_rates(shares, 0.5)
     assert rep["en"]["keep_rate"] == round(rates["en"], 6)
     assert rep["de"]["keep_rate"] == 1.0   # the upweighted tail keeps all

@@ -542,7 +542,10 @@ def test_gopher_rules_hostile_property(spark):
 
     rng = random.Random(7)
     pool = ["the", "of", "and", "•", "- x", "...", "#", "1234",
-            "word", "\n", "écu", "日本語", "O'Neill", "x" * 40]
+            "word", "\n", "écu", "日本語", "O'Neill", "x" * 40,
+            # line-edge whitespace traps (ASCII-strip contract): CRLF,
+            # tab-led bullets, NBSP/ideographic-space "separators"
+            "a...\r\n", "\t- y", "n\u00a0b", "\u3000", "- z\r"]
     docs = [(i, None if i % 17 == 0 else
              " ".join(rng.choices(pool, k=rng.randrange(0, 120))))
             for i in range(300)]
