@@ -47,6 +47,24 @@ from fastpasta_spark.functions.hashing import py_md5_hash
 # zero Python-worker round-trips and routes everything else to Arrow.
 LITERAL_CODEBOOK_MAX = 2048
 
+# LSH bucketing routes to the Arrow twin EARLIER than the codebook
+# paths: the literal _bucket_expr is not just a big expression tree, it
+# is n_planes interpreted dot products per (row, table) — lambda-bearing
+# exprs never reach codegen, so at the round-7 bench shape (n_tables=8 x
+# n_planes=4 x dim=64 = 2048, exactly at LITERAL_CODEBOOK_MAX) the
+# literal path burned ~123M interpreted element evals over a 20k-row
+# corpus while the parity-pinned numpy einsum twin does the same
+# projections in one batched matmul (round-8 A/B: lsh_ann 7.5s -> see
+# OPTIMIZATION_r08.md). Genuinely tiny matrices stay literal (zero
+# Python round-trips). The effective threshold is
+# min(LITERAL_CODEBOOK_MAX, LSH_BUCKET_LITERAL_MAX) so tests that force
+# the Arrow path by zeroing LITERAL_CODEBOOK_MAX still cover both.
+LSH_BUCKET_LITERAL_MAX = 256
+
+
+def _lsh_literal_max() -> int:
+    return min(LITERAL_CODEBOOK_MAX, LSH_BUCKET_LITERAL_MAX)
+
 # try_divide, not '/': under ANSI mode (Spark 4 default) even DOUBLE
 # 0.0/0.0 raises DIVIDE_BY_ZERO, so a single all-zero embedding would
 # crash every literal cosine path; try_divide degrades it to NULL sim,
@@ -64,6 +82,70 @@ COSINE_EXPR = (
     "sqrt(aggregate({b}, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * v))), "
     "CAST(NULL AS DOUBLE))"
 )
+
+
+def _pair_cosine_udf():
+    """Arrow-batched numpy twin of COSINE_EXPR over a (vec, vec) column
+    pair — the round-8 hot-path form for pair scoring.
+
+    Lambda-bearing SQL expressions are NOT whole-stage-codegen'd: every
+    element of every zip_with/aggregate is an interpreted expression
+    eval, measured ~17 us per dim-64 cosine, which made every pair-
+    scoring query (cosine_topk, lsh_ann, embedding_near_dup) compute-
+    bound on expression interpretation. One einsum per Arrow batch does
+    the same math in float64.
+
+    NULL-semantics contract (exactly COSINE_EXPR's, parity-pinned in
+    tests/test_similarity.py::test_pair_cosine_arrow_matches_literal):
+    NULL when either vector is NULL, lengths differ (zip_with pads with
+    NULL -> NULL dot), any component is NULL/NaN/Inf (aggregates go
+    NULL/NaN -> nanvl), or the norm product is 0 (try_divide).
+    Summation order differs from the literal left fold by ~1 ulp; every
+    consumer rounds to 6 dp before use, same as the codebook twins.
+    """
+
+    @F.pandas_udf("double")
+    def pcos(aa: pd.Series, bb: pd.Series) -> pd.Series:
+        va, vb = aa.tolist(), bb.tolist()
+        m = len(va)
+        out: list = [None] * m
+        groups: dict[int, list[int]] = {}
+        for i in range(m):
+            x, y = va[i], vb[i]
+            if x is None or y is None:
+                continue
+            lx = len(x)
+            if lx == 0 or lx != len(y):
+                continue
+            groups.setdefault(lx, []).append(i)
+        for _dim, idx in groups.items():
+            a = np.array([va[i] for i in idx], dtype=np.float64)
+            b = np.array([vb[i] for i in idx], dtype=np.float64)
+            dot = np.einsum("ij,ij->i", a, b)
+            den = (np.sqrt(np.einsum("ij,ij->i", a, a))
+                   * np.sqrt(np.einsum("ij,ij->i", b, b)))
+            with np.errstate(invalid="ignore", divide="ignore",
+                             over="ignore"):
+                r = dot / den
+            ok = np.isfinite(r) & (den > 0)
+            for j, i in enumerate(idx):
+                if ok[j]:
+                    out[i] = float(r[j])
+        return pd.Series(out, dtype=object)
+
+    return pcos
+
+
+def cosine_sim_col(a: str, b: str):
+    """Cosine similarity Column between two array columns, COSINE_EXPR
+    NULL semantics. Defaults to the Arrow numpy path (see
+    _pair_cosine_udf); FASTPASTA_ARROW_COSINE=0 falls back to the
+    literal HOF expression (A/B lever + escape hatch)."""
+    import os
+
+    if os.environ.get("FASTPASTA_ARROW_COSINE", "1") == "0":
+        return F.expr(COSINE_EXPR.format(a=a, b=b))
+    return _pair_cosine_udf()(F.col(a), F.col(b))
 
 
 def cosine_topk(
@@ -88,7 +170,7 @@ def cosine_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
     )
-    sim = F.expr(COSINE_EXPR.format(a="q_vec", b="c_vec"))
+    sim = cosine_sim_col("q_vec", "c_vec")
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", F.round(sim, 6).alias("sim"))
@@ -187,7 +269,7 @@ def with_lsh_bucket(
     Arrow-batched numpy path (see LITERAL_CODEBOOK_MAX). Bucket ids of
     different tables are disjoint (offset by table * 2^n_planes).
     """
-    if n_planes * dim > LITERAL_CODEBOOK_MAX:
+    if n_planes * dim > _lsh_literal_max():
         return df.withColumn(out_col, F.get(
             _lsh_bucket_udf(dim, n_planes, [table])(F.col(vec_col)),
             F.lit(0)))
@@ -203,7 +285,7 @@ def with_lsh_buckets(
     construction; raises recall at the cost of L bucket joins). The
     n_tables*n_planes*dim projection literals switch to the Arrow path
     past LITERAL_CODEBOOK_MAX like every codebook here."""
-    if n_tables * n_planes * dim > LITERAL_CODEBOOK_MAX:
+    if n_tables * n_planes * dim > _lsh_literal_max():
         return df.withColumn(out_col, F.explode(
             _lsh_bucket_udf(dim, n_planes, list(range(n_tables)))(
                 F.col(vec_col))))
@@ -243,7 +325,7 @@ def embedding_near_duplicates(
            .filter(F.col("_bsz") > max_bucket).select("bucket"))
     b = b.join(F.broadcast(hot), "bucket", "left_anti")
     x, y = b.alias("x"), b.alias("y")
-    sim = F.expr(COSINE_EXPR.format(a="x._vec", b="y._vec"))
+    sim = cosine_sim_col("x._vec", "y._vec")
     return (
         x.join(y, (F.col("x.bucket") == F.col("y.bucket"))
                & (F.col("x._id") < F.col("y._id")))
@@ -458,7 +540,7 @@ def ivf_topk(
         queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).alias("q_vec")),
         cent, nprobe=nprobe, vec_col="q_vec")
-    sim = F.expr(COSINE_EXPR.format(a="q_vec", b="c_vec"))
+    sim = cosine_sim_col("q_vec", "c_vec")
     scored = (
         c.join(F.broadcast(q), (c["list_id"] == q["list_id"])
                & (F.col("query_id") != F.col("neighbor_id")))
@@ -613,7 +695,7 @@ def semantic_duplicates(
                .filter(F.col("_n") > max_cluster).select("list_id"))
         members = members.join(F.broadcast(hot), "list_id", "left_anti")
     a, b = members.alias("a"), members.alias("b")
-    sim = F.expr(COSINE_EXPR.format(a="a._vec", b="b._vec"))
+    sim = cosine_sim_col("a._vec", "b._vec")
     return (
         a.join(b, (F.col("a.list_id") == F.col("b.list_id"))
                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
@@ -671,7 +753,7 @@ def lsh_ann_topk(
                        F.col(vec_col).alias("q_vec")),
         dim, n_planes, n_tables, vec_col="q_vec", out_col="q_bucket",
     )
-    sim = F.expr(COSINE_EXPR.format(a="q_vec", b="c_vec"))
+    sim = cosine_sim_col("q_vec", "c_vec")
     scored = (
         cb.join(F.broadcast(qb), (F.col("c_bucket") == F.col("q_bucket"))
                 & (F.col("query_id") != F.col("neighbor_id")))

@@ -500,6 +500,59 @@ def test_literal_cosine_nan_components_yield_null(spark):
     assert df.filter(sim > 0.5).count() == 1
 
 
+def test_pair_cosine_arrow_matches_literal(spark, embeddings):
+    """Round-8: pair scoring moved from the interpreted COSINE_EXPR HOF
+    to the Arrow numpy twin (cosine_sim_col). The NULL contract must
+    match the literal expression EXACTLY on every degraded shape —
+    NULL vec, ragged pair, interior NULL element, genuine NaN, Inf,
+    zero vector — and real-data sims must agree at the 6 dp rounding
+    every consumer applies."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (0, [1.0, 2.0, 3.0], [3.0, 2.0, 1.0]),        # plain
+        (1, None, [1.0, 0.0, 0.0]),                   # NULL a
+        (2, [1.0, 0.0, 0.0], None),                   # NULL b
+        (3, [1.0, 2.0], [1.0, 2.0, 3.0]),             # ragged
+        (4, [1.0, None, 0.0], [1.0, 1.0, 1.0]),       # interior NULL
+        (5, [float("nan"), 1.0, 0.0], [1.0, 1.0, 1.0]),  # NaN comp
+        (6, [0.0, 0.0, 0.0], [1.0, 1.0, 1.0]),        # zero vec
+        (7, [float("inf"), 1.0, 0.0], [1.0, 1.0, 1.0]),  # Inf comp
+        (8, [], []),                                  # empty pair
+        (9, [-1.0, 2.0, -3.0], [0.5, -0.25, 8.0]),    # negative sim
+    ]
+    df = spark.createDataFrame(
+        rows, "i long, a array<float>, b array<float>")
+    lit = {r.i: r.sim for r in df.select("i", F.round(
+        F.expr(similarity.COSINE_EXPR.format(a="a", b="b")), 6)
+        .alias("sim")).collect()}
+    arrow = {r.i: r.sim for r in df.select("i", F.round(
+        similarity.cosine_sim_col("a", "b"), 6).alias("sim")).collect()}
+    assert set(lit) == set(arrow)
+    for i in lit:
+        if lit[i] is None:
+            assert arrow[i] is None, i
+        else:
+            assert arrow[i] is not None and abs(lit[i] - arrow[i]) < 1e-9, i
+    # NULL rows are exactly the degraded shapes
+    assert {i for i in lit if lit[i] is None} == {1, 2, 3, 4, 5, 6, 7, 8}
+
+    # real-data agreement at the 6 dp consumer rounding
+    pairs = (embeddings.limit(40).alias("x")
+             .join(embeddings.limit(40).alias("y"),
+                   F.col("x.vec_id") < F.col("y.vec_id")))
+    both = pairs.select(
+        F.col("x.vec_id").alias("ia"), F.col("y.vec_id").alias("ib"),
+        F.round(F.expr(similarity.COSINE_EXPR.format(
+            a="x.embedding", b="y.embedding")), 6).alias("s_lit"),
+        F.round(similarity.cosine_sim_col("x.embedding", "y.embedding"),
+                6).alias("s_arrow"),
+    ).collect()
+    assert len(both) > 100
+    for r in both:
+        assert r.s_lit == r.s_arrow, (r.ia, r.ib)
+
+
 def test_corpus_count_memoized_per_dataframe(spark):
     """Default-knob callers re-passing the SAME corpus DataFrame must
     pay the sizing count() once (ADVICE r6: per-call latency in loops)."""
