@@ -1002,16 +1002,28 @@ FROM documents
 def _q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures (k=8) as columns — exact oracle parity via the
     portable hash family."""
-    from fastpasta_spark.operators.dedup import minhash_signature, with_shingles
+    from fastpasta_spark.operators.dedup import (
+        _arrow_text_on,
+        minhash_signature,
+        with_shingles,
+    )
 
     d = _read_spread(spark, sf_dir, "documents").withColumn(
         "doc_id", F.col("doc_id").cast("long"))
-    # persist before element extraction: 8 references to the minhash
-    # column would otherwise each inline (and recompute) the whole
-    # tokenize+shingle+hash chain via ProjectionCollapse (~8x, measured)
-    from fastpasta_spark.functions.cache import tracked_persist
-    sig = tracked_persist(minhash_signature(with_shingles(d), k=8).select(
-        "doc_id", "minhash"))
+    if _arrow_text_on():
+        # Arrow kernel (round-8): the signature materializes in ONE
+        # mapInArrow node per row; the 8 element extractions below read
+        # that column, so no persist boundary is needed
+        from fastpasta_spark.operators.arrowtext import minhash_signature_arrow
+
+        sig = minhash_signature_arrow(d, k=8, n=3)
+    else:
+        # persist before element extraction: 8 references to the minhash
+        # column would otherwise each inline (and recompute) the whole
+        # tokenize+shingle+hash chain via ProjectionCollapse (~8x, measured)
+        from fastpasta_spark.functions.cache import tracked_persist
+        sig = tracked_persist(minhash_signature(with_shingles(d), k=8).select(
+            "doc_id", "minhash"))
     cols = [F.expr(f"minhash[{j}]").alias(f"mh_{j}") for j in range(8)]
     return sig.select("doc_id", *cols)
 
@@ -1871,11 +1883,12 @@ FROM tk LEFT JOIN reb USING (doc_id) LEFT JOIN ns USING (doc_id)
 
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprints (32-bit, portable hash family)."""
-    from fastpasta_spark.operators.dedup import simhash
+    from fastpasta_spark.operators.dedup import simhash_fingerprints
 
     d = _read_spread(spark, sf_dir, "documents").withColumn(
         "doc_id", F.col("doc_id").cast("long"))
-    return simhash(d, bits=32).select("doc_id", F.col("simhash").cast("long").alias("simhash"))
+    return simhash_fingerprints(d, bits=32).select(
+        "doc_id", F.col("simhash").cast("long").alias("simhash"))
 
 
 def _sql_simhash() -> str:

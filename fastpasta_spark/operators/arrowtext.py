@@ -1,0 +1,203 @@
+"""Arrow-batched twins of the tokenize/shingle/hash expression chains.
+
+Round-8 optimization (guide §4.1/§4.2): lambda-bearing SQL expressions
+(transform/filter/aggregate) never reach whole-stage codegen — every
+array element is an interpreted expression eval — and shingle pipelines
+additionally re-evaluate the token expression inside per-shingle
+lambdas. At sf1.0 (50k docs) that made minhash_signatures (4.4s),
+simhash (5.9s), and the shingle halves of jaccard_pairs/decontam the
+most expensive text queries for work that is fundamentally one
+tokenize+md5 pass.
+
+These mapInArrow kernels compute the IDENTICAL md5-derived integers:
+tokenization is `functions/hashing.py_tokens` (the fuzz-pinned python
+twin of `spark_tokens` — hostile-text parity across 3 seeds x 30k docs
+x 7 legs, scripts/fuzz_scoring.py), hashes are `py_md5_hash`'s 60-bit
+md5 prefix, and the minhash mix family is the same
+`(h % MIX_MOD) * a + b % MIX_MOD` affine arithmetic in exact int64.
+Every output is an INTEGER, so parity with the expression chains (and
+the DuckDB oracles) is bit-exact, not float-rounded — pinned per
+operator in tests/test_dedup.py.
+
+Heavy init (mix constants, numpy arrays) happens once per task before
+the batch loop (guide §4.5); a module-level shingle-hash cache
+amortizes md5 across batches of a reused worker.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from fastpasta_spark.functions.hashing import (
+    MIX_MOD,
+    mix_constants,
+    py_tokens,
+)
+
+# worker-lifetime md5 memo (spark.python.worker.reuse keeps it across
+# tasks); bounded like sequence.py's kv_cache so a high-entropy corpus
+# cannot grow it without limit
+_HASH_CACHE_MAX = 1 << 20
+_hash_cache: dict[str, int] = {}
+
+
+def _h60(s: str) -> int:
+    """60-bit md5 prefix — py_md5_hash inlined with a memo."""
+    h = _hash_cache.get(s)
+    if h is None:
+        if len(_hash_cache) > _HASH_CACHE_MAX:
+            _hash_cache.clear()
+        h = int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+        _hash_cache[s] = h
+    return h
+
+
+def _shingles(text, n: int) -> list[str] | None:
+    """DISTINCT word n-gram shingles — exact twin of
+    dedup.with_shingles: fewer than n tokens yields the single
+    joined-tokens shingle ('' for EMPTY text), while NULL text
+    propagates to a NULL shingle array (split(translate(NULL)) is NULL,
+    so the whole expression chain yields NULL, not ['']) — returned as
+    None here; callers must emit NULL / no rows exactly like the
+    expression forms."""
+    if text is None:
+        return None
+    toks = py_tokens(text)
+    if len(toks) < n:
+        return [" ".join(toks)]
+    return list(dict.fromkeys(
+        " ".join(toks[j:j + n]) for j in range(len(toks) - n + 1)))
+
+
+def minhash_signature_arrow(df: DataFrame, k: int = 32, n: int = 3,
+                            id_col: str = "doc_id",
+                            text_col: str = "text",
+                            out_col: str = "minhash") -> DataFrame:
+    """(id_col, minhash array<bigint>) — exact twin of
+    ``minhash_signature(with_shingles(df, text_col, n), k)`` projected
+    to the two columns every caller keeps.
+
+    One vectorized pass instead of the interpreted aggregate-of-
+    transform chain; being a physical mapInArrow node it is also a
+    natural ProjectionCollapse boundary — downstream band/element
+    references read the materialized column instead of re-inlining the
+    shingle chain, so the tracked_persist the expression form needed is
+    unnecessary here.
+    """
+    consts = mix_constants(k)
+    a_vec = np.array([a for a, _ in consts], dtype=np.int64)
+    b_vec = np.array([b for _, b in consts], dtype=np.int64)
+    id_type = dict(df.dtypes)[id_col]
+    schema = f"{id_col} {id_type}, {out_col} array<bigint>"
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            texts = batch.column(text_col).to_pylist()
+            res: list = [None] * len(texts)
+            for i, t in enumerate(texts):
+                sh = _shingles(t, n)
+                if sh is None:  # NULL text -> NULL signature array
+                    continue
+                hs = np.fromiter((_h60(s) for s in sh), np.int64, len(sh))
+                mixed = ((hs[:, None] % MIX_MOD) * a_vec[None, :]
+                         + b_vec[None, :]) % MIX_MOD
+                res[i] = mixed.min(axis=0)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(id_col),
+                 pa.array(res, type=pa.list_(pa.int64()))],
+                names=[id_col, out_col])
+
+    return df.select(id_col, text_col).mapInArrow(fn, schema)
+
+
+def simhash_arrow(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", bits: int = 32,
+                  out_col: str = "simhash") -> DataFrame:
+    """(id_col, simhash bigint) — exact twin of ``dedup.simhash``
+    projected to the two columns its callers keep: per bit b, sign of
+    sum over DISTINCT tokens of (+1 if bit b of the 60-bit token hash
+    set else -1); token-free docs hash to 0."""
+    id_type = dict(df.dtypes)[id_col]
+    schema = f"{id_col} {id_type}, {out_col} bigint"
+    weights = (1 << np.arange(bits)).astype(np.int64)
+    shifts = np.arange(bits, dtype=np.int64)
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            texts = batch.column(text_col).to_pylist()
+            m = len(texts)
+            res = np.zeros(m, dtype=np.int64)
+            for i, t in enumerate(texts):
+                toks = list(dict.fromkeys(py_tokens(t)))
+                if not toks:
+                    continue
+                hs = np.fromiter((_h60(s) for s in toks), np.int64,
+                                 len(toks))
+                signs = (((hs[:, None] >> shifts[None, :]) & 1) * 2 - 1)
+                res[i] = int(weights[signs.sum(axis=0) > 0].sum())
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(id_col), pa.array(res)],
+                names=[id_col, out_col])
+
+    return df.select(id_col, text_col).mapInArrow(fn, schema)
+
+
+def shingle_index_arrow(df: DataFrame, id_col: str, text_col: str,
+                        n: int, within_col: str | None = None,
+                        with_count: bool = True,
+                        drop_empty: bool = False,
+                        out_col: str = "shingle") -> DataFrame:
+    """Exploded hashed-shingle inverted index — exact twin of the
+    with_shingles -> transform(md5) -> explode chains in
+    ``jaccard_pairs`` (with_count=True: carries n_sh = DISTINCT shingle
+    count) and ``decontaminate`` (drop_empty=True: the '' shingle of
+    token-free docs is dropped BEFORE hashing, same as its
+    filter(s -> s <> '')). Output: (id_col[, n_sh][, within_col],
+    out_col bigint)."""
+    dtypes = dict(df.dtypes)
+    parts = [f"{id_col} {dtypes[id_col]}"]
+    if with_count:
+        parts.append("n_sh int")
+    if within_col:
+        parts.append(f"{within_col} {dtypes[within_col]}")
+    parts.append(f"{out_col} bigint")
+    schema = ", ".join(parts)
+    in_cols = [id_col] + ([within_col] if within_col else []) + [text_col]
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            texts = batch.column(text_col).to_pylist()
+            m = len(texts)
+            counts = np.empty(m, dtype=np.int64)
+            hashes: list[int] = []
+            for i, t in enumerate(texts):
+                sh = _shingles(t, n)
+                if sh is None:  # NULL text: explode(NULL) emits no rows
+                    counts[i] = 0
+                    continue
+                if drop_empty:
+                    sh = [s for s in sh if s]
+                counts[i] = len(sh)
+                hashes.extend(_h60(s) for s in sh)
+            idx = pa.array(np.repeat(np.arange(m), counts))
+            cols = [pc.take(batch.column(id_col), idx)]
+            names = [id_col]
+            if with_count:
+                cols.append(pa.array(
+                    np.repeat(counts, counts).astype(np.int32)))
+                names.append("n_sh")
+            if within_col:
+                cols.append(pc.take(batch.column(within_col), idx))
+                names.append(within_col)
+            cols.append(pa.array(np.array(hashes, dtype=np.int64)))
+            names.append(out_col)
+            yield pa.RecordBatch.from_arrays(cols, names=names)
+
+    return df.select(*in_cols).mapInArrow(fn, schema)

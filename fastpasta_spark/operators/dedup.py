@@ -12,6 +12,8 @@ never shuffle document text; shuffle (hash, id) pairs only.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -22,6 +24,15 @@ from fastpasta_spark.functions.hashing import (
     spark_md5_hash,
     spark_tokens,
 )
+
+
+def _arrow_text_on() -> bool:
+    """Round-8: route tokenize/shingle/hash chains to the Arrow numpy
+    kernels (operators/arrowtext.py) — identical md5-derived integers,
+    one vectorized pass instead of per-element interpreted lambdas.
+    FASTPASTA_ARROW_TEXT=0 falls back to the expression chains (A/B
+    lever + escape hatch); parity is pinned in tests/test_dedup.py."""
+    return os.environ.get("FASTPASTA_ARROW_TEXT", "1") != "0"
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -177,11 +188,21 @@ def minhash_near_duplicates(df: DataFrame, id_col: str = "doc_id",
     referenced ~10x downstream (8 band exprs + both self-join sides);
     without the materialization boundary ProjectionCollapse inlines the
     full tokenize+shingle+k-hash chain into every reference (measured
-    >10x slowdown). At cluster scale you would write signatures to a
-    bucketed table instead — same boundary, durable.
+    >10x slowdown) — and with the Arrow kernel the mapInArrow stage
+    would re-run per consumer. At cluster scale you would write
+    signatures to a bucketed table instead — same boundary, durable.
     """
-    sig = tracked_persist(minhash_signature(
-        with_shingles(df, text_col, n), k=k).select(id_col, "minhash"))
+    if _arrow_text_on():
+        from fastpasta_spark.operators.arrowtext import (
+            minhash_signature_arrow,
+        )
+
+        sig = minhash_signature_arrow(df, k=k, n=n, id_col=id_col,
+                                      text_col=text_col)
+    else:
+        sig = minhash_signature(
+            with_shingles(df, text_col, n), k=k).select(id_col, "minhash")
+    sig = tracked_persist(sig)
     pairs = lsh_candidate_pairs(sig, id_col, bands=bands, rows_per_band=k // bands)
     return pairs.filter(F.col("est_jaccard") >= threshold)
 
@@ -252,17 +273,23 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                 "Pass max_df=None for exact (quadratic-risk) jaccard, or "
                 "max_df explicitly to silence this.", stacklevel=2)
         max_df = DEFAULT_MAX_DF
-    sh = with_shingles(df, text_col, n).select(
-        F.col(id_col), F.col("shingles"),
-        *( [F.col(within_col)] if within_col else [] ),
-    ).withColumn("n_sh", F.expr("size(shingles)"))
-    keys = (F.expr(f"transform(shingles, s -> {spark_md5_hash('s')})")
-            if hash_shingles else F.col("shingles"))
-    inv = sh.select(
-        F.col(id_col), F.col("n_sh"),
-        *( [F.col(within_col)] if within_col else [] ),
-        F.explode(keys).alias("shingle"),
-    )
+    if hash_shingles and _arrow_text_on():
+        from fastpasta_spark.operators.arrowtext import shingle_index_arrow
+
+        inv = shingle_index_arrow(df, id_col, text_col, n,
+                                  within_col=within_col, with_count=True)
+    else:
+        sh = with_shingles(df, text_col, n).select(
+            F.col(id_col), F.col("shingles"),
+            *( [F.col(within_col)] if within_col else [] ),
+        ).withColumn("n_sh", F.expr("size(shingles)"))
+        keys = (F.expr(f"transform(shingles, s -> {spark_md5_hash('s')})")
+                if hash_shingles else F.col("shingles"))
+        inv = sh.select(
+            F.col(id_col), F.col("n_sh"),
+            *( [F.col(within_col)] if within_col else [] ),
+            F.explode(keys).alias("shingle"),
+        )
     # materialization boundary: the index feeds the df-cap groupBy AND
     # both self-join sides — without it each consumer recomputes the
     # tokenize+shingle+explode chain. At cluster scale, write it to a
@@ -404,6 +431,21 @@ def simhash(df: DataFrame, text_col: str = "text", bits: int = 32,
     return df.withColumn(out_col, F.expr(expr))
 
 
+def simhash_fingerprints(df: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text",
+                         bits: int = 32) -> DataFrame:
+    """(id_col, simhash) — the projection every simhash consumer keeps,
+    via the Arrow numpy kernel by default (one vectorized pass; the
+    32-bit expression form is ~6s of interpreted lambda evals at 50k
+    docs) with the expression chain as the FASTPASTA_ARROW_TEXT=0
+    fallback. Exact-integer parity pinned in tests/test_dedup.py."""
+    if _arrow_text_on():
+        from fastpasta_spark.operators.arrowtext import simhash_arrow
+
+        return simhash_arrow(df, id_col, text_col, bits)
+    return simhash(df, text_col, bits).select(id_col, "simhash")
+
+
 def simhash_duplicates(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", bits: int = 32,
                        max_hamming: int = 3, bands: int = 4,
@@ -428,9 +470,10 @@ def simhash_duplicates(df: DataFrame, id_col: str = "doc_id",
     if bits % bands != 0:
         raise ValueError(
             f"bands={bands} must divide evenly into bits={bits}")
-    # persist: the fingerprint expr is referenced by `bands` band exprs +
-    # both join sides — same ProjectionCollapse inlining hazard as minhash
-    h = tracked_persist(simhash(df, text_col, bits).select(id_col, "simhash"))
+    # persist: the fingerprint is referenced by `bands` band exprs +
+    # both join sides — same ProjectionCollapse inlining hazard as
+    # minhash (and the Arrow kernel would re-run per consumer)
+    h = tracked_persist(simhash_fingerprints(df, id_col, text_col, bits))
     chunk = bits // bands
     band_cols = [
         F.expr(
@@ -502,8 +545,15 @@ def decontaminate(
     plain count over the join is already distinct).
     """
     def inv(df: DataFrame, out_id: str, src_id: str) -> DataFrame:
-        sh = with_shingles(df.select(F.col(src_id).alias(out_id), text_col),
-                           text_col, n)
+        slim = df.select(F.col(src_id).alias(out_id), text_col)
+        if hash_shingles and _arrow_text_on():
+            from fastpasta_spark.operators.arrowtext import (
+                shingle_index_arrow,
+            )
+
+            return shingle_index_arrow(slim, out_id, text_col, n,
+                                       with_count=False, drop_empty=True)
+        sh = with_shingles(slim, text_col, n)
         # zero-token docs shingle to [''] (with_shingles' short-doc
         # branch); dropping the empty shingle keeps every empty corpus
         # doc from "contaminating" against every empty benchmark doc —

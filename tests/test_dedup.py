@@ -641,3 +641,121 @@ def test_remove_contaminated_spans_property_and_shuffle_parity(spark):
             for r in remove_contaminated_spans(
                 corpus, bdf, n=4, broadcast_index=bc).collect())
         assert got == want, f"broadcast_index={bc}"
+
+
+# ---------------------------------------------------------------------------
+# round-8: Arrow text kernels (operators/arrowtext.py) vs the expression
+# chains they replace — exact-integer parity on hostile text
+# ---------------------------------------------------------------------------
+
+HOSTILE_ROWS = [
+    (0, "the quick brown fox jumps over the lazy dog", "s0"),
+    (1, "", "s0"),                       # empty -> [''] shingle
+    (2, None, "s0"),                     # NULL text
+    (3, "one two", "s1"),                # < n tokens
+    (4, "ONE two THREE four FIVE six", "s1"),     # case fold
+    (5, "tabs\tand\nnewlines  and   runs!!!", "s1"),
+    (6, "unicode éü中文 mixed ascii words here", "s1"),
+    (7, "repeat repeat repeat repeat repeat repeat", "s0"),
+    (8, "numbers 123 456 789 0 mixed a1b2c3 tokens", "s0"),
+    (9, "x " * 50, "s1"),                # long run, duplicate shingles
+    (10, "İstanbul Iı dotted undotted", "s0"),  # fold edge
+    (11, "a-b_c.d,e;f:g h", "s1"),       # separators only between chars
+]
+
+
+@pytest.fixture(scope="module")
+def hostile(spark):
+    return spark.createDataFrame(
+        HOSTILE_ROWS, "doc_id long, text string, source string").cache()
+
+
+def _with_env(monkeypatch, on: bool):
+    monkeypatch.setenv("FASTPASTA_ARROW_TEXT", "1" if on else "0")
+
+
+def test_minhash_arrow_matches_expression(spark, hostile, monkeypatch):
+    from fastpasta_spark.operators.arrowtext import minhash_signature_arrow
+
+    def norm(r):
+        return (r.doc_id,
+                list(r.minhash) if r.minhash is not None else None)
+
+    arrow = sorted(
+        norm(r)
+        for r in minhash_signature_arrow(hostile, k=8, n=3).collect())
+    expr = sorted(
+        norm(r)
+        for r in dedup.minhash_signature(
+            dedup.with_shingles(hostile, "text", 3), k=8)
+        .select("doc_id", "minhash").collect())
+    assert arrow == expr
+    # NULL text -> NULL signature on BOTH paths (split(NULL) is NULL)
+    d = dict(arrow)
+    assert d[2] is None and d[1] is not None
+
+
+def test_simhash_arrow_matches_expression(spark, hostile, monkeypatch):
+    _with_env(monkeypatch, True)
+    arrow = sorted((r.doc_id, r.simhash) for r in
+                   dedup.simhash_fingerprints(hostile, bits=32).collect())
+    _with_env(monkeypatch, False)
+    expr = sorted((r.doc_id, r.simhash) for r in
+                  dedup.simhash_fingerprints(hostile, bits=32).collect())
+    assert arrow == expr
+    # token-free docs hash to 0 on both paths
+    d = dict(arrow)
+    assert d[1] == 0 and d[2] == 0
+
+
+def test_shingle_index_arrow_matches_expression(spark, hostile, monkeypatch):
+    from fastpasta_spark.operators.arrowtext import shingle_index_arrow
+
+    # jaccard form: n_sh + within passthrough, '' kept
+    arrow = sorted(map(tuple, shingle_index_arrow(
+        hostile, "doc_id", "text", 3, within_col="source",
+        with_count=True).collect()))
+    sh = dedup.with_shingles(hostile, "text", 3).withColumn(
+        "n_sh", F.expr("size(shingles)"))
+    from fastpasta_spark.functions.hashing import spark_md5_hash
+    expr = sorted(map(tuple, sh.select(
+        "doc_id", "n_sh", "source",
+        F.explode(F.expr(
+            f"transform(shingles, s -> {spark_md5_hash('s')})"))
+        .alias("shingle")).collect()))
+    assert arrow == expr
+
+    # decontam form: no count, '' dropped
+    arrow2 = sorted(map(tuple, shingle_index_arrow(
+        hostile, "doc_id", "text", 5, with_count=False,
+        drop_empty=True).collect()))
+    sh5 = dedup.with_shingles(hostile, "text", 5)
+    expr2 = sorted(map(tuple, sh5.select(
+        "doc_id",
+        F.explode(F.expr(
+            f"transform(filter(shingles, s -> s <> ''), "
+            f"s -> {spark_md5_hash('s')})")).alias("shingle")).collect()))
+    assert arrow2 == expr2
+
+
+def test_jaccard_and_decontam_arrow_path_parity(spark, hostile, monkeypatch):
+    """End-to-end: the full operators agree between the Arrow kernel
+    path (default) and the expression fallback."""
+    def run_all():
+        jac = sorted(map(tuple, dedup.jaccard_pairs(
+            hostile, threshold=0.01, within_col="source",
+            max_df=200).collect()))
+        bench = hostile.filter(F.col("doc_id") < 4).select(
+            F.col("doc_id").alias("bench_id"), "text")
+        dec = sorted(map(tuple, dedup.decontaminate(
+            hostile, bench, n=3, min_overlap=1).collect()))
+        lsh = sorted(map(tuple, dedup.minhash_near_duplicates(
+            hostile, threshold=0.2).collect()))
+        return jac, dec, lsh
+
+    _with_env(monkeypatch, True)
+    on = run_all()
+    _with_env(monkeypatch, False)
+    off = run_all()
+    assert on == off
+    assert len(on[0]) > 0 or len(on[1]) > 0  # something actually fired
