@@ -304,7 +304,15 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
         hot = (inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
                .filter(F.col("_df") > max_df).select("shingle"))
         inv = inv.join(F.broadcast(hot), "shingle", "left_anti")
-    a, b = inv.alias("a"), inv.alias("b")
+    # deliberate sort-merge for the pair self-join (round-8, guide
+    # §3.1): the planner's size estimate of the exploded index lies
+    # low, so it BROADCAST one whole self-join side — a 2.6M-row hash
+    # relation at sf1.0 (measured 8.7s vs 3.7s merge, 5.1s shuffled-
+    # hash) and a driver/executor OOM at real scale. Sort-merge also
+    # handles the many-to-many shingle keys with sorted runs instead
+    # of per-key hash chains, and the two sides reuse ONE exchange
+    # (ReusedExchange: same persisted lineage, same key).
+    a, b = inv.alias("a"), inv.hint("merge").alias("b")
     cond = (F.col("a.shingle") == F.col("b.shingle")) & (
         F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
     )

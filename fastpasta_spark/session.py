@@ -59,6 +59,15 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # operator-internal persists (fused-pass output, signature
+        # tables, inverted indexes) are CPU-bound to build, not
+        # memory-bound to hold: columnar cache compression cost 25% of
+        # check_all wall at 500k docs (round-8 A/B, OPTIMIZATION_r08.md)
+        # for memory we do not need — MEMORY_AND_DISK already spills.
+        # Memory-tight deployments (huge occurrence caches without
+        # work_dir) re-enable via FASTPASTA_CACHE_COMPRESS=true.
+        .config("spark.sql.inMemoryColumnarStorage.compressed",
+                os.environ.get("FASTPASTA_CACHE_COMPRESS", "false"))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
