@@ -149,6 +149,109 @@ def simhash_arrow(df: DataFrame, id_col: str = "doc_id",
     return df.select(id_col, text_col).mapInArrow(fn, schema)
 
 
+_FP_CACHE: dict[str, int] = {}
+
+
+def _h48(s: str) -> int:
+    """48-bit md5 prefix (12 hex chars) — the fingerprint token hash."""
+    h = _FP_CACHE.get(s)
+    if h is None:
+        if len(_FP_CACHE) > _HASH_CACHE_MAX:
+            _FP_CACHE.clear()
+        h = int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+        _FP_CACHE[s] = h
+    return h
+
+
+def _round_half_up(x: float, dp: int = 6) -> float:
+    """Twin of Spark round(double, dp): HALF_UP on the shortest decimal
+    representation (java BigDecimal.valueOf == python repr())."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(x)).quantize(Decimal(1).scaleb(-dp),
+                                           rounding=ROUND_HALF_UP))
+
+
+def textstats_arrow(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact twin of textstats.with_textstats — all input columns plus
+    (n_tokens, quality, fingerprint, lang_pred) computed in one Python
+    pass per batch instead of the interpreted let-bound expression.
+
+    Semantics replicated precisely (parity-pinned in
+    tests/test_textstats.py): n_chars counts CODE POINTS (Spark
+    length() is UTF8String.numChars, same as Python len — NOT Java
+    String.length's UTF-16 units); the alpha ratio counts [a-z] after
+    lowercasing; quality terms sum left-to-right and round HALF_UP on
+    the shortest-repr decimal (Spark round); ratio/best equality for
+    lang_pred compares the identical IEEE doubles; fingerprint is the
+    exact 48-bit-md5 rolling hash mod 2^31-1. NULL text follows the
+    expression chain precisely: the token array is NULL, so
+    size/aggregate go NULL — but the let-binding aggregate's ZERO
+    struct declares n_tokens/fingerprint as NON-NULLABLE fields, so
+    those NULLs coerce to 0 (probed empirically); quality is 0.25
+    because least() SKIPS the NULL stopword term while the alpha term
+    stays 0; lang_pred is 'unk'.
+    """
+    from fastpasta_spark.operators.textstats import STOPWORDS
+
+    import re as _re
+
+    langs = list(STOPWORDS)
+    swsets = [frozenset(STOPWORDS[lg]) for lg in langs]
+    az = _re.compile("[a-z]")
+    in_schema = df.schema
+    parts = [f"{f.name} {f.dataType.simpleString()}" for f in in_schema]
+    schema = ", ".join(parts + ["n_tokens int", "quality double",
+                                "fingerprint bigint", "lang_pred string"])
+    names = [f.name for f in in_schema]
+    mod = 2147483647
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            texts = batch.column(text_col).to_pylist()
+            m = len(texts)
+            n_toks: list = [0] * m
+            quality: list = [0.0] * m
+            fprint: list = [0] * m
+            lang: list = ["unk"] * m
+            for i, t in enumerate(texts):
+                if t is None:
+                    # NULL-coerced-to-0 ints + least()-skipped sw term
+                    quality[i] = 0.25
+                    continue
+                toks = py_tokens(t)
+                nt = len(toks)
+                n_toks[i] = nt
+                denom = max(nt, 1)
+                ratios = [sum(1 for w in toks if w in s) / denom
+                          for s in swsets]
+                best = max(ratios)
+                if best > 0:
+                    lang[i] = langs[ratios.index(best)]
+                n_chars = len(t)  # Spark length() = code points
+                mean_wl = float(n_chars) / denom
+                alpha = len(az.findall(t.lower())) / max(n_chars, 1)
+                q = ((0.25 if 50 <= n_chars <= 5000 else 0.0)
+                     + (0.25 if 3.0 <= mean_wl <= 12.0 else 0.0)
+                     + 0.25 * min(alpha * 1.25, 1.0)
+                     + 0.25 * min(ratios[0] * 5.0, 1.0))
+                quality[i] = _round_half_up(q, 6)
+                acc = 7
+                for w in toks:
+                    acc = (acc * 1000003 + _h48(w)) % mod
+                fprint[i] = acc
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(j) for j in range(batch.num_columns)]
+                + [pa.array(n_toks, pa.int32()),
+                   pa.array(quality, pa.float64()),
+                   pa.array(fprint, pa.int64()),
+                   pa.array(lang, pa.string())],
+                names=names + ["n_tokens", "quality", "fingerprint",
+                               "lang_pred"])
+
+    return df.mapInArrow(fn, schema)
+
+
 def shingle_index_arrow(df: DataFrame, id_col: str, text_col: str,
                         n: int, within_col: str | None = None,
                         with_count: bool = True,

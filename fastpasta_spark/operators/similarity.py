@@ -148,6 +148,68 @@ def cosine_sim_col(a: str, b: str):
     return _pair_cosine_udf()(F.col(a), F.col(b))
 
 
+#: cosine_topk collects the query vectors to the driver (they are
+#: small by contract — the old path broadcast them anyway, which is the
+#: same driver-memory bound) and scores each corpus row against the
+#: whole query matrix in one Arrow batch pass. Past this many queries
+#: the probe falls back to the pair-join path. Why: the pair join
+#: materializes BOTH vectors per (query, corpus) pair through the
+#: Python boundary — n_corpus * n_queries * dim floats (~400 MB at the
+#: sf1.0 bench shape) — while the matrix path ships each corpus vector
+#: ONCE and returns n_queries doubles per row (~5 MB).
+QUERY_MATRIX_MAX = 4096
+
+
+def _matrix_sims_udf(qvecs: list):
+    """pandas UDF: corpus vec -> array of cosines against the collected
+    query vectors (None entries reproduce cosine_sim_col's NULL
+    contract per pair: NULL/ragged/NaN/Inf vector on either side, or a
+    zero norm product)."""
+    qn = len(qvecs)
+    by_dim: dict[int, list[int]] = {}
+    for j, qv in enumerate(qvecs):
+        if qv is None or len(qv) == 0:
+            continue
+        by_dim.setdefault(len(qv), []).append(j)
+    mats = {}
+    for dim, idx in by_dim.items():
+        m = np.array([qvecs[j] for j in idx], dtype=np.float64)
+        with np.errstate(over="ignore"):
+            norms = np.sqrt(np.einsum("ij,ij->i", m, m))
+        mats[dim] = (idx, m, norms)
+
+    @F.pandas_udf("array<double>")
+    def msims(cc: pd.Series) -> pd.Series:
+        vc = cc.tolist()
+        m = len(vc)
+        none_row = [None] * qn
+        out: list = [none_row] * m
+        groups: dict[int, list[int]] = {}
+        for i in range(m):
+            v = vc[i]
+            if v is None or len(v) == 0 or len(v) not in mats:
+                continue
+            groups.setdefault(len(v), []).append(i)
+        for dim, rows in groups.items():
+            idx, qm, qnorm = mats[dim]
+            cm = np.array([vc[i] for i in rows], dtype=np.float64)
+            with np.errstate(invalid="ignore", divide="ignore",
+                             over="ignore"):
+                cnorm = np.sqrt(np.einsum("ij,ij->i", cm, cm))
+                sims = (cm @ qm.T) / (cnorm[:, None] * qnorm[None, :])
+                den_ok = (cnorm[:, None] * qnorm[None, :]) > 0
+            ok = np.isfinite(sims) & den_ok
+            for r, i in enumerate(rows):
+                row = [None] * qn
+                for jj, j in enumerate(idx):
+                    if ok[r, jj]:
+                        row[j] = float(sims[r, jj])
+                out[i] = row
+        return pd.Series(out, dtype=object)
+
+    return msims
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -157,25 +219,56 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
-    queries must be small (they are broadcast — the corpus is never
-    shuffled, one scan + per-partition ranking via window). Returns
+    queries must be small (up to QUERY_MATRIX_MAX they are collected
+    and scored as a closure matrix — one corpus scan, no join at all;
+    larger query sets fall back to a broadcast pair join). Returns
     (query_id, neighbor_id, rank, sim) with deterministic tie-break on
     neighbor_id. Self-matches are excluded.
     """
     from pyspark.sql import Window as W
 
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
-    )
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    # LIMIT-probed collect (the media-guard pattern): the probe IS the
+    # collect in the good case — no extra count job, bounded driver pull
+    qrows = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    ).limit(QUERY_MATRIX_MAX + 1).collect()
+    # rows whose query_id is NULL can never satisfy the pair join's
+    # (query_id != neighbor_id) condition — drop them up front; an
+    # empty/oversized query set falls through to the pair join (which
+    # also preserves the degenerate empty-result schema exactly)
+    if len(qrows) <= QUERY_MATRIX_MAX and any(
+            r.query_id is not None for r in qrows):
+        qrows = [r for r in qrows if r.query_id is not None]
+        qids = [r.query_id for r in qrows]
+        qvecs = [list(r.q_vec) if r.q_vec is not None else None
+                 for r in qrows]
+        sims = _matrix_sims_udf(qvecs)(F.col("c_vec"))
+        id_type = queries.schema[id_col].dataType.simpleString()
+        qid_arr = F.array(*[F.lit(q) for q in qids]).cast(
+            f"array<{id_type}>")
+        scored = (
+            c.select("neighbor_id", F.posexplode(sims).alias("_p", "_s"))
+            .select(F.get(qid_arr, F.col("_p")).alias("query_id"),
+                    "neighbor_id", F.round("_s", 6).alias("sim"))
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", "sim")
+        )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
     sim = cosine_sim_col("q_vec", "c_vec")
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", F.round(sim, 6).alias("sim"))
     )
-    w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

@@ -106,14 +106,27 @@ def with_textstats(df: DataFrame, text_col: str = "text") -> DataFrame:
     non-null text), but the token array and the four stopword ratios are
     each computed exactly once.
 
-    Why: the chained-withColumn form collapses into a single Project
-    where every reference re-inlines the tokenize expression, and
-    lambda-bearing subtrees (filter/aggregate) are NOT subexpression-
-    eliminated by codegen — the round-1 bench paid ~10 tokenizations per
-    row. SQL lambdas have no let-binding, so a 1-element `aggregate`
-    plays that role twice: once to bind `toks`, once to bind the ratio
-    vector `rs`.
+    Round-8 default: the Arrow kernel twin (arrowtext.textstats_arrow)
+    computes the identical columns in one vectorized Python pass —
+    even let-bound, the expression form is interpreted per token
+    (lambda-bearing subtrees never reach codegen). The expression
+    below remains the FASTPASTA_ARROW_TEXT=0 fallback; parity is
+    pinned on hostile text in tests/test_textstats.py.
+
+    Why the let-binding (fallback path): the chained-withColumn form
+    collapses into a single Project where every reference re-inlines
+    the tokenize expression, and lambda-bearing subtrees
+    (filter/aggregate) are NOT subexpression-eliminated by codegen —
+    the round-1 bench paid ~10 tokenizations per row. SQL lambdas have
+    no let-binding, so a 1-element `aggregate` plays that role twice:
+    once to bind `toks`, once to bind the ratio vector `rs`.
     """
+    import os as _os
+
+    if _os.environ.get("FASTPASTA_ARROW_TEXT", "1") != "0":
+        from fastpasta_spark.operators.arrowtext import textstats_arrow
+
+        return textstats_arrow(df, text_col)
     langs = list(STOPWORDS)
 
     def ratio(lg: str) -> str:
@@ -305,6 +318,13 @@ def unigram_logprob(df: DataFrame, id_col: str = "doc_id",
     score, n_tokens 0. ``vocab_k`` defaults to 2000 — kept EQUAL to
     :func:`fit_scoring_model`'s default so both surfaces score alike.
     """
+    # round-8 note: an Arrow-kernel scoring twin was BUILT and A/B'd
+    # (min-of-4, sf1.0, interleaved): expression 1.40-1.57s vs Arrow
+    # 1.55-1.75s — the foldable-map lookup + ln is already fast and the
+    # fit's explode+groupBy dominates, so the kernel only added a
+    # Python round trip. Rejected with evidence (OPTIMIZATION_r08.md),
+    # matching the round-7 map-vs-array finding: this scoring path's
+    # cost is NOT in per-token expression interpretation.
     score = F.expr(_fit_unigram_expr(df, text_col, vocab_k, dp))
     if append:
         return df.withColumn("avg_logprob", score)

@@ -143,13 +143,31 @@ def test_topk_window_single_shuffle(spark, lineitem):
     assert n_exchanges(plan_of(df)) == 1  # one hash-partitioning, no extra
 
 
-def test_cosine_topk_broadcasts_queries_not_corpus(spark):
+def test_cosine_topk_never_shuffles_corpus(spark):
+    """Round-8: small query sets are collected and scored as a closure
+    matrix — the corpus side sees NO join at all (one scan + the
+    window's own exchange); larger sets fall back to a broadcast pair
+    join (still never shuffling the corpus by a join key)."""
+    from fastpasta_spark.operators import similarity
     from fastpasta_spark.operators.similarity import cosine_topk
 
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
-    df = cosine_topk(emb, emb.limit(5), k=3)
-    plan = plan_of(df)
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    plan = plan_of(cosine_topk(emb, emb.limit(5), k=3))
+    assert "Join" not in plan
+    # the only repartitioning is the window's, keyed by query_id
+    import re as _re
+    keys = _re.findall(r"hashpartitioning\((\w+)", plan)
+    assert keys and set(keys) == {"query_id"}, keys
+
+    import pytest as _pytest
+    mp = _pytest.MonkeyPatch()
+    try:
+        mp.setattr(similarity, "QUERY_MATRIX_MAX", 0)
+        plan = plan_of(cosine_topk(emb, emb.limit(5), k=3))
+    finally:
+        mp.undo()
+    assert ("BroadcastNestedLoopJoin" in plan
+            or "BroadcastHashJoin" in plan)
 
 
 def test_dedup_shuffles_hashes_not_text(spark):

@@ -553,6 +553,28 @@ def test_pair_cosine_arrow_matches_literal(spark, embeddings):
         assert r.s_lit == r.s_arrow, (r.ia, r.ib)
 
 
+def test_cosine_topk_matrix_path_matches_pair_path(spark, monkeypatch):
+    """Round-8: cosine_topk collects small query sets and scores them
+    as a closure matrix (one scan, no join). Must agree row-for-row
+    with the pair-join fallback on hostile shapes: NULL ids, NULL/
+    ragged/NaN/zero vectors on either side."""
+    rows = [(0, [1.0, 0.0, 0.0]), (1, [0.5, 0.5, 0.0]), (2, None),
+            (3, [1.0, 2.0]), (4, [0.0, 0.0, 0.0]),
+            (5, [float("nan"), 1.0, 0.0]), (None, [1.0, 1.0, 1.0]),
+            (7, [0.2, 0.9, 0.4]), (8, [0.9, 0.1, 0.1])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = df.filter((similarity.F.col("vec_id") < 6)
+                        | similarity.F.col("vec_id").isNull())
+
+    fast = sorted(map(tuple, similarity.cosine_topk(
+        df, queries, k=4).collect()))
+    monkeypatch.setattr(similarity, "QUERY_MATRIX_MAX", 0)
+    pair = sorted(map(tuple, similarity.cosine_topk(
+        df, queries, k=4).collect()))
+    assert fast == pair
+    assert len(fast) > 0
+
+
 def test_corpus_count_memoized_per_dataframe(spark):
     """Default-knob callers re-passing the SAME corpus DataFrame must
     pay the sizing count() once (ADVICE r6: per-call latency in loops)."""
