@@ -74,7 +74,17 @@ def column_profile(
         c, v = f.name, F.col(f.name)
         aggs.append(F.sum(v.isNull().cast("long")).alias(f"{c}__nulls"))
         if exact_distinct:
-            dist = F.count_distinct(v)
+            # strings: count distinct over the 128-bit md5 instead of
+            # the raw value — count_distinct plans an Expand whose
+            # exchange carries the DISTINCT VALUES as group keys, so a
+            # text column shipped every full document body through the
+            # shuffle (~the whole column's bytes); 16-byte digests give
+            # the same count (collision odds ~n^2/2^129) for ~100x less
+            # exchange volume. md5(NULL) is NULL, so NULL handling is
+            # unchanged. Non-strings are already fixed-width.
+            dv = (F.md5(v.cast("binary"))
+                  if isinstance(f.dataType, T.StringType) else v)
+            dist = F.count_distinct(dv)
         else:
             # xxhash64(NULL) is a real value (the seed), which would
             # count NULL as one extra distinct — mask it out so HLL and

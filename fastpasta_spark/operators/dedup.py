@@ -303,7 +303,14 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
         # count group sizes
         hot = (inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
                .filter(F.col("_df") > max_df).select("shingle"))
-        inv = inv.join(F.broadcast(hot), "shingle", "left_anti")
+        # persist the CAPPED index too (round-8): without this boundary
+        # each self-join side re-runs the anti-join over the raw cache
+        # AND the two sort exchanges canonicalize differently (separate
+        # broadcast subtrees), so the 2.6M-row index was exchanged+sorted
+        # TWICE; a shared InMemoryRelation makes both sides' exchange
+        # subtrees identical -> ReusedExchange, one sort
+        inv = tracked_persist(inv.join(F.broadcast(hot), "shingle",
+                                       "left_anti"))
     # deliberate sort-merge for the pair self-join (round-8, guide
     # §3.1): the planner's size estimate of the exploded index lies
     # low, so it BROADCAST one whole self-join side — a 2.6M-row hash

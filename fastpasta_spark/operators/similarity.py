@@ -800,6 +800,87 @@ def semantic_duplicates(
     )
 
 
+def _lsh_matrix_sims_udf(qvecs: list, dim: int, n_planes: int,
+                         n_tables: int):
+    """pandas UDF: corpus vec -> array of per-query cosines, restricted
+    to LSH-candidate pairs — the zero-join twin of the bucket-join path
+    for SMALL query sets (round-8).
+
+    Encoding (three states per (corpus row, query) cell):
+      * not a candidate (no shared bucket)  -> 9.0   (out-of-range
+        sentinel, filtered out; NaN cannot be the sentinel — pandas->
+        Arrow conversion of an object column treats NaN as MISSING and
+        it would arrive as NULL)
+      * candidate, degenerate cosine        -> None  (kept as NULL sim,
+        exactly the rows the pair path emitted with NULL sim)
+      * candidate, valid cosine             -> float (always <= 1.0)
+
+    Buckets replicate _lsh_bucket_udf bit-for-bit (same {v:.9f}-rounded
+    planes, same sign rule, same table-disjoint offsets; NULL/ragged
+    vectors degrade to the per-table zero-sign offset buckets on BOTH
+    sides). Candidate(r, j) = some table t with equal bucket ids —
+    bucket ids are table-disjoint, so one equality test per table.
+    Cosine NULL contract is _pair_cosine_udf's: NULL/ragged/NaN/Inf
+    vector on either side, or a zero norm product.
+    """
+    mats = np.array([[[float(f"{v:.9f}") for v in row]
+                      for row in _projection_matrix(dim, n_planes, t)]
+                     for t in range(n_tables)], dtype=np.float64)
+    offsets = np.array([t << n_planes for t in range(n_tables)],
+                       dtype=np.int64)
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+
+    def _buckets(mat_valid: np.ndarray) -> np.ndarray:
+        signs = np.einsum("nd,tpd->ntp", mat_valid, mats) > 0
+        return (signs * weights[None, None, :]).sum(axis=2) + offsets[None, :]
+
+    qn = len(qvecs)
+    q_ok = np.zeros(qn, dtype=bool)
+    q_mat = np.zeros((qn, dim), dtype=np.float64)
+    for j, qv in enumerate(qvecs):
+        if qv is not None and len(qv) == dim:
+            q_ok[j] = True
+            q_mat[j] = np.asarray(qv, dtype=np.float64)
+    qb = np.tile(offsets, (qn, 1))                      # (qn, T)
+    if q_ok.any():
+        qb[q_ok] = _buckets(q_mat[q_ok])
+    with np.errstate(invalid="ignore", over="ignore"):
+        q_norm = np.sqrt(np.einsum("ij,ij->i", q_mat, q_mat))
+    # degenerate query cosine: invalid vec, non-finite components, or
+    # zero norm -> NULL sim for every candidate pair
+    q_sim_ok = q_ok & np.isfinite(q_mat).all(axis=1) & (q_norm > 0)
+
+    @F.pandas_udf("array<double>")
+    def lsims(cc: pd.Series) -> pd.Series:
+        vc = cc.tolist()
+        m = len(vc)
+        if m == 0:
+            return pd.Series([], dtype=object)
+        c_ok = np.zeros(m, dtype=bool)
+        c_mat = np.zeros((m, dim), dtype=np.float64)
+        for i, v in enumerate(vc):
+            if v is not None and len(v) == dim:
+                c_ok[i] = True
+                c_mat[i] = np.asarray(v, dtype=np.float64)
+        cb = np.tile(offsets, (m, 1))
+        if c_ok.any():
+            cb[c_ok] = _buckets(c_mat[c_ok])
+        # candidate mask: shared bucket in any table (ids table-disjoint)
+        cand = (cb[:, None, :] == qb[None, :, :]).any(axis=2)  # (m, qn)
+        with np.errstate(invalid="ignore", divide="ignore",
+                         over="ignore"):
+            c_norm = np.sqrt(np.einsum("ij,ij->i", c_mat, c_mat))
+            sims = (c_mat @ q_mat.T) / (c_norm[:, None] * q_norm[None, :])
+        c_sim_ok = c_ok & np.isfinite(c_mat).all(axis=1) & (c_norm > 0)
+        pair_ok = c_sim_ok[:, None] & q_sim_ok[None, :] & np.isfinite(sims)
+        cells = sims.astype(object)
+        cells[cand & ~pair_ok] = None
+        cells[~cand] = 9.0
+        return pd.Series([list(r) for r in cells], dtype=object)
+
+    return lsims
+
+
 def lsh_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -835,6 +916,48 @@ def lsh_ann_topk(
         n_corpus = _counted(corpus)
         n_planes = min(16, max(4, round(math.log2(max(n_corpus, 1) / 100 + 1))))
     from pyspark.sql import Window as W
+
+    # round-8: SMALL query sets (the common ANN probe shape) skip the
+    # bucket join entirely — the LIMIT-probed collect (media-guard
+    # pattern, no extra job in the good case) pulls the query vectors,
+    # buckets are intersected inside ONE Arrow pass over the corpus,
+    # and each corpus vector crosses the Python boundary once instead
+    # of once per candidate pair. The join path (below) remains for
+    # large query sets and is parity-pinned against this one.
+    qrows = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    ).limit(QUERY_MATRIX_MAX + 1).collect()
+    if len(qrows) <= QUERY_MATRIX_MAX and any(
+            r.query_id is not None for r in qrows):
+        # NULL query ids can never satisfy query_id != neighbor_id
+        qrows = [r for r in qrows if r.query_id is not None]
+        qids = [r.query_id for r in qrows]
+        qvecs = [list(r.q_vec) if r.q_vec is not None else None
+                 for r in qrows]
+        sims = _lsh_matrix_sims_udf(qvecs, dim, n_planes, n_tables)(
+            F.col("c_vec"))
+        id_type = queries.schema[id_col].dataType.simpleString()
+        qid_arr = F.array(*[F.lit(q) for q in qids]).cast(
+            f"array<{id_type}>")
+        scored = (
+            corpus.select(F.col(id_col).alias("neighbor_id"),
+                          F.col(vec_col).alias("c_vec"))
+            .select("neighbor_id", F.posexplode(sims).alias("_p", "_s"))
+            # 9.0 = not a candidate (cosines are <= 1.0); NULL =
+            # candidate with degenerate cosine (kept, ranked last like
+            # the pair path's NULL sims)
+            .filter(F.col("_s").isNull() | (F.col("_s") < 2.0))
+            .select(F.get(qid_arr, F.col("_p")).alias("query_id"),
+                    "neighbor_id", F.round("_s", 6).alias("sim"))
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+        )
+        w = W.partitionBy("query_id").orderBy(F.desc("sim"),
+                                              F.asc("neighbor_id"))
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", "sim")
+        )
 
     cb = with_lsh_buckets(
         corpus.select(F.col(id_col).alias("neighbor_id"),

@@ -325,15 +325,34 @@ def unigram_logprob(df: DataFrame, id_col: str = "doc_id",
     # Python round trip. Rejected with evidence (OPTIMIZATION_r08.md),
     # matching the round-7 map-vs-array finding: this scoring path's
     # cost is NOT in per-token expression interpretation.
-    score = F.expr(_fit_unigram_expr(df, text_col, vocab_k, dp))
     if append:
-        return df.withColumn("avg_logprob", score)
-    n = f"coalesce(size({spark_tokens(text_col)}), 0)"
-    return df.select(
-        F.col(id_col),
-        F.expr(n).cast("long").alias("n_tokens"),
-        score.alias("avg_logprob"),
+        return df.withColumn(
+            "avg_logprob", F.expr(_fit_unigram_expr(df, text_col,
+                                                    vocab_k, dp)))
+    # round-8: ONE tokenization per row. Emitting n_tokens and the
+    # score as separate projection expressions evaluated the tokenize
+    # chain twice (and the old IF/divisor form four times — lambda-
+    # bearing exprs are never subexpression-eliminated, CLAUDE.md);
+    # here a single let-bound struct computes both from one bound
+    # token array, and inline() is a Generate node, which
+    # CollapseProject cannot merge through — so the struct expression
+    # is evaluated exactly once per row.
+    pmap, floor = _fit_unigram_parts(df, text_col, vocab_k)
+    toks = spark_tokens(text_col)
+    row = (
+        f"inline(array(aggregate(array({toks}), "
+        f"named_struct('n_tokens', CAST(0 AS BIGINT), "
+        f"'avg_logprob', CAST(NULL AS DOUBLE)), (acc, ts) -> "
+        f"named_struct("
+        f"'n_tokens', CAST(coalesce(size(ts), 0) AS BIGINT), "
+        f"'avg_logprob', round(IF(coalesce(size(ts), 0) = 0, "
+        f"CAST(NULL AS DOUBLE), "
+        f"aggregate(ts, CAST(0.0 AS DOUBLE), (a2, t) -> "
+        f"a2 + ln(coalesce(element_at({pmap}, t), "
+        f"CAST({floor!r} AS DOUBLE)))) / coalesce(size(ts), 0)), "
+        f"{dp})))))"
     )
+    return df.select(F.col(id_col), F.expr(row))
 
 
 def _fit_unigram_expr(ref: DataFrame, text_col: str, vocab_k: int,
@@ -347,14 +366,45 @@ def _fit_unigram_expr(ref: DataFrame, text_col: str, vocab_k: int,
     keys) was built and benched 1.7x SLOWER at 27M tokens / vocab_k
     10^4, and the map lookup measured FLAT across vocab_k 100..10^4 —
     see BENCH/SCORING.md round-7 entry."""
+    pmap, floor = _fit_unigram_parts(ref, text_col, vocab_k)
     toks = spark_tokens(text_col)
-    total = ref.agg(F.sum(F.expr(f"size({toks})"))).first()[0] or 0
-    head = (
-        ref.select(F.explode(F.expr(toks)).alias("token"))
-        .groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
-        .orderBy(F.desc("cnt"), F.asc("token")).limit(vocab_k)
+    # round-8: single let-bound tree — the old form referenced the
+    # tokenize chain three times (IF guard, aggregate, divisor) and
+    # codegen evaluated it three times per row
+    return (
+        f"aggregate(array({toks}), CAST(NULL AS DOUBLE), (acc, ts) -> "
+        f"round(IF(coalesce(size(ts), 0) = 0, CAST(NULL AS DOUBLE), "
+        f"aggregate(ts, CAST(0.0 AS DOUBLE), (a2, t) -> "
+        f"a2 + ln(coalesce(element_at({pmap}, t), "
+        f"CAST({floor!r} AS DOUBLE)))) / coalesce(size(ts), 0)), {dp}))"
     )
-    vocab = {r["token"]: r["cnt"] for r in head.collect()}
+
+
+def _fit_unigram_parts(ref: DataFrame, text_col: str,
+                       vocab_k: int) -> tuple[str, float]:
+    """Fit the unigram model artifacts in ONE tokenize pass and return
+    (token->p map-literal SQL, OOV floor probability).
+
+    The token counts are persisted once and serve BOTH bounded
+    artifacts: the scalar total (sum of counts) and the TakeOrdered
+    vocab head — the round-7 fit paid a second full tokenize+scan job
+    just to sum size(tokens)."""
+    from fastpasta_spark.functions.cache import (
+        tracked_persist,
+        untrack_release,
+    )
+
+    toks = spark_tokens(text_col)
+    counts = tracked_persist(
+        ref.select(F.explode(F.expr(toks)).alias("token"))
+        .groupBy("token").agg(F.count(F.lit(1)).alias("cnt")))
+    try:
+        total = counts.agg(F.sum("cnt")).first()[0] or 0
+        head = counts.orderBy(F.desc("cnt"), F.asc("token")).limit(vocab_k)
+        vocab = {r["token"]: r["cnt"] for r in head.collect()}
+    finally:
+        # the fit fully consumes the counts here — release immediately
+        untrack_release(counts)
     _assert_sql_safe_tokens(vocab)
     denom = float(total + len(vocab) + 1)
     floor = 1.0 / denom
@@ -362,11 +412,7 @@ def _fit_unigram_expr(ref: DataFrame, text_col: str, vocab_k: int,
         f"'{t}', CAST({(c + 1) / denom!r} AS DOUBLE)"
         for t, c in sorted(vocab.items()))
     pmap = f"map({items})" if vocab else "map('', CAST(0.0 AS DOUBLE))"
-    logp = (f"aggregate({toks}, CAST(0.0 AS DOUBLE), (acc, t) -> "
-            f"acc + ln(coalesce(element_at({pmap}, t), "
-            f"CAST({floor!r} AS DOUBLE))))")
-    n = f"coalesce(size({toks}), 0)"  # null text -> 0 tokens, not NULL
-    return f"round(IF({n} = 0, CAST(NULL AS DOUBLE), {logp} / {n}), {dp})"
+    return pmap, floor
 
 
 def _bm25_null_score_expr(dp: int) -> str:

@@ -587,3 +587,28 @@ def test_corpus_count_memoized_per_dataframe(spark):
     assert S._counted(df) == 10
     # a DIFFERENT frame (even equal content) is its own cache entry
     assert S._counted(spark.range(10)) == 10
+
+
+def test_lsh_ann_matrix_path_matches_join_path(spark, monkeypatch):
+    """Round-8: lsh_ann_topk scores small query sets with a zero-join
+    Arrow matrix pass (bucket intersection inside the UDF). Must agree
+    row-for-row with the bucket-join fallback on hostile shapes —
+    NULL ids, NULL/ragged/NaN/zero vectors on either side (degenerate
+    vectors land in the zero-sign offset buckets on BOTH paths and
+    surface as candidates with NULL sims)."""
+    rows = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.5, 0.5, 0.0, 0.1]),
+            (2, None), (3, [1.0, 2.0]), (4, [0.0, 0.0, 0.0, 0.0]),
+            (5, [float("nan"), 1.0, 0.0, 0.0]), (None, [1.0] * 4),
+            (7, [0.2, 0.9, 0.4, -0.3]), (8, [0.9, 0.1, 0.1, 0.2]),
+            (9, [-0.4, 0.8, 0.0, 0.6]), (10, [0.3, -0.2, 0.7, 0.5])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = df.filter((similarity.F.col("vec_id") < 6)
+                        | similarity.F.col("vec_id").isNull())
+
+    fast = sorted(map(tuple, similarity.lsh_ann_topk(
+        df, queries, dim=4, k=3, n_planes=2, n_tables=3).collect()))
+    monkeypatch.setattr(similarity, "QUERY_MATRIX_MAX", 0)
+    join = sorted(map(tuple, similarity.lsh_ann_topk(
+        df, queries, dim=4, k=3, n_planes=2, n_tables=3).collect()))
+    assert fast == join
+    assert len(fast) > 0
