@@ -32,20 +32,27 @@ def docs_from_documents(documents: DataFrame, max_content: int = 8) -> DataFrame
     h = spark_md5_hash("cast(doc_id as string)")
     mut = f"pmod({h}, 10)"
 
+    # round-8: let-bind (tokens, mutation class) ONCE per row via the
+    # 1-element-aggregate pattern (CLAUDE.md): the previous form
+    # referenced the tokenize chain ~11x per row — header/trailer sizes,
+    # both IF branches, and worst of all size({toks}) INSIDE the
+    # per-token transform lambda, which re-ran translate+split+filter
+    # for EVERY content token. s.tk is a bound, materialized array, so
+    # size(s.tk) inside the lambda is O(1).
     content = (
-        f"transform({toks}, (t, i) -> named_struct("
+        "transform(s.tk, (t, i) -> named_struct("
         # every 4th token is a media span; corrupted class 0 junks the last kind
-        f"'kind', CASE WHEN {mut} = 0 AND i = size({toks}) - 1 THEN 'junk' "
+        "'kind', CASE WHEN s.m = 0 AND i = size(s.tk) - 1 THEN 'junk' "
         "WHEN pmod(i, 4) = 3 THEN 'media' ELSE 'text' END, "
         "'text', IF(pmod(i, 4) = 3, '', t), "
         # refs land in m0..m71 while the companion media dim has 64 rows
         # -> ~11% dangle, so the referential anti-join (E110) fires too
         f"'media_ref', IF(pmod(i, 4) = 3, concat('m', cast(pmod({spark_md5_hash('t')}, 72) as string)), ''), "
-        f"'offset', cast(i + 2 + IF({mut} = 2 AND i > 0, 1, 0) as int)))"
+        "'offset', cast(i + 2 + IF(s.m = 2 AND i > 0, 1, 0) as int)))"
     )
     header = (
         "named_struct('kind', 'header', "
-        f"'text', concat('lanes=', cast(size({toks}) as string)), "
+        "'text', concat('lanes=', cast(size(s.tk) as string)), "
         "'media_ref', '', 'offset', cast(0 as int))"
     )
     trig = (
@@ -54,12 +61,16 @@ def docs_from_documents(documents: DataFrame, max_content: int = 8) -> DataFrame
         "'media_ref', '', 'offset', cast(1 as int))"
     )
     trailer = (
-        f"named_struct('kind', 'trailer', 'text', 'done=1', 'media_ref', '', "
-        f"'offset', cast(size({toks}) + 2 + IF({mut} = 2, 1, 0) as int))"
+        "named_struct('kind', 'trailer', 'text', 'done=1', 'media_ref', '', "
+        "'offset', cast(size(s.tk) + 2 + IF(s.m = 2, 1, 0) as int))"
     )
+    span_ty = ("array<struct<kind:string,text:string,"
+               "media_ref:string,offset:int>>")
     spans = (
-        f"IF({mut} = 1, concat(array({header}), array({trig}), {content}), "
-        f"concat(array({header}), array({trig}), {content}, array({trailer})))"
+        f"aggregate(array(named_struct('tk', {toks}, 'm', {mut})), "
+        f"cast(array() as {span_ty}), (acc, s) -> "
+        f"IF(s.m = 1, concat(array({header}), array({trig}), {content}), "
+        f"concat(array({header}), array({trig}), {content}, array({trailer}))))"
     )
     return documents.select(
         F.col("doc_id").cast("string").alias("doc_id"),
