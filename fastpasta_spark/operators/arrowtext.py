@@ -198,6 +198,7 @@ def textstats_arrow(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     langs = list(STOPWORDS)
     swsets = [frozenset(STOPWORDS[lg]) for lg in langs]
+    sw_arrays = [pa.array(sorted(s)) for s in swsets]
     az = _re.compile("[a-z]")
     in_schema = df.schema
     parts = [f"{f.name} {f.dataType.simpleString()}" for f in in_schema]
@@ -205,41 +206,119 @@ def textstats_arrow(df: DataFrame, text_col: str = "text") -> DataFrame:
                                 "fingerprint bigint", "lang_pred string"])
     names = [f.name for f in in_schema]
     mod = 2147483647
+    K = 1000003
+
+    def _slow_row(t: str) -> tuple[int, float, int, str]:
+        """The original per-row python path — kept verbatim for
+        non-ASCII rows, where python str.lower()/len vs the Arrow
+        utf8_* kernels could disagree on exotic case mappings."""
+        toks = py_tokens(t)
+        nt = len(toks)
+        denom = max(nt, 1)
+        ratios = [sum(1 for w in toks if w in s) / denom for s in swsets]
+        best = max(ratios)
+        lg = langs[ratios.index(best)] if best > 0 else "unk"
+        n_chars = len(t)  # Spark length() = code points
+        mean_wl = float(n_chars) / denom
+        alpha = len(az.findall(t.lower())) / max(n_chars, 1)
+        q = ((0.25 if 50 <= n_chars <= 5000 else 0.0)
+             + (0.25 if 3.0 <= mean_wl <= 12.0 else 0.0)
+             + 0.25 * min(alpha * 1.25, 1.0)
+             + 0.25 * min(ratios[0] * 5.0, 1.0))
+        acc = 7
+        for w in toks:
+            acc = (acc * K + _h48(w)) % mod
+        return nt, _round_half_up(q, 6), acc, lg
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
-            texts = batch.column(text_col).to_pylist()
-            m = len(texts)
-            n_toks: list = [0] * m
-            quality: list = [0.0] * m
-            fprint: list = [0] * m
+            ta = batch.column(text_col)
+            m = len(ta)
+            n_toks = np.zeros(m, dtype=np.int64)
+            quality = np.zeros(m, dtype=np.float64)
+            fprint = np.zeros(m, dtype=np.int64)
             lang: list = ["unk"] * m
-            for i, t in enumerate(texts):
-                if t is None:
-                    # NULL-coerced-to-0 ints + least()-skipped sw term
-                    quality[i] = 0.25
-                    continue
-                toks = py_tokens(t)
-                nt = len(toks)
-                n_toks[i] = nt
-                denom = max(nt, 1)
-                ratios = [sum(1 for w in toks if w in s) / denom
-                          for s in swsets]
-                best = max(ratios)
-                if best > 0:
-                    lang[i] = langs[ratios.index(best)]
-                n_chars = len(t)  # Spark length() = code points
-                mean_wl = float(n_chars) / denom
-                alpha = len(az.findall(t.lower())) / max(n_chars, 1)
-                q = ((0.25 if 50 <= n_chars <= 5000 else 0.0)
-                     + (0.25 if 3.0 <= mean_wl <= 12.0 else 0.0)
-                     + 0.25 * min(alpha * 1.25, 1.0)
-                     + 0.25 * min(ratios[0] * 5.0, 1.0))
-                quality[i] = _round_half_up(q, 6)
-                acc = 7
-                for w in toks:
-                    acc = (acc * 1000003 + _h48(w)) % mod
-                fprint[i] = acc
+            # round-8: ASCII rows (the bulk of any real batch) run a
+            # fully vectorized pipeline — ascii_lower IS translate(A-Z)
+            # and utf8_length IS len() on ASCII, so the arrow kernels
+            # are exact twins there; non-ASCII rows keep the per-row
+            # python path so hostile unicode parity is untouched.
+            # and_kleene: FALSE & NULL is a definite FALSE (plain and_
+            # would yield NULL for null-text rows and break to_numpy)
+            fast = (pc.and_kleene(pc.is_valid(ta), pc.string_is_ascii(ta))
+                    .to_numpy(zero_copy_only=False).astype(bool))
+            slow_idx = np.nonzero(~fast)[0]
+            if slow_idx.size:
+                vals = ta.to_pylist()
+                for i in slow_idx:
+                    t = vals[i]
+                    if t is None:
+                        # NULL-coerced-to-0 ints + least()-skipped term
+                        quality[i] = 0.25
+                        continue
+                    n_toks[i], quality[i], fprint[i], lang[i] = _slow_row(t)
+            fi = np.nonzero(fast)[0]
+            if fi.size:
+                sub = pc.take(ta, pa.array(fi))
+                folded = pc.ascii_lower(sub)
+                lst = pc.split_pattern_regex(folded, "[^a-z0-9]+")
+                flat = pc.list_flatten(lst)
+                counts_all = pc.list_value_length(lst).to_numpy()
+                row_of = np.repeat(np.arange(fi.size), counts_all)
+                keep = pc.not_equal(flat, "").to_numpy(
+                    zero_copy_only=False).astype(bool)
+                trow = row_of[keep]
+                nt = np.bincount(trow, minlength=fi.size).astype(np.int64)
+                tokens = flat.filter(pa.array(keep))
+                denom = np.maximum(nt, 1).astype(np.float64)
+                ratios = np.empty((len(sw_arrays), fi.size),
+                                  dtype=np.float64)
+                for j, swa in enumerate(sw_arrays):
+                    hit = pc.is_in(tokens, value_set=swa).to_numpy(
+                        zero_copy_only=False).astype(bool)
+                    ratios[j] = np.bincount(
+                        trow[hit], minlength=fi.size) / denom
+                best = ratios.max(axis=0)
+                pick = ratios.argmax(axis=0)  # first max, like .index()
+                n_chars = pc.utf8_length(sub).to_numpy().astype(np.int64)
+                mean_wl = n_chars / denom
+                alpha_cnt = pc.utf8_length(pc.replace_substring_regex(
+                    folded, "[^a-z]", "")).to_numpy()
+                alpha = alpha_cnt / np.maximum(n_chars, 1)
+                # identical left-to-right term order as the scalar path
+                q = (np.where((n_chars >= 50) & (n_chars <= 5000),
+                              0.25, 0.0)
+                     + np.where((mean_wl >= 3.0) & (mean_wl <= 12.0),
+                                0.25, 0.0)
+                     + 0.25 * np.minimum(alpha * 1.25, 1.0)
+                     + 0.25 * np.minimum(ratios[0] * 5.0, 1.0))
+                # rolling fingerprint, closed form: acc_n = (7*K^n +
+                # sum_i h_i * K^(n-1-i)) mod m — per-term products stay
+                # under 2^62 ((h%m)*P < 2^31 * 2^31) and per-row sums
+                # under 2^53, so int64 / exact-float64 arithmetic holds
+                max_n = int(nt.max()) if fi.size else 0
+                P = np.empty(max_n + 1, dtype=np.int64)
+                P[0] = 1
+                for e in range(1, max_n + 1):
+                    P[e] = (P[e - 1] * K) % mod
+                toks_py = tokens.to_pylist()
+                hs = np.fromiter((_h48(s) for s in toks_py), np.int64,
+                                 len(toks_py))
+                starts = np.zeros(fi.size, dtype=np.int64)
+                if fi.size > 1:
+                    np.cumsum(nt[:-1], out=starts[1:])
+                pos = np.arange(len(toks_py), dtype=np.int64) - starts[trow]
+                expo = nt[trow] - 1 - pos
+                contrib = ((hs % mod) * P[expo]) % mod
+                sums = np.bincount(trow, weights=contrib,
+                                   minlength=fi.size).astype(np.int64)
+                fp = (7 * P[nt] % mod + sums) % mod
+                n_toks[fi] = nt
+                fprint[fi] = fp
+                for j, i in enumerate(fi):
+                    quality[i] = _round_half_up(float(q[j]), 6)
+                    if best[j] > 0:
+                        lang[i] = langs[pick[j]]
             yield pa.RecordBatch.from_arrays(
                 [batch.column(j) for j in range(batch.num_columns)]
                 + [pa.array(n_toks, pa.int32()),
