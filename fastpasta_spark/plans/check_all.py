@@ -69,22 +69,30 @@ class CheckResult:
             untrack_run(fn)
 
 
-def _uniqueness_branch(keys: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """'k' rows -> (E100 violations, uniqueness metrics).
+def _uniqueness_branch(
+        keys: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """'k' rows -> (E100 violations, uniqueness metrics, persisted
+    groups — the caller must register the third frame for release).
 
     ONE groupBy lineage serves everything: dup violations filter it, the
     exact distinct is its row count, and the HLL sketches its keys (same
     estimate domain). Round-2 profiling showed a groupBy for dups PLUS
     an independent countDistinct agg paid the key shuffle twice and was
     the largest non-pass cost at 16 cores. A persist() here was then
-    A/B-measured SLOWER at 32 cores (cache-build of ~all-distinct
-    groups costs more than re-running the map-side-combined key shuffle
-    off the cached pass output) and neutral at 16 pinned — so the two
-    consumers just re-evaluate the groupBy, and nothing leaks a cache
-    entry per check_all call.
+    A/B-measured SLOWER at 32 cores — but that verdict predates the
+    round-7-bonus `inMemoryColumnarStorage.compressed=false` default,
+    which made the cache build of the ~all-distinct groups cheap;
+    round-8 re-measured ALTERNATING at 32 cores (quiet reps): persisted
+    2.55-2.86s vs re-evaluated 3.34-3.52s end-to-end check_all, so the
+    violations action and the metrics action now share one key shuffle
+    instead of paying it twice. The persist registers with the session
+    cache registry AND is returned so check_all adds it to
+    CheckResult._cached (slice loops release per result).
     """
-    grouped = keys.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("dup_count"))
+    from fastpasta_spark.functions.cache import tracked_persist
+
+    grouped = tracked_persist(keys.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dup_count")))
     viol = grouped.filter(F.col("dup_count") > 1).select(
         "doc_id",
         F.lit(None).cast("int").alias("span_idx"),
@@ -112,7 +120,7 @@ def _uniqueness_branch(keys: DataFrame) -> tuple[DataFrame, DataFrame]:
         "stack(2, 'doc_id_distinct_exact', CAST(exact AS DOUBLE), "
         "'doc_id_distinct_hll', CAST(hll AS DOUBLE)) AS (name, value)"
     )
-    return viol, metrics
+    return viol, metrics, grouped
 
 
 def media_ref_rows(docs: DataFrame) -> DataFrame:
@@ -327,7 +335,7 @@ def check_all(
     violations_seq, stats = split_sequence_output(out)
     keys = out.filter(F.col("row_type") == "k").select("doc_id")
 
-    uniq_viol, uniq_metrics = _uniqueness_branch(keys)
+    uniq_viol, uniq_metrics, uniq_grouped = _uniqueness_branch(keys)
     # E110 referential rows arrive in violations_seq: the fused pass
     # checks refs against the broadcast media-id set in-scan (no second
     # corpus scan). _referential_branch/media_ref_rows remain the
@@ -442,8 +450,8 @@ def check_all(
 
     return CheckResult(violations=violations_sorted, metrics=metrics,
                        passed=passed,
-                       _cached=(out, violations) if not work_dir
-                       else (violations,),
+                       _cached=(out, violations, uniq_grouped)
+                       if not work_dir else (violations, uniq_grouped),
                        _extra_release=(vm_bc.unpersist,) if own_bc else ())
 
 
